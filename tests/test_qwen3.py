@@ -1,0 +1,110 @@
+"""Qwen3 end-to-end slice: shapes, prefill/decode consistency, HF logit
+parity (the reference's cross-impl parity methodology, SURVEY.md §4), and the
+generation engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ominix_mlx_tpu.core.generate import Engine
+from ominix_mlx_tpu.core.sampling import SamplerConfig
+from ominix_mlx_tpu.models import base
+from ominix_mlx_tpu.models.base import TransformerConfig
+
+TINY = TransformerConfig(
+    vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+    num_kv_heads=2, intermediate_size=96, head_dim=16, use_qk_norm=True,
+    tie_word_embeddings=True, rope_theta=10000.0)
+
+
+def tiny_model(dtype=jnp.float32):
+    params = base.init_params(TINY, jax.random.PRNGKey(0), dtype)
+    return params
+
+
+def test_forward_shapes():
+    params = tiny_model()
+    cache = base.init_cache(TINY, 1, 32, jnp.float32)
+    tokens = jnp.asarray([[1, 2, 3, 4, 5]])
+    logits, cache = base.forward(params, TINY, tokens, cache)
+    assert logits.shape == (1, 5, TINY.vocab_size)
+    assert int(cache.offset) == 5
+
+
+def test_prefill_decode_consistency():
+    """Token-by-token decode must reproduce the one-shot prefill logits."""
+    params = tiny_model()
+    tokens = jnp.asarray([[7, 3, 11, 5, 2, 9]])
+    cache = base.init_cache(TINY, 1, 32, jnp.float32)
+    full_logits, _ = base.forward(params, TINY, tokens, cache)
+
+    cache = base.init_cache(TINY, 1, 32, jnp.float32)
+    step_logits = []
+    for t in range(tokens.shape[1]):
+        lg, cache = base.forward(params, TINY, tokens[:, t:t + 1], cache)
+        step_logits.append(lg[:, 0])
+    got = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full_logits),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hf_parity_qwen3():
+    """Logit parity vs HF transformers Qwen3 with identical random weights."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config
+    from transformers.models.qwen3 import Qwen3ForCausalLM
+
+    from ominix_mlx_tpu.utils.loading import torch_to_jnp
+
+    hf_cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=96, tie_word_embeddings=True, rope_theta=10000.0,
+        attention_bias=False)
+    torch.manual_seed(0)
+    hf = Qwen3ForCausalLM(hf_cfg).eval()
+
+    cfg = TransformerConfig.from_hf(hf_cfg.to_dict() | {"model_type": "qwen3"})
+    flat = {k: torch_to_jnp(v).astype(jnp.float32)
+            for k, v in hf.state_dict().items()}
+    params = base.params_from_flat(flat, cfg)
+
+    tokens = np.array([[5, 17, 99, 3, 42, 7, 18]])
+    with torch.no_grad():
+        want = hf(torch.tensor(tokens)).logits.numpy()
+    cache = base.init_cache(cfg, 1, 16, jnp.float32)
+    got, _ = base.forward(params, cfg, jnp.asarray(tokens), cache)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_engine_greedy_generate_matches_scan():
+    params = tiny_model()
+    engine = Engine(lambda p, t, c: base.forward(p, TINY, t, c), params,
+                    SamplerConfig())
+    prompt = jnp.asarray([1, 2, 3])
+
+    cache = base.init_cache(TINY, 1, 64, jnp.float32)
+    streamed = list(engine.generate(prompt, cache, max_tokens=8))
+
+    cache = base.init_cache(TINY, 1, 64, jnp.float32)
+    toks, _ = engine.generate_scan(prompt, cache, max_tokens=8)
+    np.testing.assert_array_equal(np.asarray(streamed),
+                                  np.asarray(toks[0]))
+
+
+def test_engine_prefill_bucketing_consistent():
+    """A bucketed (padded) prefill must produce the same next-token logits as
+    an exact-length forward."""
+    params = tiny_model()
+    engine = Engine(lambda p, t, c: base.forward(p, TINY, t, c), params)
+    prompt = jnp.asarray([[4, 9, 1, 7, 3]])  # length 5 -> bucket 16
+
+    cache = base.init_cache(TINY, 1, 64, jnp.float32)
+    last, cache = engine.prefill(prompt, cache)
+    assert int(cache.offset) == 5
+
+    cache2 = base.init_cache(TINY, 1, 64, jnp.float32)
+    full, _ = base.forward(params, TINY, prompt, cache2)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(full[:, -1]),
+                               rtol=2e-4, atol=2e-4)
