@@ -1,0 +1,125 @@
+"""Device mesh + sharding rules — the genuinely new layer of the TPU build.
+
+The reference has NO distributed execution (SURVEY.md §2.7: single device,
+Apple unified memory). On TPU, models larger than one chip's HBM (qwen3.5-35B,
+qwen-image 20B, big MoE) shard over the ICI mesh instead. Design:
+
+  - one global ``Mesh`` with axes ("dp", "tp") (expert-parallel adds "ep"
+    on top of "tp" for MoE, sequence/context parallel adds "sp")
+  - parameters get ``NamedSharding`` specs by tree-structure rules
+    (megatron-style TP: column-shard qkv/gate/up, row-shard o/down, so each
+    decoder layer needs exactly one psum on the attention output and one on
+    the MLP output — inserted automatically by GSPMD)
+  - KV caches shard their head axis on "tp" and batch on "dp"
+  - everything runs through plain ``jax.jit``; XLA inserts the collectives
+    and rides ICI
+
+Multi-host (DCN) extends the same mesh via ``jax.distributed.initialize``;
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: Optional[int] = None,
+              devices=None) -> Mesh:
+    """Create a (dp, tp) mesh. tp defaults to n_devices // dp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"dp*tp={dp * tp} != devices={n}"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def dense_param_specs(cfg, params: dict) -> dict:
+    """PartitionSpec tree for a models.base dense transformer.
+
+    Megatron-style tensor parallel:
+      q/k/v/gate/up: column-parallel (shard out_features)
+      o/down:        row-parallel (shard in_features)
+      embed/lm_head: vocab-sharded
+      norms:         replicated
+    """
+    def linear_spec(col: bool):
+        return {"w": P("tp", None) if col else P(None, "tp"),
+                "b": P("tp") if col else P(None)}
+
+    def spec_for_layer(lp: dict) -> dict:
+        out = {}
+        for name in lp:
+            if name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+                out[name] = _prune(linear_spec(True), lp[name])
+            elif name in ("o_proj", "down_proj"):
+                out[name] = _prune(linear_spec(False), lp[name])
+            else:  # norms
+                out[name] = P(None)
+        return out
+
+    specs = {
+        "embed": P("tp", None),
+        "layers": [spec_for_layer(lp) for lp in params["layers"]],
+        "norm": P(None),
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = _prune({"w": P("tp", None), "b": P("tp")},
+                                  params["lm_head"])
+    return specs
+
+
+def _prune(spec: dict, actual: dict) -> dict:
+    """Keep only spec entries whose keys exist in the actual param dict, and
+    expand QuantizedTensor leaves to per-field specs."""
+    from ominix_mlx_tpu.core.quant import QuantizedTensor
+
+    out = {}
+    for k, v in actual.items():
+        s = spec.get(k, P(None))
+        if isinstance(v, QuantizedTensor):
+            # q: [out, in], scales/biases: [out, groups] — shard same axis
+            out[k] = QuantizedTensor(q=s, scales=s, biases=s,
+                                     group_size=v.group_size, bits=v.bits)
+        else:
+            out[k] = s
+    return out
+
+
+def cache_specs(cache) -> object:
+    """PartitionSpec tree for a ModelCache: shard KV heads on tp, batch on dp."""
+    from ominix_mlx_tpu.core.cache import KVCache, ModelCache, RotatingKVCache
+
+    def layer_spec(lc):
+        if isinstance(lc, (KVCache, RotatingKVCache)):
+            kv = P("dp", "tp", None, None)
+            if isinstance(lc, RotatingKVCache):
+                return RotatingKVCache(k=kv, v=kv, slot_pos=P(None))
+            return KVCache(k=kv, v=kv)
+        return jax.tree.map(lambda _: P(None), lc)
+
+    return ModelCache(layers=[layer_spec(lc) for lc in cache.layers],
+                      offset=P())
+
+
+def shard_tree(tree, specs, mesh: Mesh):
+    """device_put a pytree with NamedShardings from a matching spec tree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree, specs,
+        is_leaf=lambda x: isinstance(x, jax.Array) or x is None)
+
+
+def shard_params(cfg, params: dict, mesh: Mesh) -> dict:
+    specs = dense_param_specs(cfg, params)
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_s = jax.tree.leaves(specs)
+    assert len(flat_p) == len(flat_s), "spec tree mismatch"
+    placed = [jax.device_put(p, NamedSharding(mesh, s))
+              for p, s in zip(flat_p, flat_s)]
+    return jax.tree.unflatten(treedef, placed)
