@@ -32,13 +32,15 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantizedTensor:
-    """A group-quantized 2D tensor in unpacked (int8) form.
+    """A group-quantized 2D tensor in unpacked, *centered* (signed int8) form.
 
-    ``q`` holds unsigned codes in [0, 2^bits) stored as int8 (bits <= 8).
+    ``q`` holds signed codes in [-2^(bits-1), 2^(bits-1)); the MLX unsigned
+    offset is folded into ``biases`` at load time (biases' = biases +
+    scales * 2^(bits-1)) so kernels work directly on signed int8.
     Dequant: ``w = scales[..., None] * q.reshape(out, groups, gs) + biases[..., None]``.
     """
 
-    q: jax.Array          # [out, in] int8 (unsigned codes)
+    q: jax.Array          # [out, in] int8 (signed centered codes)
     scales: jax.Array     # [out, in // group_size]
     biases: jax.Array     # [out, in // group_size]
     group_size: int = dataclasses.field(metadata=dict(static=True), default=64)
@@ -95,23 +97,26 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Dequantize to a dense [out, in] matrix."""
     out_f, in_f = qt.q.shape
     gs = qt.group_size
-    q = qt.q.astype(dtype).reshape(out_f, in_f // gs, gs)
-    # int8 codes are unsigned values 0..2^bits-1; stored in int8 they are
-    # non-negative for bits <= 7; for bits == 8 reinterpret via uint8.
-    if qt.bits == 8:
-        q = qt.q.view(jnp.uint8).astype(dtype).reshape(out_f, in_f // gs, gs)
-    w = qt.scales[..., None].astype(dtype) * q + qt.biases[..., None].astype(dtype)
-    return w.reshape(out_f, in_f)
+    q = qt.q.astype(jnp.float32).reshape(out_f, in_f // gs, gs)
+    w = (qt.scales[..., None].astype(jnp.float32) * q
+         + qt.biases[..., None].astype(jnp.float32))
+    return w.reshape(out_f, in_f).astype(dtype)
 
 
 def from_mlx_arrays(packed: jax.Array, scales: jax.Array, biases: jax.Array,
                     group_size: int, bits: int) -> QuantizedTensor:
-    """Build a QuantizedTensor from MLX-layout checkpoint arrays."""
-    return QuantizedTensor(
-        q=unpack_to_int8(packed, bits),
-        scales=scales, biases=biases,
-        group_size=group_size, bits=bits,
-    )
+    """Build a QuantizedTensor from MLX-layout checkpoint arrays, centering
+    the unsigned codes into signed int8 and folding the offset into biases."""
+    center = 1 << (bits - 1)
+    unsigned = unpack_to_int8(packed, bits)
+    if bits == 8:
+        q = (unsigned.view(jnp.uint8).astype(jnp.int16) - center).astype(jnp.int8)
+    else:
+        q = (unsigned - center).astype(jnp.int8)
+    biases = (biases.astype(jnp.float32)
+              + scales.astype(jnp.float32) * center).astype(biases.dtype)
+    return QuantizedTensor(q=q, scales=scales, biases=biases,
+                           group_size=group_size, bits=bits)
 
 
 def quantize_tensor(w: jax.Array, group_size: int = 64, bits: int = 4) -> QuantizedTensor:

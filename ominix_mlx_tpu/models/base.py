@@ -44,6 +44,7 @@ class TransformerConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     rope_scaling: Optional[dict] = None
+    rope_traditional: bool = False     # interleaved-pair rotary (GLM)
     partial_rotary_factor: float = 1.0
     use_qk_norm: bool = False          # Qwen3
     attention_bias: bool = False       # Qwen2 q/k/v bias
@@ -53,6 +54,7 @@ class TransformerConfig:
     hidden_act: str = "silu"
     sliding_window: Optional[int] = None
     logits_scale: float = 1.0          # muP-style scaling (minicpm)
+    moe: Optional[object] = None       # MoEConfig for layers that carry "moe"
 
     @property
     def hd(self) -> int:
@@ -60,7 +62,8 @@ class TransformerConfig:
 
     def rope(self) -> RopeConfig:
         return make_rope(self.hd, self.rope_theta, self.rope_scaling,
-                         self.partial_rotary_factor)
+                         self.partial_rotary_factor,
+                         traditional=self.rope_traditional)
 
     @staticmethod
     def from_hf(d: dict) -> "TransformerConfig":
@@ -141,9 +144,19 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
     """
     B, T, _ = x.shape
     hd = cfg.hd
-    q = linear(lp["q_proj"], x).reshape(B, T, cfg.num_heads, hd)
-    k = linear(lp["k_proj"], x).reshape(B, T, cfg.num_kv_heads, hd)
-    v = linear(lp["v_proj"], x).reshape(B, T, cfg.num_kv_heads, hd)
+    if "qkv_proj" in lp:
+        # fused projection: one weight stream instead of three
+        qkv = linear(lp["qkv_proj"], x)
+        qd = cfg.num_heads * hd
+        kvd = cfg.num_kv_heads * hd
+        q, k, v = (qkv[..., :qd], qkv[..., qd:qd + kvd], qkv[..., qd + kvd:])
+        q = q.reshape(B, T, cfg.num_heads, hd)
+        k = k.reshape(B, T, cfg.num_kv_heads, hd)
+        v = v.reshape(B, T, cfg.num_kv_heads, hd)
+    else:
+        q = linear(lp["q_proj"], x).reshape(B, T, cfg.num_heads, hd)
+        k = linear(lp["k_proj"], x).reshape(B, T, cfg.num_kv_heads, hd)
+        v = linear(lp["v_proj"], x).reshape(B, T, cfg.num_kv_heads, hd)
     if cfg.use_qk_norm:
         q = rms_norm(lp["q_norm"], q, cfg.rms_norm_eps)
         k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
@@ -162,6 +175,10 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
 
 def mlp_block(lp: dict, cfg: TransformerConfig, x: jax.Array) -> jax.Array:
     act = ACTIVATIONS[cfg.hidden_act]
+    if "gate_up_proj" in lp:
+        gu = linear(lp["gate_up_proj"], x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return linear(lp["down_proj"], act(gate) * up)
     return linear(lp["down_proj"],
                   act(linear(lp["gate_proj"], x)) * linear(lp["up_proj"], x))
 
@@ -171,10 +188,18 @@ def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
     h, cache = attention_block(
         lp, cfg, rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps),
         cache, offset, mask, rope)
+    if "post_self_attn_layernorm" in lp:   # GLM4 sandwich norm
+        h = rms_norm(lp["post_self_attn_layernorm"], h, cfg.rms_norm_eps)
     x = x + h
-    x = x + mlp_block(
-        lp, cfg, rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps))
-    return x, cache
+    h2 = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+    if "moe" in lp:
+        from ominix_mlx_tpu.models.moe import moe_block
+        h2 = moe_block(lp["moe"], cfg.moe, h2)
+    else:
+        h2 = mlp_block(lp, cfg, h2)
+    if "post_mlp_layernorm" in lp:         # GLM4 sandwich norm
+        h2 = rms_norm(lp["post_mlp_layernorm"], h2, cfg.rms_norm_eps)
+    return x + h2, cache
 
 
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
@@ -203,6 +228,147 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> ModelCache:
     return ModelCache.init_dense(cfg.num_layers, batch, cfg.num_kv_heads,
                                  max_len, cfg.hd, dtype)
+
+
+PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
+              "gate_proj", "up_proj", "down_proj",
+              "qkv_proj", "gate_up_proj")
+
+
+def _stack_weights(ws: list):
+    """Row-concatenate linear weights (dense, QuantizedTensor or
+    PackedQuantizedTensor) for fused projections."""
+    from ominix_mlx_tpu.core.quant import QuantizedTensor
+    from ominix_mlx_tpu.ops.quant_matmul import PackedQuantizedTensor
+
+    w0 = ws[0]
+    if isinstance(w0, QuantizedTensor):
+        return QuantizedTensor(
+            q=jnp.concatenate([w.q for w in ws], 0),
+            scales=jnp.concatenate([w.scales for w in ws], 0),
+            biases=jnp.concatenate([w.biases for w in ws], 0),
+            group_size=w0.group_size, bits=w0.bits)
+    if isinstance(w0, PackedQuantizedTensor):
+        return PackedQuantizedTensor(
+            data=jnp.concatenate([w.data for w in ws], 0),
+            scales=jnp.concatenate([w.scales for w in ws], 0),
+            biases=jnp.concatenate([w.biases for w in ws], 0),
+            group_size=w0.group_size, bits=w0.bits,
+            in_features=w0.in_features, act_bits=w0.act_bits)
+    return jnp.concatenate(ws, 0)
+
+
+def fuse_layer_projections(params: dict) -> dict:
+    """Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj per layer: one
+    weight stream + one kernel launch instead of three/two (TPU-native
+    version of the reference's per-proj Metal launches)."""
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        if all(k in nlp for k in ("q_proj", "k_proj", "v_proj")):
+            parts = [nlp.pop("q_proj"), nlp.pop("k_proj"), nlp.pop("v_proj")]
+            fused = {"w": _stack_weights([p["w"] for p in parts])}
+            if all("b" in p for p in parts):
+                fused["b"] = jnp.concatenate([p["b"] for p in parts], 0)
+            nlp["qkv_proj"] = fused
+        if all(k in nlp for k in ("gate_proj", "up_proj")):
+            parts = [nlp.pop("gate_proj"), nlp.pop("up_proj")]
+            fused = {"w": _stack_weights([p["w"] for p in parts])}
+            if all("b" in p for p in parts):
+                fused["b"] = jnp.concatenate([p["b"] for p in parts], 0)
+            nlp["gate_up_proj"] = fused
+        out["layers"].append(nlp)
+    return out
+
+
+def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
+                    pack: bool = True, quantize_embed: bool = True,
+                    consume: bool = True) -> dict:
+    """Group-quantize all linear projection weights (post-hoc, like the
+    reference's on-the-fly ``QuantizedLinear::try_from_linear`` path).
+
+    pack=True converts to the Pallas kernel layout (ops.quant_matmul.prepare)
+    — use on TPU. consume=True deletes each original weight as it is
+    quantized so peak memory stays ~1 weight above the quantized size.
+    """
+    from ominix_mlx_tpu.core.quant import quantize_tensor
+    from ominix_mlx_tpu.ops.quant_matmul import prepare
+
+    def q(holder, key):
+        w = holder[key]
+        qt = quantize_tensor(jnp.asarray(w, jnp.float32), group_size, bits)
+        qt = jax.block_until_ready(qt)
+        if consume:
+            holder[key] = None  # drop the dense weight before the next one
+        return prepare(qt) if pack else qt
+
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        for name in PROJ_NAMES:
+            if name in nlp and not isinstance(nlp[name]["w"], dict):
+                w = q(nlp[name], "w")
+                nlp[name] = {**lp[name], "w": w}
+        out["layers"].append(nlp)
+    if quantize_embed and isinstance(params.get("embed"), jax.Array):
+        # tied lm_head reads the embedding as a linear; quantizing it also
+        # shrinks the biggest single tensor. Lookup dequantizes rows.
+        out["embed"] = q(out, "embed")
+    if "lm_head" in params:
+        out["lm_head"] = {**params["lm_head"],
+                          "w": q(dict(params["lm_head"]), "w")}
+    return out
+
+
+def init_quantized_params(cfg: TransformerConfig, key, group_size: int = 64,
+                          bits: int = 4, pack: bool = True) -> dict:
+    """Random-init a quantized param tree directly (benchmarks/tests) —
+    never materializes the dense bf16 weights."""
+    from ominix_mlx_tpu.core.quant import QuantizedTensor
+    from ominix_mlx_tpu.ops.quant_matmul import prepare
+
+    hd = cfg.hd
+    lim = 1 << (bits - 1)
+
+    def qrand(k, out_f, in_f):
+        k1, k2 = jax.random.split(k)
+        qt = QuantizedTensor(
+            q=jax.random.randint(k1, (out_f, in_f), -lim, lim, jnp.int8),
+            scales=jnp.full((out_f, in_f // group_size),
+                            (in_f ** -0.5) / lim, jnp.bfloat16),
+            biases=jnp.zeros((out_f, in_f // group_size), jnp.bfloat16),
+            group_size=group_size, bits=bits)
+        return prepare(qt) if pack else qt
+
+    keys = iter(jax.random.split(key, 9 * cfg.num_layers + 4))
+    layers = []
+    for _ in range(cfg.num_layers):
+        lp = {
+            "input_layernorm": jnp.ones((cfg.hidden_size,), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((cfg.hidden_size,), jnp.bfloat16),
+            "q_proj": {"w": qrand(next(keys), cfg.num_heads * hd, cfg.hidden_size)},
+            "k_proj": {"w": qrand(next(keys), cfg.num_kv_heads * hd, cfg.hidden_size)},
+            "v_proj": {"w": qrand(next(keys), cfg.num_kv_heads * hd, cfg.hidden_size)},
+            "o_proj": {"w": qrand(next(keys), cfg.hidden_size, cfg.num_heads * hd)},
+            "gate_proj": {"w": qrand(next(keys), cfg.intermediate_size, cfg.hidden_size)},
+            "up_proj": {"w": qrand(next(keys), cfg.intermediate_size, cfg.hidden_size)},
+            "down_proj": {"w": qrand(next(keys), cfg.hidden_size, cfg.intermediate_size)},
+        }
+        if cfg.use_qk_norm:
+            lp["q_norm"] = jnp.ones((hd,), jnp.bfloat16)
+            lp["k_norm"] = jnp.ones((hd,), jnp.bfloat16)
+        layers.append(lp)
+    params = {
+        "embed": qrand(next(keys), cfg.vocab_size, cfg.hidden_size),
+        "layers": layers,
+        "norm": jnp.ones((cfg.hidden_size,), jnp.bfloat16),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"w": qrand(next(keys), cfg.hidden_size,
+                                        cfg.vocab_size)}
+    return params
 
 
 # ------------------------------------------------- HF weight loading --------

@@ -1,0 +1,139 @@
+"""Mixture-of-experts layer: SwitchGLU experts + top-k routing.
+
+TPU-native counterpart of the reference's MoE machinery:
+  - ``QuantizedSwitchLinear`` stacked expert weights + ``gather_qmm``
+    (reference: qwen3-mlx/src/qwen3_moe.rs:304-425)
+  - token sort-by-expert for coalesced access (qwen3_moe.rs:339)
+  - ``MoeBlock`` top-k via argpartition (qwen3_moe.rs:460)
+  - Mixtral top-2 softmax routing (mixtral-mlx/src/model.rs:282-298)
+  - GLM4-MoE sigmoid scores + e_score_correction_bias + norm_topk_prob +
+    shared experts (glm4-moe-mlx/src/model.rs:343-583)
+
+TPU design: expert weights live stacked [E, N, K] in HBM. Decode (few
+tokens) gathers just the top-k experts' weights per token (the gather IS the
+memory traffic, same as the reference's gather_qmm). Prefill (many tokens)
+runs every expert densely and combines with routing weights — on the MXU the
+E/k-fold extra FLOPs are cheaper than scatter/gather plumbing until E is
+large; a capacity-bucketed sorted dispatch is the later optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ominix_mlx_tpu.nn.layers import ACTIVATIONS, linear
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    num_experts: int
+    top_k: int
+    norm_topk_prob: bool = False
+    routing: str = "softmax"          # "softmax" (qwen/mixtral) | "sigmoid" (glm4-moe)
+    softmax_after_topk: bool = False  # mixtral style: softmax over the k scores
+    routed_scaling_factor: float = 1.0
+    n_shared_experts: int = 0
+    hidden_act: str = "silu"
+    moe_intermediate_size: int = 0
+
+
+def route(lp: dict, mcfg: MoEConfig, x: jax.Array):
+    """x: [T, D] -> (weights [T, k], indices [T, k]).
+
+    Covers the three reference routing styles (see module docstring)."""
+    scores = linear(lp["gate"], x).astype(jnp.float32)   # [T, E]
+    if mcfg.routing == "sigmoid":
+        scores = jax.nn.sigmoid(scores)
+        sel = scores
+        if "e_score_correction_bias" in lp:
+            sel = scores + lp["e_score_correction_bias"].astype(jnp.float32)
+        _, idx = jax.lax.top_k(sel, mcfg.top_k)
+        w = jnp.take_along_axis(scores, idx, axis=-1)
+    else:
+        if mcfg.softmax_after_topk:
+            w, idx = jax.lax.top_k(scores, mcfg.top_k)
+            w = jax.nn.softmax(w, axis=-1)
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
+            w, idx = jax.lax.top_k(probs, mcfg.top_k)
+    if mcfg.norm_topk_prob:
+        w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
+    w = w * mcfg.routed_scaling_factor
+    return w, idx
+
+
+def _expert_mlp(wg, wu, wd, x, act):
+    """SwiGLU for one (gathered) expert weight set.
+
+    wg/wu: [..., I, D]; wd: [..., D, I]; x: [..., D]."""
+    g = jnp.einsum("...id,...d->...i", wg, x)
+    u = jnp.einsum("...id,...d->...i", wu, x)
+    h = act(g) * u
+    return jnp.einsum("...di,...i->...d", wd, h)
+
+
+def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
+    """x: [B, T, D] -> [B, T, D].
+
+    lp: {"gate": linear, "experts": {"gate_proj": [E, I, D],
+    "up_proj": [E, I, D], "down_proj": [E, D, I]},
+    optional "shared_expert": dense mlp params,
+    optional "shared_expert_gate", "e_score_correction_bias"}.
+    """
+    B, T, D = x.shape
+    act = ACTIVATIONS[mcfg.hidden_act]
+    xt = x.reshape(B * T, D)
+    w, idx = route(lp, mcfg, xt)                         # [M, k]
+    M = B * T
+    ex = lp["experts"]
+
+    if M <= 8:
+        # decode: gather only the selected experts' weights (gather_qmm)
+        wg = ex["gate_proj"][idx]                        # [M, k, I, D]
+        wu = ex["up_proj"][idx]
+        wd = ex["down_proj"][idx]
+        y = _expert_mlp(wg, wu, wd, xt[:, None, :], act)  # [M, k, D]
+        y = jnp.einsum("mkd,mk->md", y.astype(jnp.float32),
+                       w.astype(jnp.float32))
+    else:
+        # prefill: dense all-expert pass, one-hot combine
+        g = jnp.einsum("md,eid->mei", xt, ex["gate_proj"])
+        u = jnp.einsum("md,eid->mei", xt, ex["up_proj"])
+        h = act(g) * u                                    # [M, E, I]
+        ye = jnp.einsum("mei,edi->med", h, ex["down_proj"])
+        comb = jnp.zeros((M, mcfg.num_experts), jnp.float32)
+        comb = jax.vmap(lambda c, i, ww: c.at[i].add(ww))(comb, idx,
+                                                          w.astype(jnp.float32))
+        y = jnp.einsum("med,me->md", ye.astype(jnp.float32), comb)
+
+    y = y.astype(x.dtype)
+    if "shared_expert" in lp:
+        se = lp["shared_expert"]
+        sh = linear(se["down_proj"],
+                    act(linear(se["gate_proj"], xt)) * linear(se["up_proj"], xt))
+        if "shared_expert_gate" in lp:
+            sh = sh * jax.nn.sigmoid(linear(lp["shared_expert_gate"], xt))
+        y = y + sh
+    return y.reshape(B, T, D)
+
+
+def init_moe_params(key, hidden_size: int, mcfg: MoEConfig,
+                    dtype=jnp.bfloat16) -> dict:
+    I = mcfg.moe_intermediate_size
+    E = mcfg.num_experts
+    ks = jax.random.split(key, 5)
+    s = hidden_size ** -0.5
+    lp = {
+        "gate": {"w": jax.random.uniform(ks[0], (E, hidden_size), dtype, -s, s)},
+        "experts": {
+            "gate_proj": jax.random.uniform(ks[1], (E, I, hidden_size), dtype, -s, s),
+            "up_proj": jax.random.uniform(ks[2], (E, I, hidden_size), dtype, -s, s),
+            "down_proj": jax.random.uniform(ks[3], (E, hidden_size, I), dtype,
+                                            -(I ** -0.5), I ** -0.5),
+        },
+    }
+    return lp

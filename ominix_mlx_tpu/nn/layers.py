@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from ominix_mlx_tpu.core.quant import (QuantizedTensor, dequantize,
-                                       quantized_matmul, quantize_tensor)
+                                       quantize_tensor)
+from ominix_mlx_tpu.ops.quant_matmul import (PackedQuantizedTensor,
+                                             quantized_matmul)
 
 
 # ---------------------------------------------------------------- linear ----
@@ -27,8 +29,8 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     Equivalent of reference nn::Linear / nn::QuantizedLinear (mlx-rs/src/nn/).
     """
     w = params["w"]
-    if isinstance(w, QuantizedTensor):
-        y = quantized_matmul(x, w, dtype=x.dtype)
+    if isinstance(w, (QuantizedTensor, PackedQuantizedTensor)):
+        y = quantized_matmul(x, w)
     else:
         y = jnp.dot(x, w.T, preferred_element_type=x.dtype)
     b = params.get("b")
@@ -85,18 +87,29 @@ def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
 # ------------------------------------------------------------- embedding ----
 
 def embedding(weight, tokens: jax.Array) -> jax.Array:
-    """weight: [V, D] or QuantizedTensor. Reference: nn::Embedding /
-    nn::QuantizedEmbedding."""
+    """weight: [V, D], QuantizedTensor or PackedQuantizedTensor.
+    Reference: nn::Embedding / nn::QuantizedEmbedding. Quantized lookups
+    dequantize only the gathered rows."""
+    if isinstance(weight, PackedQuantizedTensor):
+        from ominix_mlx_tpu.ops.quant_matmul import gather_rows
+        return gather_rows(weight, tokens)
     if isinstance(weight, QuantizedTensor):
-        weight = dequantize(weight)
+        gs = weight.group_size
+        V, K = weight.q.shape
+        rows = weight.q[tokens].astype(jnp.float32)
+        s = weight.scales[tokens].astype(jnp.float32)
+        b = weight.biases[tokens].astype(jnp.float32)
+        w = rows.reshape(*rows.shape[:-1], K // gs, gs)
+        w = w * s[..., None] + b[..., None]
+        return w.reshape(*rows.shape).astype(jnp.bfloat16)
     return weight[tokens]
 
 
 def embedding_as_linear(weight, x: jax.Array) -> jax.Array:
     """Tied lm_head: x @ E^T (reference: embed.as_linear,
     qwen3-mlx/src/model.rs:478-486)."""
-    if isinstance(weight, QuantizedTensor):
-        return quantized_matmul(x, weight, dtype=x.dtype)
+    if isinstance(weight, (QuantizedTensor, PackedQuantizedTensor)):
+        return quantized_matmul(x, weight)
     return jnp.dot(x, weight.T, preferred_element_type=x.dtype)
 
 
