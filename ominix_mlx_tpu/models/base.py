@@ -205,8 +205,16 @@ def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
             cache: ModelCache):
     """tokens: [B, T] -> (logits [B, T, V], new ModelCache)."""
-    x = embedding(params["embed"], tokens)
-    T = tokens.shape[1]
+    return forward_embeds(params, cfg, embedding(params["embed"], tokens),
+                          cache)
+
+
+def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
+                   cache: ModelCache):
+    """Like ``forward`` but takes input embeddings [B, T, D] directly —
+    the splice point for multimodal prompts (audio features, image patches;
+    reference: deepseek-ocr2 prepare_inputs lib.rs:522, qwen3-asr)."""
+    T = x.shape[1]
     rope = cfg.rope()
     kv_cap = cache.layers[0].max_len
     mask = causal_mask(T, kv_cap, cache.offset, cfg.sliding_window)

@@ -161,7 +161,7 @@ def _qmm_p8(x, data, scales, biases, gs: int, K: int, act8: bool, out_dtype):
         (jnp.arange(GM, dtype=jnp.int32)[:, None] % M)
         == jnp.arange(M, dtype=jnp.int32)[None, :],
         rm_vals.astype(jnp.float32)[None, :], 0.0)               # [GM, M]
-    TN = 256
+    TN = 512 if K <= 4096 else 256   # measured best; VMEM-bounded
     while N % TN:
         TN //= 2
     out = pl.pallas_call(
