@@ -1,0 +1,137 @@
+"""Speculative decoding: draft proposes, target verifies in one forward.
+
+TPU-native counterpart of reference ``SpeculativeGenerate``
+(mlx-rs-core/src/speculative.rs:32-190): the draft model emits
+``num_draft_tokens`` greedily, the target scores the previous token plus all
+drafts in ONE forward, and the longest agreeing prefix is accepted (plus the
+target's own next token — so every round yields >= 1 token).
+
+Static-shape design (no MLX dynamic graphs): both caches are fixed-capacity;
+a rejected draft's KV entries simply sit beyond ``offset`` and get
+overwritten on the next round — rollback is just not advancing the offset
+(the cache-as-ring trick from core/cache.py). The only host<->device sync
+per round is fetching the accepted-token vector.
+
+Also generalizes to the reference's minicpm *self*-speculative early-exit
+mode (minicpm-sala-mlx/src/speculative.rs:1-40) by passing a draft forward
+that runs the first N layers of the same params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ominix_mlx_tpu.core.cache import ModelCache
+
+
+@dataclasses.dataclass
+class SpecStats:
+    rounds: int = 0
+    drafted: int = 0
+    accepted: int = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / self.drafted if self.drafted else 0.0
+
+
+class SpeculativeEngine:
+    def __init__(self, target_forward: Callable, target_params,
+                 draft_forward: Callable, draft_params,
+                 num_draft_tokens: int = 4):
+        self.tf, self.tp = target_forward, target_params
+        self.df, self.dp = draft_forward, draft_params
+        self.nd = num_draft_tokens
+        self._draft_jit = jax.jit(self._draft_impl, donate_argnums=(1,))
+        self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1,))
+        self._prefill_t = jax.jit(self.tf, donate_argnums=(2,))
+        self._prefill_d = jax.jit(self.df, donate_argnums=(2,))
+
+    def _draft_impl(self, params, cache, catchup):
+        """Ingest the 2-token catch-up [x_prev, last] (x_prev rewrites its
+        own KV slot idempotently — this keeps the shape static whether the
+        previous round accepted all drafts or not), then greedy-draft nd
+        tokens. Returns ([1, nd] tokens, cache)."""
+        logits, cache = self.df(params, catchup, cache)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+        def step(carry, _):
+            cache, tok = carry
+            lg, cache = self.df(params, tok[:, None], cache)
+            nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+            return (cache, nxt), nxt
+
+        (cache, _), toks = jax.lax.scan(step, (cache, tok),
+                                        length=self.nd - 1)
+        drafts = jnp.concatenate([tok[:, None], toks.T], axis=1)
+        return drafts, cache
+
+    def _verify_impl(self, params, cache, last_token, draft_tokens):
+        """Score [last, d1..dnd] in one forward; greedy targets per position.
+
+        Returns (target_tokens [1, nd+1], n_accept scalar, cache rolled back
+        to offset + n_accept + 1).
+        """
+        seq = jnp.concatenate([last_token[:, None], draft_tokens], axis=1)
+        start = cache.offset
+        logits, cache = self.tf(params, seq, cache)
+        tgt = jnp.argmax(logits, -1).astype(jnp.int32)       # [1, nd+1]
+        agree = (tgt[:, :-1] == draft_tokens)[0]
+        n_accept = jax.lax.fori_loop(
+            0, self.nd,
+            lambda i, n: jnp.where((i == n) & agree[i], n + 1, n), 0)
+        # rollback: keep KV only for last_token + accepted drafts
+        cache = ModelCache(layers=cache.layers,
+                           offset=start + n_accept + 1)
+        return tgt, n_accept, cache
+
+    def generate(self, prompt: jax.Array, t_cache: ModelCache,
+                 d_cache: ModelCache, max_tokens: int = 256,
+                 stop_tokens: tuple = (),
+                 stats: Optional[SpecStats] = None) -> Iterator[int]:
+        if prompt.ndim == 1:
+            prompt = prompt[None]
+        # prefill both models on the full prompt
+        t_logits, t_cache = self._prefill_t(self.tp, prompt, t_cache)
+        _, d_cache = self._prefill_d(self.dp, prompt, d_cache)
+        last = jnp.argmax(t_logits[:, -1], -1).astype(jnp.int32)
+        x_prev = prompt[:, -1]   # token whose KV slot precedes `last`
+
+        produced = 0
+        t = int(last[0])
+        if t in stop_tokens:
+            return
+        yield t
+        produced += 1
+
+        while produced < max_tokens:
+            # invariant: target offset o = position of `last`;
+            # draft has valid KV through o-1 (x_prev's slot)
+            d_cache = ModelCache(layers=d_cache.layers,
+                                 offset=t_cache.offset - 1)
+            catchup = jnp.concatenate([x_prev[:, None], last[:, None]], 1)
+            draft, d_cache = self._draft_jit(self.dp, d_cache, catchup)
+            tgt, n_acc, t_cache = self._verify_jit(self.tp, t_cache, last,
+                                                   draft)
+            n = int(n_acc)
+            if stats is not None:
+                stats.rounds += 1
+                stats.drafted += self.nd
+                stats.accepted += n
+            # emitted tokens: accepted drafts + the target's correction
+            toks = [int(x) for x in tgt[0, :n + 1]]
+            stop = False
+            for t in toks:
+                yield t
+                produced += 1
+                if t in stop_tokens or produced >= max_tokens:
+                    stop = True
+                    break
+            if stop:
+                break
+            x_prev = last if n == 0 else draft[:, n - 1]
+            last = tgt[:, n]
