@@ -69,4 +69,4 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
         logits = logits + m
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgts,bhsd->bhgtd", w, v)
-    return out.reshape(B, H, T, D)
+    return out.reshape(B, H, T, v.shape[-1])  # v dim may differ from q (MLA)

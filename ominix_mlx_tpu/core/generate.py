@@ -39,6 +39,12 @@ def bucket_length(n: int, minimum: int = 16) -> int:
     return b
 
 
+def _kv_capacity(cache: ModelCache):
+    """Max KV length across layers; None for pure-recurrent models."""
+    caps = [lc.max_len for lc in cache.layers if hasattr(lc, "max_len")]
+    return min(caps) if caps else None
+
+
 @dataclasses.dataclass
 class GenerationStats:
     prompt_tokens: int = 0
@@ -101,12 +107,18 @@ class Engine:
     def prefill(self, tokens: jax.Array, cache: ModelCache):
         """tokens: [B, T] -> (last_logits [B, V], cache)."""
         B, T = tokens.shape
-        cap = cache.layers[0].max_len
-        if T > cap:
+        cap = _kv_capacity(cache)
+        if cap is not None and T > cap:
             raise ValueError(
                 f"prompt length {T} exceeds KV cache capacity {cap}; "
                 f"create the cache with a larger max_len")
-        bucket = min(bucket_length(T), cap)
+        if any(not hasattr(lc, "max_len") for lc in cache.layers):
+            # recurrent/hybrid layers ingest every position into their state,
+            # so padded bucketing would corrupt it — prefill exact length
+            # (one retrace per prompt length; KV-only models keep buckets)
+            bucket = T
+        else:
+            bucket = min(bucket_length(T), cap)
         padded = jnp.pad(tokens, ((0, 0), (0, bucket - T)))
         return self._prefill_jit(self.params, padded, cache,
                                  jnp.int32(T))
@@ -126,8 +138,8 @@ class Engine:
         if prompt.ndim == 1:
             prompt = prompt[None]
         B = prompt.shape[0]
-        cap = cache.layers[0].max_len
-        if prompt.shape[1] + max_tokens > cap:
+        cap = _kv_capacity(cache)
+        if cap is not None and prompt.shape[1] + max_tokens > cap:
             # decode past capacity would make dynamic_update_slice clamp its
             # start index and silently overwrite the last KV slot
             raise ValueError(
@@ -179,8 +191,8 @@ class Engine:
         """
         if prompt.ndim == 1:
             prompt = prompt[None]
-        cap = cache.layers[0].max_len
-        if prompt.shape[1] + max_tokens > cap:
+        cap = _kv_capacity(cache)
+        if cap is not None and prompt.shape[1] + max_tokens > cap:
             raise ValueError(
                 f"prompt ({prompt.shape[1]}) + max_tokens ({max_tokens}) "
                 f"exceeds KV cache capacity {cap}")

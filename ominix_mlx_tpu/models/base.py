@@ -55,6 +55,8 @@ class TransformerConfig:
     sliding_window: Optional[int] = None
     logits_scale: float = 1.0          # muP-style scaling (minicpm)
     moe: Optional[object] = None       # MoEConfig for layers that carry "moe"
+    mla: Optional[object] = None       # MLAConfig for MLA attention layers
+    deltanet: Optional[object] = None  # DeltaNetConfig for "linear_attn" layers
 
     @property
     def hd(self) -> int:
@@ -170,6 +172,8 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
     cache = cache.update(k, v, offset)
     out = sdpa(q, cache.k, cache.v, scale=hd ** -0.5, mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.num_heads * hd)
+    if "g_proj" in lp:  # gated attention output (Qwen3-Next attention.rs:24)
+        out = out * jax.nn.sigmoid(linear(lp["g_proj"], x))
     return linear(lp["o_proj"], out), cache
 
 
@@ -185,9 +189,15 @@ def mlp_block(lp: dict, cfg: TransformerConfig, x: jax.Array) -> jax.Array:
 
 def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
                   rope):
-    h, cache = attention_block(
-        lp, cfg, rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps),
-        cache, offset, mask, rope)
+    h_in = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+    if "linear_attn" in lp:                # GatedDeltaNet (Qwen3-Next hybrid)
+        from ominix_mlx_tpu.models import deltanet
+        h, cache = deltanet.block(lp["linear_attn"], cfg.deltanet, h_in, cache)
+    elif "kv_a_proj_with_mqa" in lp:       # MLA attention (DeepSeek/GLM-4.7)
+        from ominix_mlx_tpu.models import mla
+        h, cache = mla.attention_block(lp, cfg.mla, h_in, cache, offset, mask)
+    else:
+        h, cache = attention_block(lp, cfg, h_in, cache, offset, mask, rope)
     if "post_self_attn_layernorm" in lp:   # GLM4 sandwich norm
         h = rms_norm(lp["post_self_attn_layernorm"], h, cfg.rms_norm_eps)
     x = x + h
@@ -216,8 +226,9 @@ def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
     reference: deepseek-ocr2 prepare_inputs lib.rs:522, qwen3-asr)."""
     T = x.shape[1]
     rope = cfg.rope()
-    kv_cap = cache.layers[0].max_len
-    mask = causal_mask(T, kv_cap, cache.offset, cfg.sliding_window)
+    kv_caps = [lc.max_len for lc in cache.layers if isinstance(lc, KVCache)]
+    mask = (causal_mask(T, kv_caps[0], cache.offset, cfg.sliding_window)
+            if kv_caps else None)
     new_layers = []
     for lp, lc in zip(params["layers"], cache.layers):
         x, lc = decoder_layer(lp, cfg, x, lc, cache.offset, mask, rope)

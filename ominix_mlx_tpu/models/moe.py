@@ -39,18 +39,32 @@ class MoEConfig:
     n_shared_experts: int = 0
     hidden_act: str = "silu"
     moe_intermediate_size: int = 0
+    # DeepSeek-style node-limited group routing (glm4-moe): pick topk_group
+    # groups by their top-2 score sums, then top_k within those groups
+    n_group: int = 1
+    topk_group: int = 1
 
 
 def route(lp: dict, mcfg: MoEConfig, x: jax.Array):
     """x: [T, D] -> (weights [T, k], indices [T, k]).
 
     Covers the three reference routing styles (see module docstring)."""
-    scores = linear(lp["gate"], x).astype(jnp.float32)   # [T, E]
+    scores = linear(lp["gate"], x.astype(jnp.float32))   # [T, E]
     if mcfg.routing == "sigmoid":
         scores = jax.nn.sigmoid(scores)
         sel = scores
         if "e_score_correction_bias" in lp:
             sel = scores + lp["e_score_correction_bias"].astype(jnp.float32)
+        if mcfg.n_group > 1:
+            # node-limited routing (HF Glm4MoeTopkRouter.get_topk_indices)
+            T = sel.shape[0]
+            g = sel.reshape(T, mcfg.n_group, -1)
+            group_scores = jnp.sum(jax.lax.top_k(g, 2)[0], axis=-1)
+            _, gidx = jax.lax.top_k(group_scores, mcfg.topk_group)
+            gmask = jnp.zeros_like(group_scores).at[
+                jnp.arange(T)[:, None], gidx].set(1.0)
+            sel = jnp.where(
+                (gmask[:, :, None] > 0), g, 0.0).reshape(T, -1)
         _, idx = jax.lax.top_k(sel, mcfg.top_k)
         w = jnp.take_along_axis(scores, idx, axis=-1)
     else:

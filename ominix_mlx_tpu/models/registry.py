@@ -21,6 +21,11 @@ MODEL_TYPES = {
     "mixtral": "ominix_mlx_tpu.models.mixtral",
     "qwen3_moe": "ominix_mlx_tpu.models.qwen3_moe",
     "qwen2_moe": "ominix_mlx_tpu.models.qwen3_moe",
+    "glm4_moe": "ominix_mlx_tpu.models.glm4_moe",
+    "deepseek_v3": "ominix_mlx_tpu.models.deepseek_v3",
+    "deepseek_v2": "ominix_mlx_tpu.models.deepseek_v3",
+    "glm_47_flash": "ominix_mlx_tpu.models.deepseek_v3",
+    "qwen3_next": "ominix_mlx_tpu.models.qwen3_next",
 }
 
 
