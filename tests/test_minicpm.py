@@ -1,0 +1,96 @@
+"""MiniCPM-SALA tests: GLA chunked-vs-recurrent equivalence, sparse decode
+== dense for short contexts, hybrid prefill/decode consistency, config
+parsing golden values (the reference's test pattern,
+minicpm-sala-mlx/tests/test_model.rs:1-90), self-speculative drafting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ominix_mlx_tpu.core.attention import causal_mask, sdpa
+from ominix_mlx_tpu.core.cache import KVCache
+from ominix_mlx_tpu.models import lightning as gla
+from ominix_mlx_tpu.models import minicpm_sala as mc
+from ominix_mlx_tpu.models.sparse_attention import (SparseConfig,
+                                                    sparse_decode_attention)
+
+CFG = mc.MiniCPMConfig(
+    vocab_size=256, hidden_size=64, num_layers=4, num_heads=4,
+    num_kv_heads=2, head_dim=16, intermediate_size=96,
+    mixer_types=("minicpm4", "lightning-attn", "minicpm4", "lightning-attn"),
+    sparse=SparseConfig(kernel_size=4, block_size=4, init_blocks=1,
+                        window_size=8, topk=2),
+    scale_emb=12.0, scale_depth=1.4, dim_model_base=32)
+
+
+def test_config_derived_values():
+    assert abs(CFG.res_scale - 1.4 / 2.0) < 1e-6
+    assert CFG.logits_scale == 2.0
+
+
+def test_gla_chunked_matches_recurrent():
+    """Chunked prefill must equal step-by-step recurrence (incl. a partial
+    final chunk and a nonzero initial state)."""
+    B, H, L, D = 1, 3, 10, 8
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (B, H, L, D))
+               for i in range(3))
+    slopes = gla.alibi_slopes(H)
+    c0 = gla.GLACache.init(B, H, D)
+    out_c, cache_c = gla.gla_chunked(q, k, v, slopes, c0, chunk=4)
+
+    cache_r = gla.GLACache.init(B, H, D)
+    outs = []
+    for t in range(L):
+        o, cache_r = gla.gla_decode_step(q[:, :, t:t + 1], k[:, :, t:t + 1],
+                                         v[:, :, t:t + 1],
+                                         jnp.asarray(slopes), cache_r)
+        outs.append(o)
+    out_r = jnp.concatenate(outs, 2)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache_c.state),
+                               np.asarray(cache_r.state), rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_decode_equals_dense_short_context():
+    """When init + window cover the whole history, sparse == dense."""
+    B, H, Hkv, D, S = 1, 4, 2, 16, 32
+    scfg = SparseConfig(kernel_size=4, block_size=4, init_blocks=1,
+                        window_size=16, topk=2)
+    cache = KVCache.init(B, Hkv, S, D, jnp.float32)
+    n = 12  # history length: 4 init + <=16 window covers all
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, Hkv, n, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, n, D))
+    cache = cache.update(k, v, jnp.int32(0))
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, H, 1, D))
+    got = sparse_decode_attention(q, cache, jnp.int32(n - 1), scfg, D ** -0.5)
+    mask = causal_mask(1, S, jnp.int32(n - 1))
+    want = sdpa(q, cache.k, cache.v, D ** -0.5, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_prefill_decode_consistency():
+    params = mc.init_params(CFG, jax.random.PRNGKey(0))
+    toks = jnp.asarray([[7, 3, 11, 5, 2, 9, 1, 8]])
+    c1 = mc.init_cache(CFG, 1, 32, jnp.float32)
+    full, _ = mc.forward(params, CFG, toks, c1)
+    c2 = mc.init_cache(CFG, 1, 32, jnp.float32)
+    outs = []
+    for t in range(8):
+        lg, c2 = mc.forward(params, CFG, toks[:, t:t + 1], c2)
+        outs.append(lg[:, 0])
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
+                               np.asarray(full), rtol=5e-4, atol=5e-4)
+
+
+def test_self_speculative_draft_runs_prefix_layers():
+    params = mc.init_params(CFG, jax.random.PRNGKey(0))
+    toks = jnp.asarray([[7, 3, 11]])
+    c = mc.init_cache(CFG, 1, 32, jnp.float32)
+    lg_full, _ = mc.forward(params, CFG, toks, c)
+    c = mc.init_cache(CFG, 1, 32, jnp.float32)
+    lg_draft, _ = mc.forward(params, CFG, toks, c, num_layers=2)
+    assert lg_draft.shape == lg_full.shape
+    assert not np.allclose(np.asarray(lg_draft), np.asarray(lg_full))
