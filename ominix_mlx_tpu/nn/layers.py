@@ -180,10 +180,17 @@ def conv2d(params: dict, x: jax.Array, stride=(1, 1), padding=0,
 
 def conv_transpose1d(params: dict, x: jax.Array, stride: int = 1,
                      padding: int = 0) -> jax.Array:
-    """x: [B, T, C_in]; params["w"]: [C_out, K, C_in] (MLX ConvTranspose1d)."""
+    """x: [B, T, C_in]; params["w"]: [C_out, K, C_in] (MLX ConvTranspose1d).
+
+    ``padding`` uses torch/MLX semantics: out = (T-1)*stride + K - 2*padding.
+    lax.conv_transpose's explicit pads count output positions, so torch
+    padding p maps to lo = hi = K - 1 - p.
+    """
     w = params["w"]
+    K = w.shape[1]
+    lo = K - 1 - padding
     y = jax.lax.conv_transpose(
-        x, w, strides=(stride,), padding=[(padding, padding)],
+        x, w, strides=(stride,), padding=[(lo, lo)],
         dimension_numbers=("NHC", "OHI", "NHC"),
         transpose_kernel=True)
     if params.get("b") is not None:

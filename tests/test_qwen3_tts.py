@@ -1,0 +1,74 @@
+"""Qwen3-TTS tests: causal conv properties, SnakeBeta, codec decode
+upsampling, dual-track frame generation end-to-end (tiny random weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ominix_mlx_tpu.models import qwen3_tts as tts
+from ominix_mlx_tpu.models.base import TransformerConfig
+
+TINY = tts.TalkerConfig(
+    transformer=TransformerConfig(
+        vocab_size=1, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=96),
+    codec_vocab_size=32, codec_head_size=40, num_code_groups=16,
+    text_vocab_size=128, text_embed_dim=48, cp_hidden=32, cp_layers=1,
+    cp_heads=2, codec_eos_id=33, codec_bos_id=35, tts_pad_token_id=100)
+
+
+def test_causal_conv_is_causal():
+    key = jax.random.PRNGKey(0)
+    p = {"w": jax.random.normal(key, (4, 5, 4)), "b": jnp.zeros(4)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 4))
+    y1 = tts.causal_conv1d(p, x)
+    x2 = x.at[:, 8:].multiply(100.0)   # change the future
+    y2 = tts.causal_conv1d(p, x2)
+    assert y1.shape == (1, 12, 4)
+    np.testing.assert_allclose(np.asarray(y1[:, :8]), np.asarray(y2[:, :8]),
+                               rtol=1e-5)
+
+
+def test_snake_beta_formula():
+    p = {"alpha_exp": jnp.full((1, 1, 3), 2.0),
+         "beta_exp": jnp.full((1, 1, 3), 4.0)}
+    x = jnp.asarray([[[0.5, -1.0, 0.0]]])
+    got = np.asarray(tts.snake_beta(p, x))
+    want = np.asarray(x) + np.sin(2.0 * np.asarray(x)) ** 2 / (4.0 + 1e-9)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_conv_transpose_upsamples():
+    p = {"w": jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4)) * 0.1,
+         "b": jnp.zeros(4)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 4))
+    y = tts.causal_conv_transpose1d(p, x, stride=2)
+    assert y.shape == (1, 12, 4)
+
+
+def test_codec_decode_shapes():
+    dec, cfg = tts.init_codec(jax.random.PRNGKey(0), frame_dim=32,
+                              up_strides=(2,), dec_strides=(2, 2))
+    codes = jnp.asarray(np.random.default_rng(0).integers(0, 64, (5, 16)),
+                        jnp.int32)
+    wav = tts.codec_decode(dec, codes, cfg)
+    # upsample factor: 2 (convnext) * 2 * 2 (decoder blocks) = 8
+    assert wav.shape == (5 * 8,)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_dual_track_generation():
+    params = tts.init_params(TINY, jax.random.PRNGKey(0))
+    synth = tts.Synthesizer(params, TINY)
+    res = synth.synthesize_codes(text_tokens=[5, 9, 3],
+                                 codec_prefix=[36, 37, 38, 39],
+                                 max_frames=4)
+    assert res.codes.shape[1] == 16
+    assert 0 <= res.frames <= 4
+    if res.frames:
+        assert (res.codes[:, 1:] < TINY.codec_vocab_size).all()
+        # deterministic
+        res2 = tts.Synthesizer(params, TINY).synthesize_codes(
+            [5, 9, 3], [36, 37, 38, 39], max_frames=4)
+        np.testing.assert_array_equal(res.codes, res2.codes)
