@@ -40,8 +40,11 @@ def main():
     cache_len = 1024
 
     params = base.init_params(QWEN3_4B, jax.random.PRNGKey(0), jnp.bfloat16)
-    engine = Engine(lambda p, t, c: base.forward(p, QWEN3_4B, t, c), params,
-                    SamplerConfig())
+    engine = Engine(
+        lambda p, t, c: base.forward(p, QWEN3_4B, t, c), params,
+        SamplerConfig(),
+        prefill_forward_fn=lambda p, t, c: base.forward(
+            p, QWEN3_4B, t, c, fresh_prefill=True))
     prompt = jnp.ones((1, prompt_len), jnp.int32)
 
     def run():

@@ -69,17 +69,24 @@ class Engine:
     ``Module<I>``.
     """
 
-    def __init__(self, forward_fn: Callable, params, sampler: SamplerConfig = SamplerConfig()):
+    def __init__(self, forward_fn: Callable, params,
+                 sampler: SamplerConfig = SamplerConfig(),
+                 prefill_forward_fn: Optional[Callable] = None):
+        """prefill_forward_fn: variant used for the FIRST prefill on an empty
+        cache (e.g. base.forward with fresh_prefill=True to enable the Pallas
+        flash-attention path). Defaults to forward_fn."""
         self.forward_fn = forward_fn
+        self.prefill_forward_fn = prefill_forward_fn or forward_fn
         self.params = params
         self.sampler = sampler
-        self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(2,),
+                                    static_argnames=("fresh",))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,),
                                    static_argnames=("sampler",))
 
     # --- jitted bodies ---------------------------------------------------
 
-    def _prefill_impl(self, params, tokens, cache, real_len):
+    def _prefill_impl(self, params, tokens, cache, real_len, fresh=False):
         """tokens: [B, T_bucket]; real_len: scalar actual prompt length.
 
         Padded tail positions write garbage KV beyond ``offset + real_len``;
@@ -87,7 +94,8 @@ class Engine:
         those slots and the causal mask never exposes them.
         """
         start = cache.offset
-        logits, cache = self.forward_fn(params, tokens, cache)
+        fn = self.prefill_forward_fn if fresh else self.forward_fn
+        logits, cache = fn(params, tokens, cache)
         cache = ModelCache(layers=cache.layers, offset=start + real_len)
         B = tokens.shape[0]
         last = jax.vmap(lambda lg: jax.lax.dynamic_index_in_dim(
@@ -104,8 +112,13 @@ class Engine:
 
     # --- public API --------------------------------------------------------
 
-    def prefill(self, tokens: jax.Array, cache: ModelCache):
-        """tokens: [B, T] -> (last_logits [B, V], cache)."""
+    def prefill(self, tokens: jax.Array, cache: ModelCache,
+                fresh: bool = True):
+        """tokens: [B, T] -> (last_logits [B, V], cache).
+
+        fresh=True (default) asserts the cache is empty, routing through
+        prefill_forward_fn (flash-attention path). Pass False when resuming
+        a non-empty cache (multi-turn chunked prefill)."""
         B, T = tokens.shape
         cap = _kv_capacity(cache)
         if cap is not None and T > cap:
@@ -121,7 +134,7 @@ class Engine:
             bucket = min(bucket_length(T), cap)
         padded = jnp.pad(tokens, ((0, 0), (0, bucket - T)))
         return self._prefill_jit(self.params, padded, cache,
-                                 jnp.int32(T))
+                                 jnp.int32(T), fresh=fresh)
 
     def generate(self, prompt: jax.Array, cache: ModelCache,
                  max_tokens: int = 256,

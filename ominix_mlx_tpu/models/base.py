@@ -139,7 +139,8 @@ def init_params(cfg: TransformerConfig, key, dtype=jnp.bfloat16) -> dict:
 
 def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
                     cache: KVCache, offset: jax.Array,
-                    mask: jax.Array, rope: RopeConfig):
+                    mask: jax.Array, rope: RopeConfig,
+                    fresh_prefill: bool = False):
     """GQA attention with optional QK-RMSNorm and partial RoPE.
 
     x: [B, T, D_model]. Returns ([B, T, D_model], new KVCache).
@@ -170,7 +171,14 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
     q = apply_rope(q, positions, rope)
     k = apply_rope(k, positions, rope)
     cache = cache.update(k, v, offset)
-    out = sdpa(q, cache.k, cache.v, scale=hd ** -0.5, mask=mask)
+    from ominix_mlx_tpu.ops import flash_attention as fa
+    if fresh_prefill and T > 1 and fa.use_flash(T, hd) \
+            and cfg.sliding_window is None:
+        # first prefill: queries attend exactly the fresh tokens — use the
+        # Pallas flash kernel instead of materializing the [T, S] mask
+        out = fa.flash_prefill(q, k, v, scale=hd ** -0.5)
+    else:
+        out = sdpa(q, cache.k, cache.v, scale=hd ** -0.5, mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.num_heads * hd)
     if "g_proj" in lp:  # gated attention output (Qwen3-Next attention.rs:24)
         out = out * jax.nn.sigmoid(linear(lp["g_proj"], x))
@@ -188,7 +196,7 @@ def mlp_block(lp: dict, cfg: TransformerConfig, x: jax.Array) -> jax.Array:
 
 
 def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
-                  rope):
+                  rope, fresh_prefill: bool = False):
     h_in = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
     if "linear_attn" in lp:                # GatedDeltaNet (Qwen3-Next hybrid)
         from ominix_mlx_tpu.models import deltanet
@@ -197,7 +205,8 @@ def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
         from ominix_mlx_tpu.models import mla
         h, cache = mla.attention_block(lp, cfg.mla, h_in, cache, offset, mask)
     else:
-        h, cache = attention_block(lp, cfg, h_in, cache, offset, mask, rope)
+        h, cache = attention_block(lp, cfg, h_in, cache, offset, mask, rope,
+                                   fresh_prefill)
     if "post_self_attn_layernorm" in lp:   # GLM4 sandwich norm
         h = rms_norm(lp["post_self_attn_layernorm"], h, cfg.rms_norm_eps)
     x = x + h
@@ -213,14 +222,17 @@ def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
 
 
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
-            cache: ModelCache):
-    """tokens: [B, T] -> (logits [B, T, V], new ModelCache)."""
+            cache: ModelCache, fresh_prefill: bool = False):
+    """tokens: [B, T] -> (logits [B, T, V], new ModelCache).
+
+    fresh_prefill=True (static) asserts the cache is empty, enabling the
+    Pallas flash-attention prefill path."""
     return forward_embeds(params, cfg, embedding(params["embed"], tokens),
-                          cache)
+                          cache, fresh_prefill)
 
 
 def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
-                   cache: ModelCache):
+                   cache: ModelCache, fresh_prefill: bool = False):
     """Like ``forward`` but takes input embeddings [B, T, D] directly —
     the splice point for multimodal prompts (audio features, image patches;
     reference: deepseek-ocr2 prepare_inputs lib.rs:522, qwen3-asr)."""
@@ -231,7 +243,8 @@ def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
             if kv_caps else None)
     new_layers = []
     for lp, lc in zip(params["layers"], cache.layers):
-        x, lc = decoder_layer(lp, cfg, x, lc, cache.offset, mask, rope)
+        x, lc = decoder_layer(lp, cfg, x, lc, cache.offset, mask, rope,
+                              fresh_prefill)
         new_layers.append(lc)
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:
