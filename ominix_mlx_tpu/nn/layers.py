@@ -168,6 +168,8 @@ def conv2d(params: dict, x: jax.Array, stride=(1, 1), padding=0,
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    elif isinstance(padding, tuple) and all(isinstance(p, int) for p in padding):
+        padding = [(padding[0], padding[0]), (padding[1], padding[1])]
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         feature_group_count=groups,
