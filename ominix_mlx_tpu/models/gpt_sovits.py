@@ -1,0 +1,164 @@
+"""GPT-SoVITS v2 voice cloning — inference core.
+
+TPU-native counterpart of reference crate gpt-sovits-mlx (28.9k LoC, the
+largest crate). Round-1 scope (the compute path):
+  - T2S: AR semantic-token decoder over [phoneme embeds + BERT features +
+    reference semantics] with top-k/top-p/repetition sampling until
+    EOS=1024 (models/t2s.rs:425-559, sampling.rs) — built on the shared
+    Engine/KV-cache machinery
+  - reference-audio semantic encoding hook (HuBERT in the reference,
+    models/hubert.rs) and GPU-STFT reference mel (audio/stft_gpu.rs ->
+    audio/dsp.stft)
+  - SoVITS waveform decoding via a HiFiGAN-class generator conditioned on
+    semantic embeddings (the reference's full VITS posterior/flow stack,
+    models/vits.rs 2891 LoC, lands in round 2 — weight-level parity needs
+    checkpoints to verify against)
+  - the zh/en text frontend (jieba/g2p/tone-sandhi, src/text/ ~6.5k LoC) is
+    host-side NLP: English letter-level G2P fallback included; full
+    Chinese frontend is round-2 work (port-by-behavior with golden tests)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ominix_mlx_tpu.core.cache import ModelCache
+from ominix_mlx_tpu.core.sampling import SamplerConfig, sample
+from ominix_mlx_tpu.models import base, hifigan
+from ominix_mlx_tpu.models.base import TransformerConfig
+from ominix_mlx_tpu.nn.layers import embedding, init_linear, linear
+
+EOS_SEMANTIC = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class T2SConfig:
+    phoneme_vocab: int = 512
+    semantic_vocab: int = 1025          # 1024 codes + EOS
+    bert_dim: int = 1024
+    transformer: TransformerConfig = TransformerConfig(
+        vocab_size=1025, hidden_size=512, num_layers=24, num_heads=16,
+        num_kv_heads=16, head_dim=32, intermediate_size=2048)
+
+
+def t2s_prefill_embeds(params: dict, tcfg: T2SConfig,
+                       phonemes: jax.Array, bert: Optional[jax.Array],
+                       ref_semantic: jax.Array) -> jax.Array:
+    """[phoneme+bert embeddings, reference semantic embeddings]
+    (reference: t2s.rs prompt assembly)."""
+    ph = embedding(params["phoneme_embed"], phonemes[None])
+    if bert is not None:
+        ph = ph + linear(params["bert_proj"], bert[None])
+    sem = embedding(params["semantic_embed"], ref_semantic[None])
+    return jnp.concatenate([ph, sem.astype(ph.dtype)], 1)
+
+
+def t2s_generate(params: dict, tcfg: T2SConfig, phonemes: jax.Array,
+                 ref_semantic: jax.Array, bert: Optional[jax.Array] = None,
+                 max_tokens: int = 600,
+                 sampler: SamplerConfig = SamplerConfig(
+                     temperature=1.0, top_k=15, top_p=1.0,
+                     repetition_penalty=1.35),
+                 key=None) -> List[int]:
+    """AR semantic-code generation until EOS (t2s.rs:425-559)."""
+    cfg = tcfg.transformer
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    embeds = t2s_prefill_embeds(params, tcfg, phonemes, bert, ref_semantic)
+    T = embeds.shape[1]
+    cache = base.init_cache(cfg, 1, T + max_tokens + 8, embeds.dtype)
+    fwd = jax.jit(base.forward_embeds, static_argnames=("cfg",))
+    logits, cache = fwd(params, cfg, embeds, cache)
+    recent = jnp.full((1, sampler.repetition_context), -1, jnp.int32)
+
+    step = jax.jit(
+        lambda p, c, t, k, r: _t2s_step(p, cfg, c, t, k, r, sampler),
+        donate_argnums=(1,))
+    key, sub = jax.random.split(key)
+    tok = sample(logits[:, -1], sub, sampler, recent)
+    out = []
+    for _ in range(max_tokens):
+        t = int(tok[0])
+        if t >= EOS_SEMANTIC:
+            break
+        out.append(t)
+        key, sub = jax.random.split(key)
+        tok, cache, recent = step(params, cache, tok, sub, recent)
+    return out
+
+
+def _t2s_step(params, cfg, cache, tok, key, recent, sampler):
+    emb = embedding(params["semantic_embed"], tok[:, None])
+    logits, cache = base.forward_embeds(params, cfg, emb, cache)
+    recent = jnp.roll(recent, -1, axis=-1).at[:, -1].set(tok)
+    nxt = sample(logits[:, -1], key, sampler, recent)
+    return nxt, cache, recent
+
+
+def init_t2s(tcfg: T2SConfig, key, dtype=jnp.float32) -> dict:
+    cfg = tcfg.transformer
+    ks = jax.random.split(key, 4)
+    params = base.init_params(cfg, ks[0], dtype)
+    params.pop("embed")
+    params["lm_head"] = init_linear(ks[1], cfg.hidden_size,
+                                    tcfg.semantic_vocab, False, dtype)
+    params["phoneme_embed"] = jax.random.normal(
+        ks[2], (tcfg.phoneme_vocab, cfg.hidden_size), dtype) * 0.02
+    params["semantic_embed"] = jax.random.normal(
+        ks[3], (tcfg.semantic_vocab, cfg.hidden_size), dtype) * 0.02
+    params["bert_proj"] = init_linear(ks[1], tcfg.bert_dim, cfg.hidden_size,
+                                      False, dtype)
+    return params
+
+
+# ----------------------------------------------------- english g2p ----------
+
+_EN_PHONES = {c: i + 2 for i, c in enumerate(
+    "abcdefghijklmnopqrstuvwxyz ',.?!")}
+
+
+def english_g2p(text: str) -> List[int]:
+    """Letter-level fallback G2P (the reference's full g2p-en/g2pw frontend
+    is round-2; this keeps the pipeline runnable end-to-end)."""
+    return [_EN_PHONES.get(c, 1) for c in text.lower()]
+
+
+# ------------------------------------------------------- voice cloner -------
+
+@dataclasses.dataclass
+class VoiceCloner:
+    """Facade mirroring gpt-sovits-mlx VoiceCloner (voice_clone.rs:269-780):
+    set_reference_audio -> synthesize(text)."""
+
+    t2s_params: dict
+    t2s_cfg: T2SConfig
+    vocoder_params: Optional[dict] = None
+    vocoder_cfg: Optional[hifigan.HiFiGANConfig] = None
+    semantic_frame_embed: Optional[jax.Array] = None   # [vocab, mel-ish dim]
+    ref_semantic: Optional[np.ndarray] = None
+
+    def set_reference_semantics(self, codes: np.ndarray):
+        """Reference audio -> semantic codes (HuBERT in the reference;
+        accepts precomputed codes here)."""
+        self.ref_semantic = np.asarray(codes, np.int32)
+
+    def synthesize_semantics(self, phonemes: List[int], key=None,
+                             max_tokens: int = 200) -> List[int]:
+        assert self.ref_semantic is not None, "call set_reference_semantics"
+        return t2s_generate(self.t2s_params, self.t2s_cfg,
+                            jnp.asarray(phonemes, jnp.int32),
+                            jnp.asarray(self.ref_semantic), key=key,
+                            max_tokens=max_tokens)
+
+    def synthesize(self, phonemes: List[int], key=None) -> np.ndarray:
+        sem = self.synthesize_semantics(phonemes, key)
+        if not sem or self.vocoder_params is None:
+            return np.zeros((0,), np.float32)
+        feats = self.semantic_frame_embed[jnp.asarray(sem)][None]
+        wav = hifigan.vocode(self.vocoder_params, self.vocoder_cfg, feats)
+        return np.asarray(wav[0], np.float32)

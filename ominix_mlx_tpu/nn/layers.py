@@ -191,9 +191,12 @@ def conv_transpose1d(params: dict, x: jax.Array, stride: int = 1,
     w = params["w"]
     K = w.shape[1]
     lo = K - 1 - padding
+    # with transpose_kernel=True the rhs spec names the FORWARD conv's dims:
+    # its I(nput) = our C_out, its O(utput) = our C_in -> "IHO" for our
+    # [C_out, K, C_in] storage
     y = jax.lax.conv_transpose(
         x, w, strides=(stride,), padding=[(lo, lo)],
-        dimension_numbers=("NHC", "OHI", "NHC"),
+        dimension_numbers=("NHC", "IHO", "NHC"),
         transpose_kernel=True)
     if params.get("b") is not None:
         y = y + params["b"]

@@ -1,0 +1,103 @@
+"""Smoke + property tests for the remaining model families: funasr-nano,
+HiFiGAN, step-audio2 (flow TTS + tool parsing), GPT-SoVITS T2S,
+DeepSeek-OCR2."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ominix_mlx_tpu.models import (deepseek_ocr2, funasr_nano, gpt_sovits,
+                                   hifigan, moe, paraformer, step_audio2, vit)
+from ominix_mlx_tpu.models import base, qwen3_moe
+from ominix_mlx_tpu.models.base import TransformerConfig
+
+LM = TransformerConfig(
+    vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+    num_kv_heads=1, head_dim=16, intermediate_size=48,
+    tie_word_embeddings=True)
+
+
+def test_funasr_nano_pipeline():
+    enc_cfg = paraformer.ParaformerConfig(
+        n_mels=8, lfr_m=2, encoder_dim=16, encoder_layers=2, encoder_heads=2,
+        encoder_ffn_dim=24, sanm_kernel_size=3, decoder_layers=1,
+        decoder_dim=16, decoder_heads=2, decoder_ffn_dim=24, vocab_size=32)
+    acfg = funasr_nano.AdaptorConfig(in_dim=16, hidden=24, out_dim=32,
+                                     layers=1, heads=2, downsample=2)
+    m = funasr_nano.FunASRNano(
+        enc_params=paraformer.init_params(enc_cfg, jax.random.PRNGKey(0)),
+        enc_cfg=enc_cfg,
+        adaptor_params=funasr_nano.init_adaptor(acfg, jax.random.PRNGKey(1)),
+        adaptor_cfg=acfg,
+        lm_params=base.init_params(LM, jax.random.PRNGKey(2), jnp.float32),
+        lm_cfg=LM)
+    feats = jax.random.normal(jax.random.PRNGKey(3), (1, 12, 16))
+    emb = m.encode(feats)
+    assert emb.shape == (1, 6, 32)
+    toks = m.transcribe_tokens(feats, [1, 2], [3], max_tokens=4)
+    assert len(toks) == 4
+
+
+def test_hifigan_upsample_factor():
+    cfg = hifigan.HiFiGANConfig(in_dim=8, upsample_initial_channel=16,
+                                upsample_rates=(2, 2),
+                                upsample_kernel_sizes=(4, 4),
+                                resblock_kernel_sizes=(3,),
+                                resblock_dilations=((1, 2),))
+    p = hifigan.init_params(cfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 8))
+    wav = hifigan.vocode(p, cfg, mel)
+    assert wav.shape == (1, 40)
+    assert float(jnp.abs(wav).max()) <= 1.0
+
+
+def test_step_audio2_tool_parsing_and_flow():
+    text = 'say <tool_call>{"name": "web", "arguments": {"q": "x"}}</tool_call> done'
+    calls, clean = step_audio2.parse_tool_calls(text)
+    assert calls == [{"name": "web", "arguments": {"q": "x"}}]
+    assert "tool_call" not in clean
+
+    fcfg = step_audio2.FlowConfig(token_vocab=16, token_dim=8, mel_dim=6,
+                                  hidden=16, layers=1, num_steps=3)
+    p = step_audio2.init_flow(fcfg, jax.random.PRNGKey(0))
+    mel = step_audio2.flow_decode(p, fcfg, jnp.asarray([[1, 2, 3, 4]]))
+    assert mel.shape == (1, 4, 6)
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_t2s_generation_and_eos():
+    tcfg = gpt_sovits.T2SConfig(
+        phoneme_vocab=40, semantic_vocab=1025, bert_dim=16,
+        transformer=TransformerConfig(
+            vocab_size=1025, hidden_size=32, num_layers=1, num_heads=2,
+            num_kv_heads=2, head_dim=16, intermediate_size=48))
+    params = gpt_sovits.init_t2s(tcfg, jax.random.PRNGKey(0))
+    vc = gpt_sovits.VoiceCloner(params, tcfg)
+    vc.set_reference_semantics(np.asarray([5, 9, 2]))
+    phones = gpt_sovits.english_g2p("hi there")
+    sem = vc.synthesize_semantics(phones, key=jax.random.PRNGKey(1),
+                                  max_tokens=8)
+    assert len(sem) <= 8 and all(0 <= s < 1024 for s in sem)
+
+
+def test_deepseek_ocr2_splice():
+    vcfg = vit.ViTConfig(image_size=28, patch_size=14, hidden_size=16,
+                         num_layers=1, num_heads=2, mlp_dim=24,
+                         has_cls_token=False)
+    lm_cfg = base.TransformerConfig(
+        vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+        num_kv_heads=1, head_dim=16, intermediate_size=48,
+        tie_word_embeddings=True,
+        moe=moe.MoEConfig(num_experts=2, top_k=1, moe_intermediate_size=16))
+    lm_params = qwen3_moe.init_params(lm_cfg, jax.random.PRNGKey(0),
+                                      jnp.float32)
+    m = deepseek_ocr2.DeepSeekOCR2(
+        vision_params=vit.init_params(vcfg, jax.random.PRNGKey(1)),
+        vision_cfg=vcfg,
+        projector={"fc1": {"w": jax.random.normal(jax.random.PRNGKey(2), (24, 16)) * 0.1},
+                   "fc2": {"w": jax.random.normal(jax.random.PRNGKey(3), (32, 24)) * 0.1}},
+        lm_params=lm_params, lm_cfg=lm_cfg)
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 28, 28, 3)),
+                      jnp.float32)
+    toks = m.ocr_tokens(img, [1, 2, 3], image_token_pos=1, max_tokens=4)
+    assert len(toks) == 4 and all(0 <= t < 64 for t in toks)
