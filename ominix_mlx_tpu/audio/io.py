@@ -46,9 +46,10 @@ def save_wav(path: str, samples: np.ndarray, rate: int):
 
 
 def resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
-    """Linear-interpolation resample (reference: audio.rs:285)."""
-    if src_rate == dst_rate:
-        return samples
-    n_out = int(round(len(samples) * dst_rate / src_rate))
-    x_out = np.arange(n_out) * (src_rate / dst_rate)
-    return np.interp(x_out, np.arange(len(samples)), samples).astype(np.float32)
+    """Band-limited resample via the native windowed-sinc kernel
+    (ominix_mlx_tpu/native/resample.cc) — a quality upgrade over the
+    reference's linear interpolation (audio.rs:285); numpy linear fallback
+    when no C++ toolchain is present."""
+    from ominix_mlx_tpu import native
+
+    return native.resample_sinc(samples, src_rate, dst_rate)
