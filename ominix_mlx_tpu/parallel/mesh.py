@@ -91,6 +91,17 @@ def _prune(spec: dict, actual: dict) -> dict:
     return out
 
 
+def moe_param_specs(lp_moe: dict) -> dict:
+    """Expert-parallel specs: shard the expert axis of the stacked weights
+    over "tp" (serving as the EP axis). In the dense all-expert prefill
+    path the one-hot combine contracts the expert axis, so GSPMD lowers it
+    to per-device expert compute + one psum — textbook EP without any
+    manual dispatch."""
+    specs = jax.tree.map(lambda _: P(None), lp_moe)
+    specs["experts"] = {k: P("tp", None, None) for k in lp_moe["experts"]}
+    return specs
+
+
 def cache_specs(cache) -> object:
     """PartitionSpec tree for a ModelCache: shard KV heads on tp, batch on dp."""
     from ominix_mlx_tpu.core.cache import KVCache, ModelCache, RotatingKVCache

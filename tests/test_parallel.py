@@ -1,0 +1,59 @@
+"""Sharding layer tests on the virtual 8-device CPU mesh: TP-sharded
+forward equals the unsharded forward; EP MoE equals single-device MoE;
+sharded training step runs (SURVEY.md §7 step 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ominix_mlx_tpu.models import base
+from ominix_mlx_tpu.models.base import TransformerConfig
+from ominix_mlx_tpu.models.moe import MoEConfig, init_moe_params, moe_block
+from ominix_mlx_tpu.parallel import mesh as pmesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+CFG = TransformerConfig(
+    vocab_size=128, hidden_size=64, num_layers=2, num_heads=8,
+    num_kv_heads=4, head_dim=16, intermediate_size=128,
+    use_qk_norm=True, tie_word_embeddings=True)
+
+
+def test_tp_sharded_forward_matches_unsharded():
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    tokens = jnp.asarray([[5, 17, 99, 3]])
+    cache = base.init_cache(CFG, 1, 16, jnp.float32)
+    want, _ = base.forward(params, CFG, tokens, cache)
+
+    m = pmesh.make_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    sharded = pmesh.shard_params(CFG, params, m)
+    cache2 = base.init_cache(CFG, 1, 16, jnp.float32)
+    cache2 = pmesh.shard_tree(cache2, pmesh.cache_specs(cache2), m)
+    with jax.set_mesh(m):
+        got, _ = jax.jit(lambda p, t, c: base.forward(p, CFG, t, c))(
+            sharded, tokens, cache2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ep_moe_matches_unsharded():
+    mcfg = MoEConfig(num_experts=8, top_k=2, norm_topk_prob=True,
+                     moe_intermediate_size=32)
+    lp = init_moe_params(jax.random.PRNGKey(1), 64, mcfg, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 64))
+    want = moe_block(lp, mcfg, x)
+
+    m = pmesh.make_mesh(dp=2, tp=4, devices=jax.devices()[:8])
+    lps = pmesh.shard_tree(lp, pmesh.moe_param_specs(lp), m)
+    with jax.set_mesh(m):
+        got = jax.jit(lambda lp, x: moe_block(lp, mcfg, x))(lps, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
