@@ -195,6 +195,44 @@ class Engine:
             stats.generated_tokens = n
             stats.decode_time_s = time.perf_counter() - td0
 
+    def generate_batch(self, prompts: jax.Array, cache: ModelCache,
+                       max_tokens: int = 256, stop_tokens: tuple = (),
+                       pad_id: int = 0,
+                       key: Optional[jax.Array] = None):
+        """Batched decode with per-sequence finish flags (reference:
+        minicpm-sala-mlx/examples/batch_generate.rs:62-84).
+
+        prompts: [B, T] same-length (left-pad upstream). Returns
+        (tokens [B, max_tokens] with pad_id after each EOS, lengths [B]).
+        """
+        B = prompts.shape[0]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        logits, cache = self.prefill(prompts, cache)
+        key, sub = jax.random.split(key)
+        tok = sample(logits, sub, self.sampler)
+        stops = jnp.asarray(list(stop_tokens) or [-1], jnp.int32)
+        sampler = self.sampler
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, cache, tok, key):
+            def step(carry, _):
+                cache, tok, done, key = carry
+                key, sub = jax.random.split(key)
+                lg, cache = self.forward_fn(params, tok[:, None], cache)
+                nxt = sample(lg[:, -1], sub, sampler)
+                done = done | jnp.any(tok[:, None] == stops[None], -1)
+                out = jnp.where(done, pad_id, tok)
+                nxt = jnp.where(done, tok, nxt)
+                return (cache, nxt, done, key), (out, done)
+
+            (_, _, _, _), (toks, dones) = jax.lax.scan(
+                step, (cache, tok, jnp.zeros((B,), bool), key),
+                length=max_tokens)
+            return toks.T, (~dones.T).sum(-1)
+
+        return run(self.params, cache, tok, key)
+
     def generate_scan(self, prompt: jax.Array, cache: ModelCache,
                       max_tokens: int, key: Optional[jax.Array] = None):
         """Fixed-length generation with the decode loop inside lax.scan.

@@ -159,6 +159,57 @@ class Server:
                       "total_tokens": len(tokens) + result["n"]},
         }
 
+    def audio_speech(self, body: dict) -> bytes:
+        """POST /v1/audio/speech -> WAV bytes. The model must expose
+        synthesize(text, voice=None) -> (samples float32, rate)
+        (reference contract: README.md:472-490)."""
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+
+        name = body.get("model") or next(
+            (n for n, m in self.models.items() if hasattr(m, "synthesize")),
+            "")
+        if name not in self.models or not hasattr(self.models[name],
+                                                  "synthesize"):
+            raise KeyError(f"model {name!r} has no TTS capability")
+        m = self.models[name]
+        samples, rate = m.synthesize(body["input"], voice=body.get("voice"))
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            from ominix_mlx_tpu import native
+            w.writeframes(native.float_to_pcm16(
+                np.asarray(samples, np.float32)).tobytes())
+        return buf.getvalue()
+
+    def audio_transcription(self, wav_bytes: bytes, model_name=None) -> dict:
+        """POST /v1/audio/transcriptions -> {"text": ...}. The model must
+        expose transcribe(samples, rate) -> str."""
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+
+        if model_name is None:
+            model_name = next((n for n, m in self.models.items()
+                               if hasattr(m, "transcribe")), None)
+        if model_name is None or model_name not in self.models:
+            raise KeyError("no ASR-capable model loaded")
+        m = self.models[model_name]
+        with wave_mod.open(io.BytesIO(wav_bytes), "rb") as w:
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+            ch = w.getnchannels()
+        from ominix_mlx_tpu import native
+        samples = native.pcm16_to_float(np.frombuffer(raw, np.int16))
+        if ch > 1:
+            samples = samples.reshape(-1, ch).mean(-1)
+        return {"text": m.transcribe(samples, rate)}
+
     def list_models(self) -> dict:
         return {"object": "list", "data": [
             {"id": name, "object": "model", "owned_by": "ominix",
@@ -196,10 +247,32 @@ class Server:
 
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                if self.path == "/v1/audio/transcriptions":
+                    try:
+                        out = server.audio_transcription(raw)
+                        return self._json(200, out)
+                    except KeyError as e:
+                        return self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        return self._json(500, {"error": str(e)})
                 try:
-                    body = json.loads(self.rfile.read(length) or b"{}")
+                    body = json.loads(raw or b"{}")
                 except json.JSONDecodeError:
                     return self._json(400, {"error": "invalid JSON"})
+                if self.path == "/v1/audio/speech":
+                    try:
+                        wav = server.audio_speech(body)
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Content-Length", str(len(wav)))
+                        self.end_headers()
+                        self.wfile.write(wav)
+                    except KeyError as e:
+                        self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        self._json(500, {"error": str(e)})
+                    return
                 if self.path != "/v1/chat/completions":
                     return self._json(404, {"error": "not found"})
                 try:

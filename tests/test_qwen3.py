@@ -108,3 +108,21 @@ def test_engine_prefill_bucketing_consistent():
     full, _ = base.forward(params, TINY, prompt, cache2)
     np.testing.assert_allclose(np.asarray(last), np.asarray(full[:, -1]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_generate_batch_per_sequence_finish():
+    """Batched decode: each sequence stops at its own EOS; output padded."""
+    params = tiny_model()
+    engine = Engine(lambda p, t, c: base.forward(p, TINY, t, c), params)
+    prompts = jnp.asarray([[1, 2, 3], [9, 8, 7]])
+    cache = base.init_cache(TINY, 2, 64, jnp.float32)
+    toks, lengths = engine.generate_batch(prompts, cache, max_tokens=10,
+                                          pad_id=-1)
+    assert toks.shape == (2, 10)
+    # must match single-sequence greedy for each row
+    for b in range(2):
+        c = base.init_cache(TINY, 1, 64, jnp.float32)
+        want = list(engine.generate(prompts[b], c, max_tokens=10))
+        got = [int(t) for t in toks[b] if int(t) != -1][: len(want)]
+        assert got == want[: len(got)]
+        assert len(got) == 10  # no EOS in tiny model -> all 10 real

@@ -109,3 +109,40 @@ def test_unknown_model_404(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+class FakeTTS:
+    dir = "<memory>"
+    tokenizer = FakeTokenizer()
+
+    def synthesize(self, text, voice=None):
+        import numpy as np
+        t = np.arange(1600) / 16000.0
+        return np.sin(2 * np.pi * 440 * t).astype(np.float32), 16000
+
+
+class FakeASR:
+    dir = "<memory>"
+    tokenizer = FakeTokenizer()
+
+    def transcribe(self, samples, rate):
+        return f"heard {len(samples)} samples at {rate}Hz"
+
+
+def test_audio_endpoints(server):
+    import io
+    import wave
+
+    server.add_model("tts", FakeTTS())
+    server.add_model("asr", FakeASR())
+    r = _post("/v1/audio/speech", {"model": "tts", "input": "hello"},
+              raw=True)
+    assert r.headers["Content-Type"] == "audio/wav"
+    data = r.read()
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getframerate() == 16000 and w.getnframes() == 1600
+
+    req = urllib.request.Request(
+        "http://127.0.0.1:18731/v1/audio/transcriptions", data)
+    out = json.loads(urllib.request.urlopen(req).read())
+    assert out["text"].startswith("heard 1600 samples")
