@@ -93,3 +93,17 @@ def sample(logits: jax.Array, key: Optional[jax.Array],
     logits = apply_min_p(logits, cfg.min_p)
     assert key is not None, "stochastic sampling requires a PRNG key"
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def apply_eos_steering(logits: jax.Array, eos_id: int, step: jax.Array,
+                       min_steps: int, max_steps: int,
+                       boost: float = 8.0) -> jax.Array:
+    """EOS suppression/steering for AR audio decoders (reference:
+    qwen3-tts-mlx/src/sampling.rs + generate.rs:22): forbid EOS before
+    min_steps, increasingly boost it approaching max_steps."""
+    logits = logits.astype(jnp.float32)
+    suppress = step < min_steps
+    ramp = jnp.clip((step - 0.8 * max_steps) / (0.2 * max_steps + 1e-6),
+                    0.0, 1.0) * boost
+    delta = jnp.where(suppress, -jnp.inf, ramp)
+    return logits.at[..., eos_id].add(delta)

@@ -77,3 +77,14 @@ def test_wav_roundtrip_and_resample():
         assert rate2 == 8000 and abs(len(half) - 4000) <= 1
     r = resample(sig, 16000, 24000)
     assert abs(len(r) - 12000) <= 1
+
+
+def test_wsola_time_stretch_lengths():
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    fast = dsp.wsola_time_stretch(x, sr, 1.5)
+    slow = dsp.wsola_time_stretch(x, sr, 0.75)
+    assert 0.55 < len(fast) / len(x) < 0.8      # ~1/1.5
+    assert 1.15 < len(slow) / len(x) < 1.5      # ~1/0.75
+    assert np.abs(fast).max() <= 1.5

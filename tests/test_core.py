@@ -154,3 +154,12 @@ def test_repetition_penalty_shifts_distribution():
     recent = jnp.asarray([[0, -1, -1, -1]], jnp.int32)
     cfg = SamplerConfig(repetition_penalty=5.0)
     assert int(sample(logits, None, cfg, recent)[0]) == 1
+
+
+def test_eos_steering():
+    from ominix_mlx_tpu.core.sampling import apply_eos_steering
+    logits = jnp.zeros((1, 8))
+    early = apply_eos_steering(logits, 3, jnp.int32(0), 5, 100)
+    assert np.isneginf(np.asarray(early)[0, 3])
+    late = apply_eos_steering(logits, 3, jnp.int32(99), 5, 100)
+    assert np.asarray(late)[0, 3] > 5.0
