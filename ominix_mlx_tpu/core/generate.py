@@ -136,6 +136,21 @@ class Engine:
         return self._prefill_jit(self.params, padded, cache,
                                  jnp.int32(T), fresh=fresh)
 
+    def prefill_chunked(self, tokens: jax.Array, cache: ModelCache,
+                        chunk_size: int = 512):
+        """Long-prompt prefill in fixed chunks: bounds per-step compile size
+        and attention memory (SURVEY.md hard part (a)). Only the chunk
+        shapes (chunk_size + one tail bucket) ever compile."""
+        B, T = tokens.shape
+        last = None
+        pos = 0
+        while pos < T:
+            end = min(pos + chunk_size, T)
+            last, cache = self.prefill(tokens[:, pos:end], cache,
+                                       fresh=(pos == 0))
+            pos = end
+        return last, cache
+
     def generate(self, prompt: jax.Array, cache: ModelCache,
                  max_tokens: int = 256,
                  stop_tokens: tuple = (),

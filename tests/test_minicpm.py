@@ -94,3 +94,30 @@ def test_self_speculative_draft_runs_prefix_layers():
     lg_draft, _ = mc.forward(params, CFG, toks, c, num_layers=2)
     assert lg_draft.shape == lg_full.shape
     assert not np.allclose(np.asarray(lg_draft), np.asarray(lg_full))
+
+
+def test_sparse_attention_retrieves_needle_block():
+    """Mechanism version of the reference needle test (examples/
+    needle_test.rs): plant a distinctive K/V block in the middle region;
+    a query aligned with that key must retrieve its value through the
+    top-k block selection."""
+    B, Hkv, H, D, S = 1, 2, 4, 16, 256
+    scfg = SparseConfig(kernel_size=8, block_size=8, init_blocks=1,
+                        window_size=16, topk=2)
+    n = 200  # long history: middle region is large
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, n, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, n, D)) * 0.1, jnp.float32)
+    needle = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    needle = needle / jnp.linalg.norm(needle) * 5.0
+    pos = 96  # inside the middle region, block-aligned
+    k = k.at[:, :, pos:pos + 8].set(needle)
+    v = v.at[:, :, pos:pos + 8].set(1.0)
+
+    cache = KVCache.init(B, Hkv, S, D, jnp.float32)
+    cache = cache.update(k, v, jnp.int32(0))
+    q = jnp.broadcast_to(needle, (B, H, 1, D))
+    out = sparse_decode_attention(q, cache, jnp.int32(n - 1), scfg,
+                                  D ** -0.5)
+    # attention mass should concentrate on the needle block's value (1.0)
+    assert float(out.mean()) > 0.9, float(out.mean())

@@ -126,3 +126,26 @@ def test_generate_batch_per_sequence_finish():
         got = [int(t) for t in toks[b] if int(t) != -1][: len(want)]
         assert got == want[: len(got)]
         assert len(got) == 10  # no EOS in tiny model -> all 10 real
+
+
+def test_prefill_chunked_matches_single_shot():
+    params = tiny_model()
+    engine = Engine(lambda p, t, c: base.forward(p, TINY, t, c), params)
+    prompt = jnp.asarray([np.arange(1, 23) % 100])
+    c1 = base.init_cache(TINY, 1, 64, jnp.float32)
+    want, c1 = engine.prefill(prompt, c1)
+    c2 = base.init_cache(TINY, 1, 64, jnp.float32)
+    got, c2 = engine.prefill_chunked(prompt, c2, chunk_size=8)
+    assert int(c2.offset) == 22
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # decode continues identically from both caches
+    t1, _, _, _ = engine._decode_jit(params, c1, jnp.asarray([5]),
+                                     jax.random.PRNGKey(0),
+                                     jnp.full((1, 64), -1, jnp.int32),
+                                     sampler=engine.sampler)
+    t2, _, _, _ = engine._decode_jit(params, c2, jnp.asarray([5]),
+                                     jax.random.PRNGKey(0),
+                                     jnp.full((1, 64), -1, jnp.int32),
+                                     sampler=engine.sampler)
+    assert int(t1[0]) == int(t2[0])
