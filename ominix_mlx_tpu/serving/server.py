@@ -242,6 +242,20 @@ class Server:
                     self._json(200, server.health())
                 elif self.path in ("/v1/models", "/models"):
                     self._json(200, server.list_models())
+                elif self.path == "/v1/models/local":
+                    from ominix_mlx_tpu.utils import hub
+                    self._json(200, {"data": hub.list_models()})
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_DELETE(self):
+                # DELETE /v1/models/<name> (reference: server.rs:729-803)
+                if self.path.startswith("/v1/models/"):
+                    from ominix_mlx_tpu.utils import hub
+                    name = self.path[len("/v1/models/"):]
+                    server.models.pop(name, None)
+                    ok = hub.delete_model(name)
+                    self._json(200, {"deleted": bool(ok), "id": name})
                 else:
                     self._json(404, {"error": "not found"})
 

@@ -146,3 +146,18 @@ def test_audio_endpoints(server):
         "http://127.0.0.1:18731/v1/audio/transcriptions", data)
     out = json.loads(urllib.request.urlopen(req).read())
     assert out["text"].startswith("heard 1600 samples")
+
+
+def test_local_models_and_delete(server, tmp_path_factory, monkeypatch):
+    import os
+    d = tmp_path_factory.mktemp("models")
+    os.makedirs(d / "org--tiny", exist_ok=True)
+    (d / "org--tiny" / "config.json").write_text("{}")
+    monkeypatch.setenv("OMINIX_MODELS_DIR", str(d))
+    out = _get("/v1/models/local")
+    assert out["data"][0]["id"] == "org/tiny"
+    req = urllib.request.Request(
+        "http://127.0.0.1:18731/v1/models/org/tiny", method="DELETE")
+    res = json.loads(urllib.request.urlopen(req).read())
+    assert res["deleted"] is True
+    assert _get("/v1/models/local")["data"] == []
