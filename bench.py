@@ -36,7 +36,6 @@ QWEN3_4B = TransformerConfig(
 
 def main():
     prompt_len = 128
-    decode_len = 256
     cache_len = 1024
 
     params = base.init_params(QWEN3_4B, jax.random.PRNGKey(0), jnp.bfloat16)
@@ -47,25 +46,21 @@ def main():
             p, QWEN3_4B, t, c, fresh_prefill=True))
     prompt = jnp.ones((1, prompt_len), jnp.int32)
 
-    def run():
+    def run(n):
         cache = base.init_cache(QWEN3_4B, 1, cache_len, jnp.bfloat16)
         t0 = time.perf_counter()
-        toks, _ = engine.generate_scan(prompt, cache, max_tokens=decode_len)
-        toks.block_until_ready()
+        toks, _ = engine.generate_scan(prompt, cache, max_tokens=n)
+        int(toks[0, -1])  # force a value fetch (block_until_ready is
+        # unreliable through the device tunnel)
         return time.perf_counter() - t0
 
-    run()  # compile
-    times = [run() for _ in range(2)]
-    # subtract prefill by timing prefill alone
-    cache = base.init_cache(QWEN3_4B, 1, cache_len, jnp.bfloat16)
-    engine.prefill(prompt, cache)[0].block_until_ready()
-    t0 = time.perf_counter()
-    cache = base.init_cache(QWEN3_4B, 1, cache_len, jnp.bfloat16)
-    engine.prefill(prompt, cache)[0].block_until_ready()
-    prefill_t = time.perf_counter() - t0
-
-    decode_t = min(times) - prefill_t
-    tps = decode_len / decode_t
+    # difference-quotient methodology: decode tok/s from the marginal cost
+    # of extra tokens — prefill and dispatch overheads cancel exactly
+    run(128)
+    run(512)
+    t_short = min(run(128) for _ in range(2))
+    t_long = min(run(512) for _ in range(2))
+    tps = (512 - 128) / (t_long - t_short)
     print(json.dumps({
         "metric": "qwen3_4b_bf16_decode",
         "value": round(tps, 2),

@@ -101,3 +101,20 @@ def test_deepseek_ocr2_splice():
                       jnp.float32)
     toks = m.ocr_tokens(img, [1, 2, 3], image_token_pos=1, max_tokens=4)
     assert len(toks) == 4 and all(0 <= t < 64 for t in toks)
+
+
+def test_hubert_frontend_and_codes():
+    from ominix_mlx_tpu.models import hubert
+
+    cfg = hubert.HubertConfig(hidden_size=32, num_layers=2, num_heads=2,
+                              ffn_dim=48, conv_pos_kernel=8,
+                              conv_pos_groups=2, conv_dim=512)
+    params = hubert.init_params(cfg, jax.random.PRNGKey(0))
+    wav = jax.random.normal(jax.random.PRNGKey(1), (1, 3200))  # 0.2s @16k
+    feats = hubert.encode(params, cfg, wav)
+    assert feats.shape[0] == 1 and feats.shape[2] == 32
+    assert 8 <= feats.shape[1] <= 10   # ~320x downsampling
+    cb = jax.random.normal(jax.random.PRNGKey(2), (16, 32))
+    codes = hubert.semantic_codes(feats, cb)
+    assert codes.shape == feats.shape[:2]
+    assert int(codes.max()) < 16
