@@ -26,6 +26,8 @@ MODEL_TYPES = {
     "deepseek_v2": "ominix_mlx_tpu.models.deepseek_v3",
     "glm_47_flash": "ominix_mlx_tpu.models.deepseek_v3",
     "qwen3_next": "ominix_mlx_tpu.models.qwen3_next",
+    "minicpm_sala": "ominix_mlx_tpu.models.minicpm_sala",
+    "minicpm4": "ominix_mlx_tpu.models.minicpm_sala",
 }
 
 
