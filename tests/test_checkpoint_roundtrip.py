@@ -145,3 +145,19 @@ def test_quantized_checkpoint_roundtrip(checkpoint_dir):
     got, _ = mod.forward(params, lcfg, tokens, c2)
     corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_generate_cli_end_to_end(checkpoint_dir):
+    """Drive examples/generate.py exactly as a user would (subprocess)."""
+    import subprocess
+    import sys as _sys
+
+    d, _, _ = checkpoint_dir
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [_sys.executable, "examples/generate.py", "--model", d,
+         "--prompt", "hi there", "--max-tokens", "6"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "decode 6 tok" in r.stderr
