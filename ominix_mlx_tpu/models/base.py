@@ -403,6 +403,28 @@ def init_quantized_params(cfg: TransformerConfig, key, group_size: int = 64,
     return params
 
 
+def encode_hidden(params: dict, cfg: TransformerConfig, tokens: jax.Array,
+                  num_layers: Optional[int] = None,
+                  final_norm: bool = True) -> jax.Array:
+    """Run the decoder as a TEXT ENCODER and return hidden states [B, T, D]
+    (causal). This is how the DiT pipelines condition on text — flux-klein's
+    Qwen3 encoder (qwen3_encoder.rs), zimage's layer-34 features
+    (cap_feat_dim), qwen-image's Qwen2.5-VL encoder."""
+    x = embedding(params["embed"], tokens)
+    T = tokens.shape[1]
+    rope = cfg.rope()
+    mask = causal_mask(T, T, jnp.zeros((), jnp.int32), cfg.sliding_window)
+    n = num_layers if num_layers is not None else cfg.num_layers
+    for lp in params["layers"][:n]:
+        lc = KVCache.init(tokens.shape[0], cfg.num_kv_heads, T, cfg.hd,
+                          x.dtype)
+        x, _ = decoder_layer(lp, cfg, x, lc, jnp.zeros((), jnp.int32), mask,
+                             rope)
+    if final_norm:
+        x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return x
+
+
 # ------------------------------------------------- HF weight loading --------
 
 def _maybe_quantized(flat: dict, prefix: str, qcfg: Optional[dict]):

@@ -427,3 +427,20 @@ class Synthesizer:
         wav = codec_decode(self.codec, jnp.asarray(codes, jnp.int32),
                            self.codec_cfg)
         return np.asarray(wav, np.float32)
+
+    def stream(self, text_tokens: List[int], codec_prefix: List[int],
+               chunk_frames: int = 10, max_frames: int = 600):
+        """StreamingSession: yield waveform chunks of ~chunk_frames frames
+        (~830ms at 12Hz) as generation proceeds (reference:
+        lib.rs:901-999 StreamingSession::next_chunk)."""
+        buf = []
+        for frame in self.generate_frames(text_tokens, codec_prefix,
+                                          max_frames):
+            buf.append(frame)
+            if len(buf) >= chunk_frames:
+                yield self.decode_audio(np.stack(buf)) \
+                    if self.codec is not None else np.stack(buf)
+                buf = []
+        if buf:
+            yield self.decode_audio(np.stack(buf)) \
+                if self.codec is not None else np.stack(buf)

@@ -149,3 +149,13 @@ def test_prefill_chunked_matches_single_shot():
                                      jnp.full((1, 64), -1, jnp.int32),
                                      sampler=engine.sampler)
     assert int(t1[0]) == int(t2[0])
+
+
+def test_encode_hidden_as_text_encoder():
+    params = tiny_model()
+    h = base.encode_hidden(params, TINY, jnp.asarray([[1, 2, 3, 4]]))
+    assert h.shape == (1, 4, TINY.hidden_size)
+    h2 = base.encode_hidden(params, TINY, jnp.asarray([[1, 2, 3, 4]]),
+                            num_layers=1, final_norm=False)
+    assert h2.shape == h.shape
+    assert not np.allclose(np.asarray(h), np.asarray(h2))

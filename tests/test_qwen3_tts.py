@@ -72,3 +72,16 @@ def test_dual_track_generation():
         res2 = tts.Synthesizer(params, TINY).synthesize_codes(
             [5, 9, 3], [36, 37, 38, 39], max_frames=4)
         np.testing.assert_array_equal(res.codes, res2.codes)
+
+
+def test_streaming_session_chunks():
+    params = tts.init_params(TINY, jax.random.PRNGKey(0))
+    dec, ccfg = tts.init_codec(jax.random.PRNGKey(1), frame_dim=32,
+                               up_strides=(2,), dec_strides=(2, 2),
+                               codec_vocab=TINY.codec_vocab_size)
+    synth = tts.Synthesizer(params, TINY, dec, ccfg)
+    chunks = list(synth.stream([5, 9, 3], [36, 37, 38, 39],
+                               chunk_frames=2, max_frames=4))
+    if chunks:  # random model may emit EOS immediately
+        total = sum(len(c) for c in chunks)
+        assert total % 8 == 0  # upsample factor 8 per frame
