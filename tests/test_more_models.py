@@ -118,3 +118,27 @@ def test_hubert_frontend_and_codes():
     codes = hubert.semantic_codes(feats, cb)
     assert codes.shape == feats.shape[:2]
     assert int(codes.max()) < 16
+
+
+def test_bert_hf_parity():
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    from ominix_mlx_tpu.models import bert
+    from ominix_mlx_tpu.utils.loading import torch_to_jnp
+
+    d = dict(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+             num_attention_heads=2, intermediate_size=48,
+             max_position_embeddings=32, type_vocab_size=2)
+    torch.manual_seed(0)
+    hf = BertModel(HFBertConfig(**d), add_pooling_layer=False).eval()
+    cfg = bert.BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                          num_heads=2, intermediate_size=48, max_position=32)
+    flat = {k: torch_to_jnp(v) for k, v in hf.state_dict().items()}
+    params = bert.params_from_hf(flat, cfg)
+    toks = np.array([[2, 5, 9, 11]])
+    with torch.no_grad():
+        want = hf(torch.tensor(toks)).last_hidden_state.numpy()
+    got = bert.encode(params, cfg, jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
