@@ -172,9 +172,11 @@ def _lightning_attn(lp, cfg: MiniCPMConfig, x, cache: gla.GLACache, offset):
 
 
 def forward(params: dict, cfg: MiniCPMConfig, tokens: jax.Array,
-            cache: ModelCache, num_layers: Optional[int] = None):
+            cache: ModelCache, num_layers: Optional[int] = None,
+            fresh_prefill: bool = False):
     """num_layers: run only the first N layers (self-speculative draft,
-    reference: speculative.rs:1-40)."""
+    reference: speculative.rs:1-40). fresh_prefill is accepted for engine
+    interface parity (sparse/GLA mixers manage their own prefill paths)."""
     x = embedding(params["embed"], tokens) * cfg.scale_emb
     T = tokens.shape[1]
     rs = cfg.res_scale
