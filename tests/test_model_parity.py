@@ -199,3 +199,36 @@ def test_qwen3_next_prefill_decode_consistency():
     got = jnp.stack(outs, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(full),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_parity():
+    """Qwen2 (q/k/v bias, no QK-norm) through the same base decoder."""
+    from transformers import Qwen2Config
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+
+    d = dict(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             intermediate_size=96, tie_word_embeddings=True)
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(Qwen2Config(**d)).eval()
+    cfg = base.TransformerConfig.from_hf(
+        hf.config.to_dict() | {"model_type": "qwen2"})
+    assert cfg.attention_bias and not cfg.use_qk_norm
+    params = base.params_from_flat(flat_from_hf(hf), cfg)
+    check_parity(base.forward, params, cfg, hf)
+
+
+def test_mistral_parity():
+    from transformers import MistralConfig
+    from transformers.models.mistral import MistralForCausalLM
+
+    from ominix_mlx_tpu.models import mistral
+
+    d = dict(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             intermediate_size=96, sliding_window=None)
+    torch.manual_seed(0)
+    hf = MistralForCausalLM(MistralConfig(**d)).eval()
+    cfg = mistral.config_from_hf(hf.config.to_dict() | {"model_type": "mistral"})
+    params = base.params_from_flat(flat_from_hf(hf), cfg)
+    check_parity(base.forward, params, cfg, hf)
