@@ -91,8 +91,15 @@ class RotatingKVCache:
 
     def update(self, k_new: jax.Array, v_new: jax.Array, offset: jax.Array):
         """Write T new positions starting at absolute ``offset`` (T static)."""
-        T = k_new.shape[2]
         w = self.window
+        if k_new.shape[2] > w:
+            # slots = pos % w would contain duplicate indices, and scatter
+            # write order with duplicates is unspecified in JAX — keep only
+            # the last `window` positions (older ones are dead anyway)
+            offset = offset + (k_new.shape[2] - w)
+            k_new = k_new[:, :, -w:, :]
+            v_new = v_new[:, :, -w:, :]
+        T = k_new.shape[2]
         pos = offset.astype(jnp.int32) + jnp.arange(T, dtype=jnp.int32)
         slots = pos % w
         k = self.k.at[:, :, slots, :].set(k_new.astype(self.k.dtype))

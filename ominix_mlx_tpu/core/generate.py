@@ -181,11 +181,13 @@ class Engine:
         logits, cache = self.prefill(prompt, cache)
         key, sub = jax.random.split(key)
         tok = sample(logits, sub, self.sampler, recent)
-        tok.block_until_ready()
-        t1 = time.perf_counter()
+        pending_host = None
         if stats is not None:
+            # block_until_ready is a no-op through the TPU tunnel — time
+            # prefill by FETCHING the first token and reuse the value below
+            pending_host = int(tok[0])
             stats.prompt_tokens = int(prompt.shape[1])
-            stats.prefill_time_s = t1 - t0
+            stats.prefill_time_s = time.perf_counter() - t0
 
         pending = tok  # device array, not yet fetched
         n = 0
@@ -198,7 +200,9 @@ class Engine:
                     sampler=self.sampler)
             else:
                 nxt = None
-            t = int(pending[0])  # fetch step i while step i+1 runs
+            # fetch step i while step i+1 runs
+            t = pending_host if pending_host is not None else int(pending[0])
+            pending_host = None
             n += 1
             if t in stop_tokens:
                 break

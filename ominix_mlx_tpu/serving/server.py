@@ -44,11 +44,19 @@ class LoadedModel:
         self.module, self.params, self.cfg = registry.load_model(model_dir)
         self.tokenizer = Tokenizer(model_dir)
         self._engine_cls = Engine
+        self._engines: dict = {}
 
     def engine(self, sampler):
-        return self._engine_cls(
-            lambda p, t, c: self.module.forward(p, self.cfg, t, c),
-            self.params, sampler)
+        # Engines are cached per SamplerConfig: a fresh Engine wraps fresh
+        # jax.jit objects, and a re-trace costs 30-90s on the remote TPU —
+        # per-request construction would recompile on EVERY request.
+        eng = self._engines.get(sampler)
+        if eng is None:
+            eng = self._engine_cls(
+                lambda p, t, c: self.module.forward(p, self.cfg, t, c),
+                self.params, sampler)
+            self._engines[sampler] = eng
+        return eng
 
 
 class InferenceWorker:

@@ -62,8 +62,20 @@ def download_model(repo_id: str, revision: Optional[str] = None) -> str:
 
 
 def delete_model(name: str) -> bool:
-    p = model_path(name)
-    if os.path.isdir(p) and p.startswith(models_dir()):
-        shutil.rmtree(p)
-        return True
-    return False
+    """Delete a managed model dir. Only names strictly inside models_dir()
+    are deletable: paths are canonicalized before comparison (the reference
+    server does the same, server.rs:686-692) and separators / parent
+    references are rejected outright."""
+    if "\\" in name or ".." in name:
+        return False
+    name = name.replace("/", "--")  # hub repo-id convention
+    if "/" in name:
+        return False
+    p = os.path.realpath(os.path.join(models_dir(), name))
+    root = os.path.realpath(models_dir())
+    if not os.path.isdir(p) or p == root:
+        return False
+    if os.path.commonpath([p, root]) != root:
+        return False
+    shutil.rmtree(p)
+    return True

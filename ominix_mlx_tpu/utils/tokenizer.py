@@ -49,9 +49,12 @@ class Tokenizer:
         mlx-lm-utils/src/tokenizer.rs:115); ChatML fallback otherwise."""
         if self.chat_template:
             try:
-                import jinja2
+                # sandboxed: the template comes from a (possibly hub-
+                # downloaded) tokenizer_config.json — never give it the
+                # full jinja2 environment (transformers does the same)
+                from jinja2.sandbox import ImmutableSandboxedEnvironment
 
-                env = jinja2.Environment()
+                env = ImmutableSandboxedEnvironment()
                 env.globals["raise_exception"] = _raise
                 tpl = env.from_string(self.chat_template)
                 return tpl.render(
