@@ -1,13 +1,15 @@
-"""Headline benchmark: Qwen3-4B-class bf16 decode throughput on one TPU chip.
+"""Headline benchmarks: single-chip decode throughput vs the reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference's headline number — Qwen3-4B at 45 tok/s on an Apple
-M3 Max (reference README.md:578; BASELINE.md).
+Prints one JSON line PER metric; the final line is the headline metric the
+driver records. Baselines (BASELINE.md):
+  - Qwen3-4B bf16:   45 tok/s   (reference README.md:578, M3 Max)
+  - Mistral-7B 4bit: 82.8 tok/s (reference docs/performance-comparison.md:12)
 
 Decode runs with the lax.scan generation path (zero host round-trips), the
 TPU-native equivalent of the reference's async_eval pipelining. Weights are
 random-initialized (no checkpoint egress in this environment); decode
-throughput is weight-value-independent.
+throughput is weight-value-independent. 4-bit runs use the w4a8 P-kernels
+(ops/quant_matmul.py) with fused qkv / gate_up projections.
 """
 
 import json
@@ -24,8 +26,6 @@ from ominix_mlx_tpu.core.sampling import SamplerConfig
 from ominix_mlx_tpu.models import base
 from ominix_mlx_tpu.models.base import TransformerConfig
 
-BASELINE_TPS = 45.0  # reference: Qwen3-4B on M3 Max (README.md:578)
-
 # Qwen3-4B architecture (HF Qwen/Qwen3-4B config.json)
 QWEN3_4B = TransformerConfig(
     vocab_size=151936, hidden_size=2560, num_layers=36, num_heads=32,
@@ -33,40 +33,64 @@ QWEN3_4B = TransformerConfig(
     rope_theta=1000000.0, use_qk_norm=True, tie_word_embeddings=True,
     rms_norm_eps=1e-6)
 
+# Mistral-7B-v0.2 architecture (HF config.json)
+MISTRAL_7B = TransformerConfig(
+    vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+    num_kv_heads=8, head_dim=128, intermediate_size=14336,
+    rope_theta=1000000.0, tie_word_embeddings=False)
 
-def main():
-    prompt_len = 128
-    cache_len = 1024
 
-    params = base.init_params(QWEN3_4B, jax.random.PRNGKey(0), jnp.bfloat16)
+def decode_tps(cfg: TransformerConfig, quant_bits=None,
+               prompt_len: int = 128, cache_len: int = 1024) -> float:
+    """Marginal decode tok/s via the difference-quotient methodology:
+    prefill and dispatch overheads cancel between the two loop lengths."""
+    if quant_bits:
+        params = base.init_quantized_params(cfg, jax.random.PRNGKey(0), 64,
+                                            quant_bits)
+    else:
+        params = base.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    params = base.fuse_layer_projections(params)
     engine = Engine(
-        lambda p, t, c: base.forward(p, QWEN3_4B, t, c), params,
-        SamplerConfig(),
+        lambda p, t, c: base.forward(p, cfg, t, c), params, SamplerConfig(),
         prefill_forward_fn=lambda p, t, c: base.forward(
-            p, QWEN3_4B, t, c, fresh_prefill=True))
+            p, cfg, t, c, fresh_prefill=True))
     prompt = jnp.ones((1, prompt_len), jnp.int32)
 
     def run(n):
-        cache = base.init_cache(QWEN3_4B, 1, cache_len, jnp.bfloat16)
+        cache = base.init_cache(cfg, 1, cache_len, jnp.bfloat16)
         t0 = time.perf_counter()
         toks, _ = engine.generate_scan(prompt, cache, max_tokens=n)
         int(toks[0, -1])  # force a value fetch (block_until_ready is
         # unreliable through the device tunnel)
         return time.perf_counter() - t0
 
-    # difference-quotient methodology: decode tok/s from the marginal cost
-    # of extra tokens — prefill and dispatch overheads cancel exactly
     run(128)
     run(512)
     t_short = min(run(128) for _ in range(2))
     t_long = min(run(512) for _ in range(2))
     tps = (512 - 128) / (t_long - t_short)
+    # release this model's HBM before the next metric (a bf16 4B model needs
+    # ~8GB; leftover jit executables/buffers from prior metrics OOM it)
+    del params, engine
+    import gc
+    gc.collect()
+    jax.clear_caches()
+    return tps
+
+
+def emit(metric, value, unit, baseline):
     print(json.dumps({
-        "metric": "qwen3_4b_bf16_decode",
-        "value": round(tps, 2),
-        "unit": "tokens/sec",
-        "vs_baseline": round(tps / BASELINE_TPS, 3),
-    }))
+        "metric": metric, "value": round(value, 2), "unit": unit,
+        "vs_baseline": round(value / baseline, 3)}), flush=True)
+
+
+def main():
+    q4_4b = decode_tps(QWEN3_4B, quant_bits=4)
+    emit("qwen3_4b_w4a8_decode", q4_4b, "tokens/sec", 45.0)
+    q4_7b = decode_tps(MISTRAL_7B, quant_bits=4)
+    emit("mistral_7b_w4a8_decode", q4_7b, "tokens/sec", 82.8)
+    bf16 = decode_tps(QWEN3_4B)
+    emit("qwen3_4b_bf16_decode", bf16, "tokens/sec", 45.0)
 
 
 if __name__ == "__main__":

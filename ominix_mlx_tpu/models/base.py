@@ -398,8 +398,8 @@ def init_quantized_params(cfg: TransformerConfig, key, group_size: int = 64,
         "norm": jnp.ones((cfg.hidden_size,), jnp.bfloat16),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = {"w": qrand(next(keys), cfg.hidden_size,
-                                        cfg.vocab_size)}
+        params["lm_head"] = {"w": qrand(next(keys), cfg.vocab_size,
+                                        cfg.hidden_size)}
     return params
 
 

@@ -116,15 +116,15 @@ def init_t2s(tcfg: T2SConfig, key, dtype=jnp.float32) -> dict:
     return params
 
 
-# ----------------------------------------------------- english g2p ----------
+# ------------------------------------------------------ text frontend -------
 
 _EN_PHONES = {c: i + 2 for i, c in enumerate(
     "abcdefghijklmnopqrstuvwxyz ',.?!")}
 
 
 def english_g2p(text: str) -> List[int]:
-    """Letter-level fallback G2P (the reference's full g2p-en/g2pw frontend
-    is round-2; this keeps the pipeline runnable end-to-end)."""
+    """Letter-level fallback G2P (kept for ID-space-agnostic smoke tests).
+    The real frontend is ominix_mlx_tpu.text (jieba/tone-sandhi/cmudict)."""
     return [_EN_PHONES.get(c, 1) for c in text.lower()]
 
 
@@ -133,19 +133,37 @@ def english_g2p(text: str) -> List[int]:
 @dataclasses.dataclass
 class VoiceCloner:
     """Facade mirroring gpt-sovits-mlx VoiceCloner (voice_clone.rs:269-780):
-    set_reference_audio -> synthesize(text)."""
+    set_reference -> synthesize(text) -> waveform through the full stack
+    (text frontend -> T2S -> VITS/SoVITS decoder)."""
 
     t2s_params: dict
     t2s_cfg: T2SConfig
+    vits_params: Optional[dict] = None
+    vits_cfg: Optional[object] = None          # models.vits.VITSConfig
+    frontend: Optional[object] = None          # text.TextFrontend
+    ref_semantic: Optional[np.ndarray] = None
+    ref_spec: Optional[np.ndarray] = None      # [T, spec_channels]
+    # deprecated round-1 stand-ins (embedding-lookup vocoder path)
     vocoder_params: Optional[dict] = None
     vocoder_cfg: Optional[hifigan.HiFiGANConfig] = None
-    semantic_frame_embed: Optional[jax.Array] = None   # [vocab, mel-ish dim]
-    ref_semantic: Optional[np.ndarray] = None
+    semantic_frame_embed: Optional[jax.Array] = None
 
     def set_reference_semantics(self, codes: np.ndarray):
-        """Reference audio -> semantic codes (HuBERT in the reference;
-        accepts precomputed codes here)."""
+        """Reference audio -> semantic codes (HuBERT k-means in the
+        reference, voice_clone.rs:398; accepts precomputed codes)."""
         self.ref_semantic = np.asarray(codes, np.int32)
+
+    def set_reference_spec(self, spec: np.ndarray):
+        """Linear spectrogram of the reference audio (audio.dsp.stft with
+        n_fft=2048 hop=640 for the 32k model)."""
+        self.ref_spec = np.asarray(spec, np.float32)
+
+    def text_to_phonemes(self, text: str, lang: str = "auto") -> List[int]:
+        if self.frontend is not None:
+            from ominix_mlx_tpu.text.frontend import clean_text
+            ids, _ = clean_text(text, lang, self.frontend)
+            return ids
+        return english_g2p(text)
 
     def synthesize_semantics(self, phonemes: List[int], key=None,
                              max_tokens: int = 200) -> List[int]:
@@ -155,10 +173,33 @@ class VoiceCloner:
                             jnp.asarray(self.ref_semantic), key=key,
                             max_tokens=max_tokens)
 
-    def synthesize(self, phonemes: List[int], key=None) -> np.ndarray:
-        sem = self.synthesize_semantics(phonemes, key)
-        if not sem or self.vocoder_params is None:
+    def synthesize(self, text_or_phonemes, key=None, lang: str = "auto",
+                   max_tokens: int = 200, noise_scale: float = 0.5
+                   ) -> np.ndarray:
+        """Full clone path: phonemes -> T2S semantics -> VITS waveform
+        (reference synthesize, voice_clone.rs:740->695)."""
+        if isinstance(text_or_phonemes, str):
+            phonemes = self.text_to_phonemes(text_or_phonemes, lang)
+        else:
+            phonemes = list(text_or_phonemes)
+        sem = self.synthesize_semantics(phonemes, key,
+                                        max_tokens=max_tokens)
+        if not sem:
             return np.zeros((0,), np.float32)
-        feats = self.semantic_frame_embed[jnp.asarray(sem)][None]
-        wav = hifigan.vocode(self.vocoder_params, self.vocoder_cfg, feats)
-        return np.asarray(wav[0], np.float32)
+        if self.vits_params is not None:
+            from ominix_mlx_tpu.models import vits
+            codes = jnp.asarray(sem, jnp.int32)[None]
+            text_ids = jnp.asarray(phonemes, jnp.int32)[None]
+            spec = jnp.asarray(self.ref_spec, jnp.float32)[None]
+            wav = vits.sovits_decode(self.vits_params, self.vits_cfg,
+                                     codes, text_ids, spec,
+                                     noise_scale=noise_scale,
+                                     key=(key if key is not None
+                                          else jax.random.PRNGKey(0)))
+            return np.asarray(wav[0], np.float32)
+        if self.vocoder_params is not None:   # deprecated stand-in path
+            feats = self.semantic_frame_embed[jnp.asarray(sem)][None]
+            wav = hifigan.vocode(self.vocoder_params, self.vocoder_cfg,
+                                 feats)
+            return np.asarray(wav[0], np.float32)
+        return np.zeros((0,), np.float32)

@@ -26,6 +26,7 @@ from ominix_mlx_tpu.core.cache import KVCache, ModelCache
 from ominix_mlx_tpu.core.rope import apply_rope, make_rope
 from ominix_mlx_tpu.models import lightning as gla
 from ominix_mlx_tpu.models.sparse_attention import (SparseConfig,
+                                                    SparseKVCache,
                                                     sparse_decode_attention)
 from ominix_mlx_tpu.nn.layers import (embedding, embedding_as_linear,
                                       init_linear, linear, rms_norm)
@@ -113,8 +114,9 @@ def init_cache(cfg: MiniCPMConfig, batch: int, max_len: int,
             layers.append(gla.GLACache.init(batch, cfg.gla_heads,
                                             cfg.gla_head_dim))
         else:
-            layers.append(KVCache.init(batch, cfg.num_kv_heads, max_len,
-                                       cfg.head_dim, dtype))
+            layers.append(SparseKVCache.init(
+                batch, cfg.num_kv_heads, max_len, cfg.head_dim, dtype,
+                kernel_size=cfg.sparse.kernel_size))
     return ModelCache(layers=layers, offset=jnp.zeros((), jnp.int32))
 
 

@@ -98,15 +98,33 @@ def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
     optional "shared_expert": dense mlp params,
     optional "shared_expert_gate", "e_score_correction_bias"}.
     """
+    from ominix_mlx_tpu.ops.quant_matmul import (PackedQuantizedExperts,
+                                                 dequantize_expert,
+                                                 gather_qmm)
+
     B, T, D = x.shape
     act = ACTIVATIONS[mcfg.hidden_act]
     xt = x.reshape(B * T, D)
     w, idx = route(lp, mcfg, xt)                         # [M, k]
     M = B * T
+    k = mcfg.top_k
     ex = lp["experts"]
+    quant = isinstance(ex["gate_proj"], PackedQuantizedExperts)
 
-    if M <= 8:
-        # decode: gather only the selected experts' weights (gather_qmm)
+    if M <= 8 and quant:
+        # decode, quantized experts: stream ONLY the top-k experts' int4/8
+        # slabs (reference gather_qmm, qwen3-mlx/src/qwen3_moe.rs:304-425)
+        g = gather_qmm(xt, ex["gate_proj"], idx)         # [M, k, I]
+        u = gather_qmm(xt, ex["up_proj"], idx)
+        h = (act(g.astype(jnp.float32)) * u.astype(jnp.float32)
+             ).astype(x.dtype)                           # [M, k, I]
+        I = h.shape[-1]
+        y = gather_qmm(h.reshape(M * k, I), ex["down_proj"],
+                       idx.reshape(M * k, 1)).reshape(M, k, D)
+        y = jnp.einsum("mkd,mk->md", y.astype(jnp.float32),
+                       w.astype(jnp.float32))
+    elif M <= 8:
+        # decode: gather only the selected experts' weights
         wg = ex["gate_proj"][idx]                        # [M, k, I, D]
         wu = ex["up_proj"][idx]
         wd = ex["down_proj"][idx]
@@ -114,15 +132,28 @@ def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
         y = jnp.einsum("mkd,mk->md", y.astype(jnp.float32),
                        w.astype(jnp.float32))
     else:
-        # prefill: dense all-expert pass, one-hot combine
-        g = jnp.einsum("md,eid->mei", xt, ex["gate_proj"])
-        u = jnp.einsum("md,eid->mei", xt, ex["up_proj"])
-        h = act(g) * u                                    # [M, E, I]
-        ye = jnp.einsum("mei,edi->med", h, ex["down_proj"])
+        # prefill: all-expert pass with one-hot combine
         comb = jnp.zeros((M, mcfg.num_experts), jnp.float32)
         comb = jax.vmap(lambda c, i, ww: c.at[i].add(ww))(comb, idx,
                                                           w.astype(jnp.float32))
-        y = jnp.einsum("med,me->md", ye.astype(jnp.float32), comb)
+        if quant:
+            # scan over experts, dequantizing ONE slab at a time — bounds
+            # peak memory to a single bf16 expert while staying MXU-dense
+            def step(acc, e):
+                wg = dequantize_expert(ex["gate_proj"], e)
+                wu = dequantize_expert(ex["up_proj"], e)
+                wd = dequantize_expert(ex["down_proj"], e)
+                h = act(xt @ wg.T) * (xt @ wu.T)
+                ye = (h @ wd.T).astype(jnp.float32)
+                return acc + ye * comb[:, e][:, None], None
+            y, _ = jax.lax.scan(step, jnp.zeros((M, D), jnp.float32),
+                                jnp.arange(mcfg.num_experts))
+        else:
+            g = jnp.einsum("md,eid->mei", xt, ex["gate_proj"])
+            u = jnp.einsum("md,eid->mei", xt, ex["up_proj"])
+            h = act(g) * u                                # [M, E, I]
+            ye = jnp.einsum("mei,edi->med", h, ex["down_proj"])
+            y = jnp.einsum("med,me->md", ye.astype(jnp.float32), comb)
 
     y = y.astype(x.dtype)
     if "shared_expert" in lp:
@@ -133,6 +164,23 @@ def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
             sh = sh * jax.nn.sigmoid(linear(lp["shared_expert_gate"], xt))
         y = y + sh
     return y.reshape(B, T, D)
+
+
+def quantize_experts_params(lp: dict, group_size: int = 64,
+                            bits: int = 4) -> dict:
+    """Quantize a MoE layer's stacked expert weights in place-style (returns
+    a new dict). This is what lets Mixtral-8x7B / Qwen3-30B-A3B-class MoE
+    fit one chip (reference ships 3/4-bit MoE checkpoints; gather_qmm is the
+    decode path, qwen3-mlx/src/qwen3_moe.rs:304-425)."""
+    from ominix_mlx_tpu.ops.quant_matmul import quantize_experts
+
+    out = dict(lp)
+    ex = dict(lp["experts"])
+    for name in ("gate_proj", "up_proj", "down_proj"):
+        if name in ex and isinstance(ex[name], jax.Array):
+            ex[name] = quantize_experts(ex[name], group_size, bits)
+    out["experts"] = ex
+    return out
 
 
 def init_moe_params(key, hidden_size: int, mcfg: MoEConfig,

@@ -49,10 +49,70 @@ def compress_keys(keys: jax.Array, ks: int) -> jax.Array:
     return keys[:, :, :nb * ks].reshape(B, H, nb, ks, D).mean(axis=3)
 
 
-def sparse_decode_attention(q: jax.Array, cache: KVCache, offset: jax.Array,
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SparseKVCache:
+    """Full-history KV cache that maintains the mean-pooled compressed keys
+    INCREMENTALLY on append (reference compresses on append too,
+    sparse.rs:115-138) — re-pooling the whole [B,H,S,D] history per decode
+    step would be O(S) reads per layer, the very cost sparse attention
+    exists to avoid. Only the block(s) touched by the appended tokens are
+    re-pooled: O(kernel_size) per decode step, independent of context."""
+
+    k: jax.Array     # [B, Hkv, S, D]
+    v: jax.Array     # [B, Hkv, S, D]
+    comp: jax.Array  # [B, Hkv, S // ks, D] mean-pooled keys
+    kernel_size: int = dataclasses.field(metadata=dict(static=True),
+                                         default=32)
+
+    @staticmethod
+    def init(batch: int, n_kv: int, max_len: int, head_dim: int,
+             dtype=jnp.bfloat16, kernel_size: int = 32) -> "SparseKVCache":
+        shape = (batch, n_kv, max_len, head_dim)
+        nb = max_len // kernel_size
+        return SparseKVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            comp=jnp.zeros((batch, n_kv, nb, head_dim), dtype),
+            kernel_size=kernel_size)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    def update(self, k_new: jax.Array, v_new: jax.Array, offset: jax.Array):
+        """Write [B,Hkv,T,D] at ``offset``; re-pool only the touched blocks.
+
+        Blocks containing garbage beyond the valid length are re-pooled
+        again as later tokens land in them, and the block-validity mask in
+        sparse_decode_attention hides them until then."""
+        ks = self.kernel_size
+        B, Hkv, T, D = k_new.shape
+        z = jnp.zeros((), jnp.int32)
+        off = offset.astype(jnp.int32)
+        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype),
+                                         (z, z, off, z))
+        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype),
+                                         (z, z, off, z))
+        # static touched-block bound: T tokens starting anywhere inside a
+        # block span at most ceil((T-1)/ks) + 1 blocks
+        nblk = (T + ks - 2) // ks + 1
+        nb = self.comp.shape[2]
+        nblk = min(nblk, nb)
+        first = jnp.minimum(off // ks, nb - nblk)
+        region = jax.lax.dynamic_slice(
+            k, (z, z, first * ks, z), (B, Hkv, nblk * ks, D))
+        pooled = region.reshape(B, Hkv, nblk, ks, D).mean(axis=3)
+        comp = jax.lax.dynamic_update_slice(
+            self.comp, pooled.astype(self.comp.dtype), (z, z, first, z))
+        return SparseKVCache(k=k, v=v, comp=comp, kernel_size=ks)
+
+
+def sparse_decode_attention(q: jax.Array, cache, offset: jax.Array,
                             scfg: SparseConfig, scale: float) -> jax.Array:
     """q: [B, H, 1, D] single decode step over the full-history cache.
 
+    cache: SparseKVCache (incrementally-maintained compressed keys) or a
+    plain KVCache (compressed keys recomputed — tests/fallback only).
     Static gathered length = init_end + topk*ks + window_size.
     """
     B, H, _, D = q.shape
@@ -65,7 +125,10 @@ def sparse_decode_attention(q: jax.Array, cache: KVCache, offset: jax.Array,
     window_start = jnp.maximum(total - scfg.window_size, init_end)
 
     # --- score compressed middle blocks -----------------------------------
-    comp = compress_keys(cache.k, ks)                       # [B,Hkv,nb,D]
+    if isinstance(cache, SparseKVCache) and cache.kernel_size == ks:
+        comp = cache.comp                                   # [B,Hkv,nb,D]
+    else:
+        comp = compress_keys(cache.k, ks)                   # [B,Hkv,nb,D]
     n_rep = H // Hkv
     q_score = q.reshape(B, Hkv, n_rep, 1, D)[:, :, 0]       # [B,Hkv,1,D]
     scores = jnp.einsum("bhqd,bhnd->bhqn", q_score.astype(jnp.float32),

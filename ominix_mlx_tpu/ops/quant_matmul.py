@@ -47,8 +47,8 @@ class PackedQuantizedTensor:
     """Kernel-ready quantized weight (nibble-packed for 4-bit)."""
 
     data: jax.Array      # int8 [N, K/2] (bits=4, nibble pairs) or [N, K] (bits=8, centered)
-    scales: jax.Array    # [N, G]
-    biases: jax.Array    # [N, G] (center offset already folded in)
+    scales: jax.Array    # [N, G + g_pad]
+    biases: jax.Array    # [N, G + g_pad] (center offset already folded in)
     group_size: int = dataclasses.field(metadata=dict(static=True), default=64)
     bits: int = dataclasses.field(metadata=dict(static=True), default=4)
     in_features: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -56,10 +56,16 @@ class PackedQuantizedTensor:
     # None = exact bf16 activations
     act_bits: int | None = dataclasses.field(metadata=dict(static=True),
                                              default=8)
+    # group-axis zero-padding to a 128-lane multiple (large-N weights whose
+    # scales stream per chunk inside the kernel; DMA slices must tile-align)
+    g_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # row (out-feature) zero-padding so huge-N weights (lm_head) get a
+    # 2048-row panel size instead of whatever tiny divisor N happens to have
+    n_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def shape(self):
-        return (self.data.shape[0], self.in_features)
+        return (self.data.shape[0] - self.n_pad, self.in_features)
 
 
 def prepare(qt: QuantizedTensor, act_bits: int | None = 8) -> PackedQuantizedTensor:
@@ -73,9 +79,26 @@ def prepare(qt: QuantizedTensor, act_bits: int | None = 8) -> PackedQuantizedTen
         data = (lo | (hi << 4)).view(jnp.int8)
     else:
         data = qt.q                                     # centered int8
+    # bf16 scales/biases: the kernels compute S in bf16 anyway, and this
+    # halves the side-band stream (and skips a per-call cast of big arrays)
+    scales = qt.scales.astype(jnp.bfloat16)
+    biases = qt.biases.astype(jnp.bfloat16)
+    g_pad = 0
+    G = K // gs
+    if N > _SB_VMEM_MAX_N and G % 128:
+        g_pad = 128 - G % 128
+        scales = jnp.pad(scales, ((0, 0), (0, g_pad)))
+        biases = jnp.pad(biases, ((0, 0), (0, g_pad)))
+    n_pad = 0
+    if N > _SB_VMEM_MAX_N and N % 2048:
+        n_pad = 2048 - N % 2048
+        data = jnp.pad(data, ((0, n_pad), (0, 0)))
+        scales = jnp.pad(scales, ((0, n_pad), (0, 0)))
+        biases = jnp.pad(biases, ((0, n_pad), (0, 0)))
     return PackedQuantizedTensor(
-        data=data, scales=qt.scales, biases=qt.biases,
-        group_size=gs, bits=bits, in_features=K, act_bits=act_bits)
+        data=data, scales=scales, biases=biases,
+        group_size=gs, bits=bits, in_features=K, act_bits=act_bits,
+        g_pad=g_pad, n_pad=n_pad)
 
 
 def unpack(pqt: PackedQuantizedTensor) -> QuantizedTensor:
@@ -87,7 +110,10 @@ def unpack(pqt: PackedQuantizedTensor) -> QuantizedTensor:
         q = jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)
     else:
         q = pqt.data
-    return QuantizedTensor(q=q, scales=pqt.scales, biases=pqt.biases,
+    G = pqt.in_features // pqt.group_size
+    N = pqt.data.shape[0] - pqt.n_pad
+    return QuantizedTensor(q=q[:N], scales=pqt.scales[:N, :G],
+                           biases=pqt.biases[:N, :G],
                            group_size=pqt.group_size, bits=pqt.bits)
 
 
@@ -110,80 +136,319 @@ def gather_rows(pqt: PackedQuantizedTensor, tokens: jax.Array) -> jax.Array:
     return w.astype(jnp.bfloat16)
 
 
-# ------------------------------------------------ P-kernel (8-bit codes) ----
+# ----------------------------------- P-kernel (manual DMA pipeline) ---------
+#
+# Mosaic's automatic grid pipelining does NOT overlap the weight-panel DMA
+# with the in-kernel compute here (measured: DMA-only 19us, +1 matmul 23us,
+# full kernel 35us for the Qwen3-4B gate shape — purely additive). The
+# production kernel therefore hand-rolls a double-buffered pipeline:
+# grid=(), one fori_loop over TN-row panels, pltpu.make_async_copy streaming
+# panel i+1 into the spare VMEM slot while panel i computes. Measured:
+# 24.5us / 508 GB/s on the gate shape (vs 35.7us auto, 19us DMA floor).
+# Small operands (scales/biases/Xg) load whole into VMEM once.
 
-def _p_kernel(xg_ref, Xg_ref, data_ref, scales_ref, biases_ref, e2_ref,
-              rm_ref, out_ref, *, int8_mxu: bool):
-    if int8_mxu:
-        P = jax.lax.dot_general(
-            data_ref[:], Xg_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
+_NBUF = 2
+_SB_VMEM_MAX_N = 32768   # above this N, scales/biases stream per chunk
+
+
+def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
+               stream_sb: bool, gs: int, K: int, Gp: int, M: int, TN: int,
+               NCH: int):
+    """Unified manual-pipeline P-kernel body. Static layout flags decide the
+    operand list (see _qmm_p for the matching assembly):
+
+      m1:        M == 1 — Xg is built in-kernel from cxT [K, 1] (saves the
+                 3-11us XLA-side block-diagonal build per call) and E2 is
+                 the identity (S == scales).
+      split:     G > 128 — two half-K matmuls against [K/2, G/2] Xg halves,
+                 so the MXU lane padding stays <= 128 groups (down-proj
+                 shapes would otherwise pad G=152 -> 256 lanes, doubling
+                 MXU passes). scales/biases/xg arrive pre-split.
+      stream_sb: N too large for VMEM-resident scales/biases (lm_head) —
+                 they stream per chunk alongside the data panel.
+    """
+    Kc = K // 2                       # contraction length per half (split)
+    G2 = (K // gs) // 2               # Gp covers lane padding for stream_sb
+    idx = 0
+    if m1:
+        cxT = refs[0]
+        idx = 1
+    elif split:
+        XgL_ref, XgH_ref = refs[0], refs[1]
+        idx = 2
     else:
-        P = jax.lax.dot_general(
-            data_ref[:].astype(jnp.bfloat16), Xg_ref[:],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    S = jax.lax.dot_general(
-        scales_ref[:].astype(jnp.bfloat16), e2_ref[:],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    T = S * P                                            # [TN, G*M]
-    out = jax.lax.dot_general(
-        rm_ref[:], T, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [M, TN]
-    out = out + jax.lax.dot_general(
-        xg_ref[:], biases_ref[:].astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    out_ref[:] = out
+        XgL_ref = refs[0]
+        idx = 1
+    if split:
+        s_lo, s_hi, b_lo, b_hi, xg_lo, xg_hi = refs[idx:idx + 6]
+        idx += 6
+    else:
+        s_lo, b_lo, xg_lo = refs[idx:idx + 3]
+        idx += 3
+    rm = refs[idx]
+    idx += 1
+    if not m1:
+        e2 = refs[idx]
+        idx += 1
+    data = refs[idx]
+    out_ref = refs[idx + 1]
+    scratch = list(refs[idx + 2:])
+    dbuf = scratch.pop(0)
+    sems = scratch.pop(0)
+    if stream_sb:
+        sbuf = scratch.pop(0)
+        bbuf = scratch.pop(0)
+        sbsems = scratch.pop(0)
+    mxu_dt = jnp.int8 if int8_mxu else jnp.bfloat16
+    acc_dt = jnp.int32 if int8_mxu else jnp.float32
+
+    # ---- prologue: build the block-diagonal Xg from cxT (M == 1) ----------
+    if m1:
+        cx = cxT[:]                                        # [K, 1]
+        if split:
+            kk = jax.lax.broadcasted_iota(jnp.int32, (Kc, G2), 0) // gs
+            gg = jax.lax.broadcasted_iota(jnp.int32, (Kc, G2), 1)
+            sel = kk == gg
+            xgl_s, xgh_s = scratch.pop(0), scratch.pop(0)
+            if int8_mxu:
+                xgl_s[...] = jnp.where(sel, cx[:Kc].astype(jnp.int32),
+                                       0).astype(jnp.int8)
+                xgh_s[...] = jnp.where(sel, cx[Kc:].astype(jnp.int32),
+                                       0).astype(jnp.int8)
+            else:
+                xgl_s[...] = jnp.where(sel, cx[:Kc].astype(jnp.float32),
+                                       0.0).astype(jnp.bfloat16)
+                xgh_s[...] = jnp.where(sel, cx[Kc:].astype(jnp.float32),
+                                       0.0).astype(jnp.bfloat16)
+        else:
+            kk = jax.lax.broadcasted_iota(jnp.int32, (K, Gp), 0) // gs
+            gg = jax.lax.broadcasted_iota(jnp.int32, (K, Gp), 1)
+            sel = kk == gg
+            xg_s = scratch.pop(0)
+            if int8_mxu:
+                xg_s[...] = jnp.where(sel, cx.astype(jnp.int32),
+                                      0).astype(jnp.int8)
+            else:
+                xg_s[...] = jnp.where(sel, cx.astype(jnp.float32),
+                                      0.0).astype(jnp.bfloat16)
+
+    def dma(slot, i):
+        ops = [pltpu.make_async_copy(
+            data.at[pl.ds(i * TN, TN)], dbuf.at[slot], sems.at[slot])]
+        if stream_sb:
+            ops.append(pltpu.make_async_copy(
+                s_lo.at[pl.ds(i * TN, TN)], sbuf.at[slot], sbsems.at[slot, 0]))
+            ops.append(pltpu.make_async_copy(
+                b_lo.at[pl.ds(i * TN, TN)], bbuf.at[slot], sbsems.at[slot, 1]))
+        return ops
+
+    for j in range(min(_NBUF - 1, NCH)):
+        for op in dma(j, j):
+            op.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, _NBUF)
+
+        @pl.when(i + _NBUF - 1 < NCH)
+        def _():
+            for op in dma(jax.lax.rem(i + _NBUF - 1, _NBUF), i + _NBUF - 1):
+                op.start()
+
+        for op in dma(slot, i):
+            op.wait()
+        blk = dbuf[slot]
+        if bits == 4:
+            # unpack ONLY the [TN, K/2] byte panel; the nibble planes feed
+            # two MXU matmuls (same total MXU work as one K-contraction,
+            # half the HBM stream of the 8-bit path)
+            b32 = blk.astype(jnp.int32)
+            A = (b32 & 15).astype(mxu_dt)          # w columns 0..K/2-1
+            B = ((b32 >> 4) & 15).astype(mxu_dt)   # w columns K/2..K-1
+        else:
+            A = blk[:, :Kc] if split else blk
+            B = blk[:, Kc:] if split else None
+            if not int8_mxu:
+                A = A.astype(jnp.bfloat16)
+                B = B.astype(jnp.bfloat16) if B is not None else None
+        if split:
+            XgLv = xgl_s[:] if m1 else XgL_ref[:]
+            XgHv = xgh_s[:] if m1 else XgH_ref[:]
+            P_l = jax.lax.dot_general(A, XgLv, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=acc_dt
+                                      ).astype(jnp.float32)
+            P_h = jax.lax.dot_general(B, XgHv, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=acc_dt
+                                      ).astype(jnp.float32)
+        else:
+            Xgv = xg_s[:] if m1 else XgL_ref[:]
+            if bits == 4:
+                P = jax.lax.dot_general(A, Xgv[:Kc], (((1,), (0,)), ((), ())),
+                                        preferred_element_type=acc_dt)
+                P = (P + jax.lax.dot_general(
+                    B, Xgv[Kc:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt)).astype(jnp.float32)
+            else:
+                P = jax.lax.dot_general(A, Xgv, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=acc_dt
+                                        ).astype(jnp.float32)
+
+        def half(P, s_ref, b_ref, xg_ref, streamed_s=None, streamed_b=None):
+            s = (streamed_s if streamed_s is not None
+                 else s_ref[pl.ds(i * TN, TN), :]).astype(jnp.bfloat16)
+            if m1:  # E2 is the identity at M == 1
+                S = s.astype(jnp.float32)
+            else:
+                S = jax.lax.dot_general(s, e2[:], (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            o = jax.lax.dot_general(rm[:], S * P, (((0,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            b = (streamed_b if streamed_b is not None
+                 else b_ref[pl.ds(i * TN, TN), :]).astype(jnp.bfloat16)
+            if bits == 4:
+                # codes stored as q+8 unsigned: w = s*(u-8)+b -> bias b-8s
+                b = b - jnp.bfloat16(8) * s
+            return o + jax.lax.dot_general(
+                xg_ref[:], b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if split:
+            out = (half(P_l, s_lo, b_lo, xg_lo)
+                   + half(P_h, s_hi, b_hi, xg_hi))
+        elif stream_sb:
+            out = half(P, None, None, xg_lo, sbuf[slot], bbuf[slot])
+        else:
+            out = half(P, s_lo, b_lo, xg_lo)
+        out_ref[:, pl.ds(i * TN, TN)] = out
+        return ()
+
+    jax.lax.fori_loop(0, NCH, body, ())
+
+
+def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
+           out_dtype):
+    """Fused group-dequant matmul for decode M: x [M,K] @ W^T -> [M,N].
+
+    The group structure rides the MXU: P[n, g*M+m] = sum_{k in g}
+    codes[n,k]*x_q[m,k] computed as ``codes @ blockdiag(x_q)`` (int8 MXU
+    matmuls), scales applied on the gs-times-smaller [TN, G*M] result.
+    Zero per-element dequant work on the VPU beyond the 4-bit nibble
+    unpack. See _pm_kernel for the manual DMA pipeline."""
+    M = x.shape[0]
+    N = data.shape[0]
+    G = K // gs
+    Gp = scales.shape[1]               # G plus lane padding (stream_sb)
+    split = G > 128
+    stream_sb = N > _SB_VMEM_MAX_N
+    m1 = M == 1
+    G2 = G // 2
+    Kd = data.shape[1]                 # K (8-bit) or K/2 (nibble-packed)
+    xf = x.astype(jnp.float32)
+    xg = jnp.sum(xf.reshape(M, G, gs), -1).astype(jnp.bfloat16)  # group sums
+    if act8:
+        s_x = jnp.max(jnp.abs(xf), axis=1) / 127.0 + 1e-12       # [M]
+        cx = jnp.round(xf / s_x[:, None]).astype(jnp.int8)       # [M, K]
+        rm_vals = s_x
+        mxu_dt = jnp.int8
+    else:
+        cx = x.astype(jnp.bfloat16)
+        rm_vals = jnp.ones((M,), jnp.float32)
+        mxu_dt = jnp.bfloat16
+    if Gp > G:                         # pad the activation-side arrays too
+        xg = jnp.pad(xg, ((0, 0), (0, Gp - G)))
+    Gr = G2 if split else Gp           # groups per matmul half
+    Rm = jnp.where(
+        (jnp.arange(Gr * M, dtype=jnp.int32)[:, None] % M)
+        == jnp.arange(M, dtype=jnp.int32)[None, :],
+        rm_vals.astype(jnp.float32)[None, :], 0.0)               # [GrM, M]
+    sc = scales.astype(jnp.bfloat16)
+    bs = biases.astype(jnp.bfloat16)
+
+    ops = []
+    scratch = [pltpu.VMEM((_NBUF, TN_ := _pick_tn(N, Kd), Kd), jnp.int8),
+               pltpu.SemaphoreType.DMA((_NBUF,))]
+    in_specs = []
+
+    def add(arr, space=pltpu.VMEM):
+        ops.append(arr)
+        in_specs.append(pl.BlockSpec(memory_space=space))
+
+    if stream_sb:
+        scratch += [pltpu.VMEM((_NBUF, TN_, Gp), jnp.bfloat16),
+                    pltpu.VMEM((_NBUF, TN_, Gp), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((_NBUF, 2))]
+    if m1:
+        add(cx.T)                                    # cxT [K, 1]
+        scratch += ([pltpu.VMEM((K // 2, G2), mxu_dt)] * 2 if split
+                    else [pltpu.VMEM((K, Gp), mxu_dt)])
+    else:
+        # block-diagonal Xg built XLA-side for batched decode
+        mask = (jnp.arange(K, dtype=jnp.int32)[:, None] // gs
+                == jnp.arange(Gp, dtype=jnp.int32)[None, :])     # [K, Gp]
+        Xg = jnp.where(mask[:, :, None], cx.T[:, None, :],
+                       jnp.zeros((), mxu_dt)).reshape(K, Gp * M).astype(mxu_dt)
+        if split:
+            add(Xg[:K // 2, :G2 * M])
+            add(Xg[K // 2:, G2 * M:])
+        else:
+            add(Xg)
+    if split:
+        for arr in (sc[:, :G2], sc[:, G2:], bs[:, :G2], bs[:, G2:],
+                    xg[:, :G2], xg[:, G2:]):
+            add(arr)
+    else:
+        add(sc, pl.ANY if stream_sb else pltpu.VMEM)
+        add(bs, pl.ANY if stream_sb else pltpu.VMEM)
+        add(xg)
+    add(Rm)
+    if not m1:
+        E2 = (jnp.arange(Gr, dtype=jnp.int32)[:, None]
+              == jnp.arange(Gr * M, dtype=jnp.int32)[None, :] // M
+              ).astype(jnp.bfloat16)
+        add(E2)
+    add(data, pl.ANY)
+
+    TN = TN_
+    NCH = N // TN
+    kern = functools.partial(
+        _pm_kernel, bits=bits, int8_mxu=act8, m1=m1, split=split,
+        stream_sb=stream_sb, gs=gs, K=K, Gp=Gp, M=M, TN=TN, NCH=NCH)
+    out = pl.pallas_call(
+        kern,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K * Gr * M, bytes_accessed=N * Kd + M * N * 4,
+            transcendentals=0),
+    )(*ops)
+    return out.astype(out_dtype)
+
+
+def _pick_tn(N: int, Kd: int = 0) -> int:
+    """Panel row count. TN=512 measured best across gate/down/qkv shapes
+    (larger panels regressed small-K shapes; N-padding at prepare() gives
+    huge-N weights a 512-divisible row count)."""
+    TN = 512
+    while N % TN:
+        TN //= 2
+    return TN
 
 
 @functools.partial(jax.jit, static_argnames=("gs", "K", "act8", "out_dtype"))
 def _qmm_p8(x, data, scales, biases, gs: int, K: int, act8: bool, out_dtype):
-    M = x.shape[0]
-    N = data.shape[0]
-    G = K // gs
-    GM = G * M
-    xf = x.astype(jnp.float32)
-    xg = jnp.sum(xf.reshape(M, G, gs), -1).astype(jnp.bfloat16)  # exact group sums
-    mask = (jnp.arange(K, dtype=jnp.int32)[:, None] // gs
-            == jnp.arange(G, dtype=jnp.int32)[None, :])          # [K, G]
-    if act8:
-        s_x = jnp.max(jnp.abs(xf), axis=1) / 127.0 + 1e-12       # [M]
-        cx = jnp.round(xf / s_x[:, None]).astype(jnp.int8)       # [M, K]
-        Xg = jnp.where(mask[:, :, None], cx.T[:, None, :], 0)
-        Xg = Xg.reshape(K, GM).astype(jnp.int8)
-        rm_vals = s_x
-    else:
-        Xg = jnp.where(mask[:, :, None], x.T.astype(jnp.bfloat16)[:, None, :],
-                       jnp.bfloat16(0)).reshape(K, GM)
-        rm_vals = jnp.ones((M,), jnp.float32)
-    E2 = (jnp.arange(G, dtype=jnp.int32)[:, None]
-          == jnp.arange(GM, dtype=jnp.int32)[None, :] // M).astype(jnp.bfloat16)
-    Rm = jnp.where(
-        (jnp.arange(GM, dtype=jnp.int32)[:, None] % M)
-        == jnp.arange(M, dtype=jnp.int32)[None, :],
-        rm_vals.astype(jnp.float32)[None, :], 0.0)               # [GM, M]
-    TN = 512 if K <= 4096 else 256   # measured best; VMEM-bounded
-    while N % TN:
-        TN //= 2
-    out = pl.pallas_call(
-        functools.partial(_p_kernel, int8_mxu=act8),
-        grid=(N // TN,),
-        in_specs=[
-            pl.BlockSpec((M, G), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, GM), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, K), lambda n: (n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, G), lambda n: (n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, G), lambda n: (n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, GM), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GM, M), lambda n: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((M, TN), lambda n: (0, n),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * N * K * GM, bytes_accessed=N * K + K * GM + M * N * 4,
-            transcendentals=0),
-    )(xg, Xg, data, scales, biases, E2, Rm)
-    return out.astype(out_dtype)
+    return _qmm_p(x, data, scales, biases, gs, K, 8, act8, out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("gs", "K", "act8", "out_dtype"))
+def _qmm_p4(x, data, scales, biases, gs: int, K: int, act8: bool, out_dtype):
+    """4-bit decode matmul via the manual-pipeline P-kernel.
+
+    data: [N, K/2] packed bytes (prepare() layout: byte j = elem[j] |
+    elem[j + K/2] << 4, both nibbles stored as code+8 unsigned)."""
+    return _qmm_p(x, data, scales, biases, gs, K, 4, act8, out_dtype)
 
 
 # ------------------------------------------- VPU dequant kernel (4-bit) -----
@@ -262,6 +527,17 @@ def supported(pqt: PackedQuantizedTensor) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _p_shape_ok(N: int, K: int, gs: int) -> bool:
+    """Shape constraints of the manual-pipeline P-kernel (_qmm_p)."""
+    G = K // gs
+    if G > 128:
+        # split variant: half-K matmuls need 128-aligned half panels and
+        # <= 128 groups per half; scales stay VMEM-resident (split arrays)
+        return (K % (2 * gs) == 0 and (K // 2) % 128 == 0 and G <= 256
+                and N <= _SB_VMEM_MAX_N)
+    return True
+
+
 def quantized_matmul(x: jax.Array, w) -> jax.Array:
     """x [..., K] @ W^T -> [..., N].
 
@@ -274,10 +550,15 @@ def quantized_matmul(x: jax.Array, w) -> jax.Array:
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
     if isinstance(w, PackedQuantizedTensor) and supported(w):
-        if w.bits == 8 and M <= DECODE_M_MAX:
+        N = w.data.shape[0]
+        p_ok = _p_shape_ok(N, K, w.group_size)
+        if w.bits == 8 and M <= DECODE_M_MAX and p_ok:
             y = _qmm_p8(x2, w.data, w.scales, w.biases, w.group_size, K,
                         w.act_bits == 8, x.dtype)
-        elif w.bits == 4 and M <= 64:
+        elif w.bits == 4 and M <= DECODE_M_MAX and w.act_bits == 8 and p_ok:
+            y = _qmm_p4(x2, w.data, w.scales, w.biases, w.group_size, K,
+                        True, x.dtype)
+        elif w.bits == 4 and M <= 64 and w.g_pad == 0 and w.n_pad == 0:
             y = _qmm_vpu(x2, w.data, w.scales, w.biases,
                          w.group_size, w.bits, K, x.dtype)
         else:
@@ -289,4 +570,249 @@ def quantized_matmul(x: jax.Array, w) -> jax.Array:
             w = unpack(w)
         wd = dequantize(w, x.dtype)
         y = jnp.dot(x2, wd.T, preferred_element_type=x.dtype)
-    return y.reshape(*lead, w.shape[0])
+    N_out = w.shape[0] if not isinstance(w, PackedQuantizedTensor) \
+        else w.data.shape[0] - w.n_pad
+    return y[:, :N_out].reshape(*lead, N_out)
+
+# ------------------------------------------ MoE expert weights (gather_qmm) --
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedQuantizedExperts:
+    """Stacked per-expert quantized weights [E, N, K] in kernel layout
+    (reference: QuantizedSwitchLinear + gather_qmm,
+    qwen3-mlx/src/qwen3_moe.rs:304-425, mlx-rs/src/ops/quantization.rs:186).
+    """
+
+    data: jax.Array      # int8 [E, N, K/2] (bits=4) or [E, N, K] (bits=8)
+    scales: jax.Array    # bf16 [E, N, G]
+    biases: jax.Array    # bf16 [E, N, G]
+    group_size: int = dataclasses.field(metadata=dict(static=True), default=64)
+    bits: int = dataclasses.field(metadata=dict(static=True), default=4)
+    in_features: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def shape(self):
+        return (self.data.shape[0], self.data.shape[1], self.in_features)
+
+
+def quantize_experts(w: jax.Array, group_size: int = 64,
+                     bits: int = 4) -> PackedQuantizedExperts:
+    """Quantize stacked expert weights [E, N, K] (load-time)."""
+    from ominix_mlx_tpu.core.quant import quantize_tensor
+
+    qts = [prepare(quantize_tensor(w[e].astype(jnp.float32), group_size,
+                                   bits))
+           for e in range(w.shape[0])]
+    return PackedQuantizedExperts(
+        data=jnp.stack([q.data for q in qts]),
+        scales=jnp.stack([q.scales for q in qts]),
+        biases=jnp.stack([q.biases for q in qts]),
+        group_size=group_size, bits=bits, in_features=w.shape[-1])
+
+
+def experts_from_quantized(qts: list) -> PackedQuantizedExperts:
+    """Stack per-expert QuantizedTensors (from a checkpoint) into the
+    gather_qmm layout."""
+    pts = [prepare(q) if isinstance(q, QuantizedTensor) else q for q in qts]
+    return PackedQuantizedExperts(
+        data=jnp.stack([p.data for p in pts]),
+        scales=jnp.stack([p.scales for p in pts]),
+        biases=jnp.stack([p.biases for p in pts]),
+        group_size=pts[0].group_size, bits=pts[0].bits,
+        in_features=pts[0].in_features)
+
+
+def dequantize_expert(pqe: PackedQuantizedExperts, e) -> jax.Array:
+    """Dequantize ONE expert slab to bf16 [N, K] (prefill scan path)."""
+    data = jax.lax.dynamic_index_in_dim(pqe.data, e, 0, keepdims=False)
+    if pqe.bits == 4:
+        b = data.astype(jnp.int32)
+        codes = jnp.concatenate([(b & 15) - 8, ((b >> 4) & 15) - 8], axis=-1)
+    else:
+        codes = data.astype(jnp.int32)
+    N = data.shape[0]
+    G = pqe.in_features // pqe.group_size
+    s = jax.lax.dynamic_index_in_dim(pqe.scales, e, 0, False).astype(jnp.float32)
+    bi = jax.lax.dynamic_index_in_dim(pqe.biases, e, 0, False).astype(jnp.float32)
+    w = (codes.astype(jnp.float32).reshape(N, G, pqe.group_size)
+         * s[..., None] + bi[..., None])
+    if pqe.bits == 4:
+        # codes were stored centered via the concat above only for bits=8;
+        # 4-bit nibbles come back centered already (see unpack())
+        pass
+    return w.reshape(N, pqe.in_features).astype(jnp.bfloat16)
+
+
+def _gq_kernel(ids_ref, cxT_ref, xg_ref, rm_ref, scales_hbm, biases_hbm,
+               data_hbm, out_ref, dbuf, sbuf, bbuf, dsems, ssems, xg_s, *,
+               bits: int, gs: int, K: int, k: int, TN: int, NCH: int):
+    """Decode-step gather_qmm: ONE token, k selected experts, streaming only
+    their weight slabs. Expert ids come from SMEM; the data panel DMA is
+    double-buffered across the flat (expert, chunk) sequence; per-expert
+    scales/biases slabs are small and are DMA'd whole per expert."""
+    Kc = K // 2
+    G = K // gs
+
+    # block-diagonal Xg from the token's quantized activations (as _pm_kernel)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (K, G), 0) // gs
+    gg = jax.lax.broadcasted_iota(jnp.int32, (K, G), 1)
+    xg_s[...] = jnp.where(kk == gg, cxT_ref[:].astype(jnp.int32),
+                          0).astype(jnp.int8)
+
+    total = k * NCH
+
+    def dma_data(slot, c):
+        j = c // NCH
+        i = jax.lax.rem(c, NCH)
+        e = ids_ref[0, j]
+        return pltpu.make_async_copy(
+            data_hbm.at[e, pl.ds(i * TN, TN)], dbuf.at[slot], dsems.at[slot])
+
+    def dma_sb(jslot, j):
+        e = ids_ref[0, j]
+        return (pltpu.make_async_copy(scales_hbm.at[e], sbuf.at[jslot],
+                                      ssems.at[jslot, 0]),
+                pltpu.make_async_copy(biases_hbm.at[e], bbuf.at[jslot],
+                                      ssems.at[jslot, 1]))
+
+    dma_data(0, 0).start()
+    for op in dma_sb(0, 0):
+        op.start()
+
+    def body(c, _):
+        slot = jax.lax.rem(c, _NBUF)
+        j = c // NCH
+        i = jax.lax.rem(c, NCH)
+        jslot = jax.lax.rem(j, 2)
+
+        @pl.when(c + 1 < total)
+        def _():
+            dma_data(jax.lax.rem(c + 1, _NBUF), c + 1).start()
+
+        # prefetch next expert's scales/biases at its first chunk
+        @pl.when((i == 0) & (j + 1 < k))
+        def _():
+            for op in dma_sb(jax.lax.rem(j + 1, 2), j + 1):
+                op.start()
+
+        dma_data(slot, c).wait()
+
+        @pl.when(i == 0)
+        def _():
+            for op in dma_sb(jslot, j):
+                op.wait()
+
+        blk = dbuf[slot]
+        if bits == 4:
+            b32 = blk.astype(jnp.int32)
+            A = (b32 & 15).astype(jnp.int8)
+            B = ((b32 >> 4) & 15).astype(jnp.int8)
+            P = jax.lax.dot_general(A, xg_s[:Kc], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            P = (P + jax.lax.dot_general(
+                B, xg_s[Kc:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)).astype(jnp.float32)
+        else:
+            P = jax.lax.dot_general(blk, xg_s[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32
+                                    ).astype(jnp.float32)
+        s = sbuf[jslot][pl.ds(i * TN, TN), :].astype(jnp.bfloat16)
+        o = jax.lax.dot_general(rm_ref[:], s.astype(jnp.float32) * P,
+                                (((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [1,TN]
+        b = bbuf[jslot][pl.ds(i * TN, TN), :].astype(jnp.bfloat16)
+        if bits == 4:
+            b = b - jnp.bfloat16(8) * s
+        o = o + jax.lax.dot_general(xg_ref[:], b, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        out_ref[j, pl.ds(i * TN, TN)] = o[0]
+        return ()
+
+    jax.lax.fori_loop(0, total, body, ())
+
+
+@functools.partial(jax.jit, static_argnames=("gs", "K", "bits"))
+def _gather_qmm_decode(x, ids, data, scales, biases, gs: int, K: int,
+                       bits: int):
+    """x [1, K], ids [1, k] -> [k, N] f32 (one output row per expert)."""
+    E, N, Kd = data.shape
+    k = ids.shape[1]
+    G = K // gs
+    xf = x.astype(jnp.float32)
+    xg = jnp.sum(xf.reshape(1, G, gs), -1).astype(jnp.bfloat16)
+    s_x = jnp.max(jnp.abs(xf), axis=1) / 127.0 + 1e-12
+    cx = jnp.round(xf / s_x[:, None]).astype(jnp.int8)
+    Rm = s_x.astype(jnp.float32).reshape(1, 1) * jnp.ones((G, 1), jnp.float32)
+    TN = _pick_tn(N, Kd)
+    NCH = N // TN
+    kern = functools.partial(_gq_kernel, bits=bits, gs=gs, K=K, k=k, TN=TN,
+                             NCH=NCH)
+    out = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ids [1, k]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cxT [K, 1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xg [1, G]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Rm [G, 1]
+            pl.BlockSpec(memory_space=pl.ANY),       # scales [E, N, G]
+            pl.BlockSpec(memory_space=pl.ANY),       # biases [E, N, G]
+            pl.BlockSpec(memory_space=pl.ANY),       # data [E, N, Kd]
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, TN, Kd), jnp.int8),
+            pltpu.VMEM((2, N, G), jnp.bfloat16),
+            pltpu.VMEM((2, N, G), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((K, G), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * N * K * G, bytes_accessed=k * N * Kd + k * N * 4,
+            transcendentals=0),
+    )(ids, cx.T, xg, Rm, scales, biases, data)
+    return out
+
+
+def gather_qmm(x: jax.Array, w: PackedQuantizedExperts,
+               ids: jax.Array) -> jax.Array:
+    """Per-token expert-gathered quantized matmul (reference ``gather_qmm``,
+    mlx-rs/src/ops/quantization.rs:186-226).
+
+    x [T, K], ids [T, k] -> [T, k, N]. On TPU decode (T small) this streams
+    ONLY the selected experts' slabs from HBM via the Pallas kernel; the
+    fallback dequantizes gathered rows (CPU/tests).
+    """
+    T, K = x.shape
+    k = ids.shape[1]
+    E, N, Kd = w.data.shape
+    G = K // w.group_size
+    kernel_ok = (jax.default_backend() == "tpu" and w.bits in (4, 8)
+                 and G <= 128 and Kd % 128 == 0 and N % 128 == 0
+                 and K % (2 * w.group_size) == 0)
+    if kernel_ok:
+        def per_token(xi_idsi):
+            xi, idsi = xi_idsi
+            return _gather_qmm_decode(xi[None], idsi[None], w.data, w.scales,
+                                      w.biases, w.group_size, K, w.bits)
+        if T == 1:
+            out = per_token((x[0], ids[0]))[None]
+        else:
+            out = jax.lax.map(per_token, (x, ids))
+        return out.astype(x.dtype)
+    # fallback: dequantize the gathered rows (memory: T*k slabs in bf16)
+    data = w.data[ids]                               # [T, k, N, Kd]
+    if w.bits == 4:
+        b = data.astype(jnp.int32)
+        codes = jnp.concatenate([(b & 15) - 8, ((b >> 4) & 15) - 8], axis=-1)
+    else:
+        codes = data.astype(jnp.int32)
+    s = w.scales[ids].astype(jnp.float32)            # [T, k, N, G]
+    bi = w.biases[ids].astype(jnp.float32)
+    wd = (codes.astype(jnp.float32).reshape(T, k, N, G, w.group_size)
+          * s[..., None] + bi[..., None]).reshape(T, k, N, K)
+    return jnp.einsum("tknd,td->tkn", wd, x.astype(jnp.float32)).astype(x.dtype)

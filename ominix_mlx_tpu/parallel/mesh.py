@@ -105,12 +105,16 @@ def moe_param_specs(lp_moe: dict) -> dict:
 def cache_specs(cache) -> object:
     """PartitionSpec tree for a ModelCache: shard KV heads on tp, batch on dp."""
     from ominix_mlx_tpu.core.cache import KVCache, ModelCache, RotatingKVCache
+    from ominix_mlx_tpu.models.sparse_attention import SparseKVCache
 
     def layer_spec(lc):
-        if isinstance(lc, (KVCache, RotatingKVCache)):
+        if isinstance(lc, (KVCache, RotatingKVCache, SparseKVCache)):
             kv = P("dp", "tp", None, None)
             if isinstance(lc, RotatingKVCache):
                 return RotatingKVCache(k=kv, v=kv, slot_pos=P(None))
+            if isinstance(lc, SparseKVCache):
+                return SparseKVCache(k=kv, v=kv, comp=kv,
+                                     kernel_size=lc.kernel_size)
             return KVCache(k=kv, v=kv)
         return jax.tree.map(lambda _: P(None), lc)
 

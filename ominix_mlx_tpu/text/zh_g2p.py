@@ -1,0 +1,185 @@
+"""Mandarin G2P: jieba segmentation + pinyin dictionary + tone sandhi +
+erhua, emitting (initial, final+tone) phoneme pairs.
+
+Reference behaviors: gpt-sovits-mlx/src/text/{jieba_seg,g2pw,tone_sandhi,
+erhua}.rs. The char/word -> pinyin table is a runtime asset (like the
+reference's g2pW model dir); jieba itself is the baked-in python package.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+_INITIALS = ["zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l",
+             "g", "k", "h", "j", "q", "x", "r", "z", "c", "s", "y", "w"]
+
+# pinyin-final respellings used by the symbol table (pypinyin Style.TONE3
+# finals to GPT-SoVITS symbol finals)
+_FINAL_FIX = {
+    "ui": "uei", "iu": "iou", "un": "uen", "ue": "ve",
+}
+
+
+class PinyinDict:
+    """word/char -> pinyin list, loaded from a text asset:
+    each line ``word<TAB>py1 py2 ...`` with tone digits (ni3 hao3)."""
+
+    def __init__(self, path: Optional[str] = None,
+                 table: Optional[Dict[str, List[str]]] = None):
+        self.table: Dict[str, List[str]] = dict(table or {})
+        if path and os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                for ln in f:
+                    parts = ln.rstrip("\n").split("\t")
+                    if len(parts) == 2:
+                        self.table[parts[0]] = parts[1].split()
+
+    def lookup(self, word: str) -> Optional[List[str]]:
+        if word in self.table:
+            return self.table[word]
+        # char-by-char fallback
+        out = []
+        for ch in word:
+            py = self.table.get(ch)
+            if not py:
+                return None
+            out.append(py[0])
+        return out if out else None
+
+
+def split_pinyin(py: str) -> Tuple[str, str]:
+    """'zhong1' -> ('zh', 'ong1'). Tone defaults to 5 (neutral)."""
+    tone = "5"
+    if py and py[-1].isdigit():
+        tone = py[-1]
+        py = py[:-1]
+    initial = ""
+    for ini in _INITIALS:
+        if py.startswith(ini):
+            initial = ini
+            py = py[len(ini):]
+            break
+    py = _FINAL_FIX.get(py, py)
+    if py == "i":        # syllabic consonants: zi/ci/si -> ii, zhi -> iii
+        if initial in ("z", "c", "s"):
+            py = "ii"
+        elif initial in ("zh", "ch", "sh", "r"):
+            py = "iii"
+    return initial, py + tone
+
+
+# -------------------------------------------------------------- sandhi ------
+
+def _tone(py: str) -> str:
+    return py[-1] if py and py[-1].isdigit() else "5"
+
+
+def _with_tone(py: str, tone: str) -> str:
+    return (py[:-1] if py and py[-1].isdigit() else py) + tone
+
+
+def tone_sandhi(words: List[Tuple[str, List[str]]]
+                ) -> List[Tuple[str, List[str]]]:
+    """Apply Mandarin tone sandhi per segmented word (reference:
+    tone_sandhi.rs; rules are the standard published ones):
+      - third-tone sandhi: 3 3 -> 2 3 inside a word
+      - 不 (bu4): -> bu2 before tone 4
+      - 一 (yi1): -> yi4 before tones 1/2/3, yi2 before tone 4
+    """
+    out = []
+    flat: List[str] = [py for _, pys in words for py in pys]
+    flat_chars = [ch for w, _ in words for ch in w]
+    gi = 0
+    for w, pys in words:
+        pys = list(pys)
+        for i, ch in enumerate(w):
+            nxt = flat[gi + i + 1] if gi + i + 1 < len(flat) else None
+            if ch == "不":
+                if nxt is not None and _tone(nxt) == "4":
+                    pys[i] = _with_tone(pys[i], "2")
+            elif ch == "一":
+                prev_ch = flat_chars[gi + i - 1] if gi + i > 0 else ""
+                nxt_ch = (flat_chars[gi + i + 1]
+                          if gi + i + 1 < len(flat_chars) else "")
+                if prev_ch.isdigit() or nxt_ch.isdigit():
+                    pass                      # ordinal/counting: keep yi1
+                elif nxt is not None and _tone(nxt) == "4":
+                    pys[i] = _with_tone(pys[i], "2")
+                elif nxt is not None and _tone(nxt) in ("1", "2", "3"):
+                    pys[i] = _with_tone(pys[i], "4")
+        # third-tone sandhi within the word (right-to-left)
+        for i in range(len(pys) - 2, -1, -1):
+            if _tone(pys[i]) == "3" and _tone(pys[i + 1]) == "3":
+                pys[i] = _with_tone(pys[i], "2")
+        out.append((w, pys))
+        gi += len(w)
+    return out
+
+
+def apply_erhua(word: str, pys: List[str]) -> Tuple[str, List[str]]:
+    """Merge trailing 儿 (er) into the previous syllable's final
+    (reference: erhua.rs). Whitelisted words like 儿子 keep the syllable."""
+    keep = {"儿子", "儿童", "女儿", "婴儿", "幼儿", "孤儿"}
+    if (len(word) >= 2 and word.endswith("儿") and word not in keep
+            and len(pys) == len(word)):
+        base = pys[-2]
+        tone = _tone(base)
+        merged = _with_tone(base, "") .rstrip("12345")
+        pys = pys[:-2] + [merged + "r" + tone]
+        word = word[:-1]
+    return word, pys
+
+
+# ---------------------------------------------------------------- main ------
+
+_RE_ZH = re.compile(r"[一-鿿]+")
+
+
+def zh_g2p(text: str, pdict: PinyinDict) -> Tuple[List[str], List[int]]:
+    """Chinese text -> (phoneme symbols, word2ph per input char).
+
+    Pipeline (reference: preprocessor.rs): jieba cut -> pinyin lookup ->
+    tone sandhi -> erhua -> initial/final split.
+    """
+    import jieba
+
+    phones: List[str] = []
+    word2ph: List[int] = []
+    segs = [(w, True) if _RE_ZH.fullmatch(w) else (w, False)
+            for w in jieba.cut(text)]
+    # collect pinyins per zh word
+    words: List[Tuple[str, List[str]]] = []
+    for w, is_zh in segs:
+        if is_zh:
+            pys = pdict.lookup(w)
+            if pys is None:
+                pys = ["a5"] * len(w)     # unknown chars: neutral filler
+            words.append((w, pys))
+        else:
+            words.append((w, []))
+    # sandhi over the zh words only (punctuation breaks context naturally)
+    zh_words = [(w, p) for w, p in words if p]
+    zh_words = tone_sandhi(zh_words)
+    it = iter(zh_words)
+    out_words = [(next(it) if p else (w, p)) for w, p in words]
+
+    for w, pys in out_words:
+        if not pys:
+            for ch in w:
+                if ch.strip():
+                    phones.append(ch if ch in ",.!?-…" else ",")
+                    word2ph.append(1)
+            continue
+        w2, pys = apply_erhua(w, pys)
+        for py in pys:
+            ini, fin = split_pinyin(py)
+            n = 0
+            if ini:
+                phones.append(ini)
+                n += 1
+            phones.append(fin)
+            n += 1
+            word2ph.append(n)
+    return phones, word2ph

@@ -121,3 +121,48 @@ def test_sparse_attention_retrieves_needle_block():
                                   D ** -0.5)
     # attention mass should concentrate on the needle block's value (1.0)
     assert float(out.mean()) > 0.9, float(out.mean())
+
+
+def test_sparse_cache_incremental_compression_matches_recompute():
+    """SparseKVCache maintains compressed keys on append (O(ks) per step);
+    every block fully inside the valid region must equal a full re-pool
+    (reference compresses on append, sparse.rs:115-138)."""
+    from ominix_mlx_tpu.models.sparse_attention import (SparseKVCache,
+                                                        compress_keys)
+    B, Hkv, D, S, ks = 1, 2, 8, 128, 4
+    rng = np.random.default_rng(0)
+    cache = SparseKVCache.init(B, Hkv, S, D, jnp.float32, kernel_size=ks)
+    total = 0
+    # mixed chunk sizes incl. block-misaligned ones
+    for t in (7, 1, 1, 9, 4, 1, 13, 1, 1, 1):
+        k = jnp.asarray(rng.normal(size=(B, Hkv, t, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, Hkv, t, D)), jnp.float32)
+        cache = cache.update(k, v, jnp.int32(total))
+        total += t
+        full = compress_keys(cache.k, ks)
+        nfull = total // ks  # blocks completely covered by valid tokens
+        np.testing.assert_allclose(
+            np.asarray(cache.comp[:, :, :nfull]),
+            np.asarray(full[:, :, :nfull]), rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_decode_same_result_with_incremental_cache():
+    """sparse_decode_attention must give identical output whether compressed
+    keys come from the incremental cache or a full recompute."""
+    from ominix_mlx_tpu.models.sparse_attention import SparseKVCache
+    B, H, Hkv, D, S = 1, 4, 2, 16, 256
+    scfg = SparseConfig(kernel_size=8, block_size=8, init_blocks=1,
+                        window_size=16, topk=2)
+    n = 200
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, n, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, n, D)), jnp.float32)
+    sc = SparseKVCache.init(B, Hkv, S, D, jnp.float32, kernel_size=8)
+    sc = sc.update(k, v, jnp.int32(0))
+    dc = KVCache.init(B, Hkv, S, D, jnp.float32)
+    dc = dc.update(k, v, jnp.int32(0))
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, H, 1, D))
+    got = sparse_decode_attention(q, sc, jnp.int32(n - 1), scfg, D ** -0.5)
+    want = sparse_decode_attention(q, dc, jnp.int32(n - 1), scfg, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

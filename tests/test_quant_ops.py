@@ -18,7 +18,10 @@ def test_prepare_unpack_roundtrip():
         qt = quantize_tensor(w, 64, bits)
         rt = qm.unpack(qm.prepare(qt))
         np.testing.assert_array_equal(np.asarray(rt.q), np.asarray(qt.q))
-        np.testing.assert_array_equal(np.asarray(rt.scales), np.asarray(qt.scales))
+        # prepare() stores bf16 scales (kernels compute S in bf16 anyway)
+        np.testing.assert_array_equal(
+            np.asarray(rt.scales),
+            np.asarray(qt.scales.astype(jnp.bfloat16)))
 
 
 def test_quantized_matmul_fallback_matches_dequant():
@@ -28,8 +31,9 @@ def test_quantized_matmul_fallback_matches_dequant():
         qt = quantize_tensor(w, 64, bits)
         y = qm.quantized_matmul(x, qm.prepare(qt))
         want = x @ dequantize(qt, jnp.float32).T
+        # prepare() keeps bf16 scales; allow the extra rounding vs f32
         np.testing.assert_allclose(np.asarray(y), np.asarray(want),
-                                   rtol=2e-2, atol=2e-2)
+                                   rtol=5e-2, atol=5e-2)
 
 
 def test_gather_rows_matches_dequant_rows():
@@ -79,3 +83,38 @@ def test_quantized_model_forward_close_to_dense():
     # 8-bit group quantization: logits should track within a few percent
     corr = np.corrcoef(np.asarray(l1).ravel(), np.asarray(l2).ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_gather_qmm_fallback_matches_per_expert_dequant():
+    from ominix_mlx_tpu.ops import quant_matmul as qm
+    E, N, K, T, k = 4, 64, 128, 3, 2
+    w = jax.random.normal(jax.random.PRNGKey(0), (E, N, K), jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, K), jnp.float32)
+    ids = jnp.asarray([[0, 2], [1, 3], [2, 2]], jnp.int32)
+    for bits in (4, 8):
+        pqe = qm.quantize_experts(w, 32, bits)
+        got = qm.gather_qmm(x, pqe, ids)                 # [T, k, N]
+        for t in range(T):
+            for j in range(k):
+                wd = qm.dequantize_expert(pqe, ids[t, j]).astype(jnp.float32)
+                want = x[t] @ wd.T
+                np.testing.assert_allclose(np.asarray(got[t, j]),
+                                           np.asarray(want),
+                                           rtol=3e-2, atol=3e-2)
+
+
+def test_moe_block_quantized_matches_dense():
+    from ominix_mlx_tpu.models.moe import (MoEConfig, init_moe_params,
+                                           moe_block, quantize_experts_params)
+    mcfg = MoEConfig(num_experts=4, top_k=2, norm_topk_prob=True,
+                     moe_intermediate_size=64)
+    D = 96
+    lp = init_moe_params(jax.random.PRNGKey(0), D, mcfg, jnp.float32)
+    qlp = quantize_experts_params(lp, 32, 8)
+    for T in (2, 16):   # decode (gather path) and prefill (scan path)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, T, D), jnp.float32)
+        y_dense = moe_block(lp, mcfg, x)
+        y_quant = moe_block(qlp, mcfg, x)
+        corr = np.corrcoef(np.asarray(y_dense).ravel(),
+                           np.asarray(y_quant).ravel())[0, 1]
+        assert corr > 0.995, (T, corr)

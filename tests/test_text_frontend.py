@@ -1,0 +1,106 @@
+"""Golden tests for the text frontend: zh normalization (numbers), pinyin
+split, tone sandhi, erhua, language segmentation, en G2P — the reference's
+text/ test strategy (gpt-sovits-mlx/src/text/) with an embedded mini
+pinyin table standing in for the runtime asset."""
+
+from ominix_mlx_tpu.text import frontend as fe
+from ominix_mlx_tpu.text import normalizer as nz
+from ominix_mlx_tpu.text import zh_g2p as zg
+from ominix_mlx_tpu.text import en_g2p as eg
+from ominix_mlx_tpu.text.symbols import SYMBOLS, symbol_to_id
+
+MINI_PINYIN = {
+    "你": ["ni3"], "好": ["hao3"], "你好": ["ni3", "hao3"],
+    "不": ["bu4"], "是": ["shi4"], "一": ["yi1"], "个": ["ge4"],
+    "天": ["tian1"], "中": ["zhong1"], "国": ["guo2"],
+    "中国": ["zhong1", "guo2"], "花": ["hua1"], "儿": ["er2"],
+    "花儿": ["hua1", "er2"], "儿子": ["er2", "zi3"], "子": ["zi3"],
+    "我": ["wo3"], "很": ["hen3"],
+}
+
+MINI_CMU = {"HELLO": ["HH", "AH0", "L", "OW1"],
+            "WORLD": ["W", "ER1", "L", "D"]}
+
+
+def test_int_to_zh_golden():
+    cases = {0: "零", 7: "七", 10: "十", 14: "十四", 20: "二十",
+             105: "一百零五", 1234: "一千二百三十四",
+             10000: "一万", 100010001: "一亿零一万零一"}
+    for n, want in cases.items():
+        assert nz.int_to_zh(n) == want, (n, nz.int_to_zh(n), want)
+
+
+def test_normalize_zh_numbers_and_punct():
+    assert nz.normalize_zh("我有3个") == "我有三个"
+    assert nz.normalize_zh("价格是2.5元！") == "价格是二点五元!"
+    assert nz.normalize_zh("占50%") == "占百分之五十"
+    assert nz.normalize_zh("1/3的人") == "三分之一的人"
+
+
+def test_split_pinyin():
+    assert zg.split_pinyin("zhong1") == ("zh", "ong1")
+    assert zg.split_pinyin("hao3") == ("h", "ao3")
+    assert zg.split_pinyin("er2") == ("", "er2")
+    assert zg.split_pinyin("liu2") == ("l", "iou2")   # iu -> iou respell
+    assert zg.split_pinyin("zi3") == ("z", "ii3")     # syllabic consonant
+
+
+def test_tone_sandhi_third_tone():
+    words = [("你好", ["ni3", "hao3"])]
+    out = zg.tone_sandhi(words)
+    assert out[0][1] == ["ni2", "hao3"]
+
+
+def test_tone_sandhi_bu_and_yi():
+    out = zg.tone_sandhi([("不", ["bu4"]), ("是", ["shi4"])])
+    assert out[0][1] == ["bu2"]                       # bu4 -> bu2 before 4
+    out = zg.tone_sandhi([("一", ["yi1"]), ("个", ["ge4"])])
+    assert out[0][1] == ["yi2"]                       # yi -> yi2 before 4
+    out = zg.tone_sandhi([("一", ["yi1"]), ("天", ["tian1"])])
+    assert out[0][1] == ["yi4"]                       # yi -> yi4 before 1-3
+
+
+def test_erhua_merge_and_whitelist():
+    w, pys = zg.apply_erhua("花儿", ["hua1", "er2"])
+    assert w == "花" and pys == ["huar1"]
+    w, pys = zg.apply_erhua("儿子", ["er2", "zi3"])
+    assert w == "儿子" and pys == ["er2", "zi3"]      # whitelisted
+
+
+def test_zh_g2p_pipeline():
+    pd = zg.PinyinDict(table=MINI_PINYIN)
+    phones, word2ph = zg.zh_g2p("你好", pd)
+    assert phones == ["n", "i2", "h", "ao3"]
+    assert word2ph == [2, 2]
+    assert sum(word2ph) == len(phones)
+
+
+def test_language_segmentation():
+    segs = fe.segment_languages("hello你好world")
+    assert segs == [("en", "hello"), ("zh", "你好"), ("en", "world")]
+
+
+def test_en_g2p_with_dict_and_fallback():
+    cmu = eg.CMUDict(table=MINI_CMU)
+    assert eg.en_g2p("hello world", cmu) == (
+        ["HH", "AH0", "L", "OW1", "W", "ER1", "L", "D"])
+    # OOV goes through the letter fallback, never fails
+    phones = eg.en_g2p("zorgle", cmu)
+    assert len(phones) > 0
+
+
+def test_frontend_end_to_end_ids():
+    f = fe.TextFrontend(pinyin_table=MINI_PINYIN, cmu_table=MINI_CMU)
+    ids, word2ph = fe.clean_text("hello你好", frontend=f)
+    assert len(ids) == len(MINI_CMU["HELLO"]) + 4
+    assert all(0 <= i < len(SYMBOLS) for i in ids)
+    # zh phones map to their own symbols, not UNK
+    assert ids[-1] == symbol_to_id("ao3")
+    assert ids[-4] != symbol_to_id("UNK")
+
+
+def test_mixed_numbers_in_zh():
+    f = fe.TextFrontend(pinyin_table={**MINI_PINYIN,
+                                      "三": ["san1"], "有": ["you3"]})
+    phones, _ = f.g2p("我有3个")
+    assert "s" in phones and "an1" in phones          # 3 -> 三 -> san1
