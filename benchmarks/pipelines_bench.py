@@ -1,0 +1,199 @@
+"""Non-LLM pipeline benchmarks on the real TPU vs BASELINE.md:
+
+  paraformer ASR        vs 18x real-time        (README.md:583)
+  qwen3-asr 0.6B        vs 50x real-time        (README.md:585)
+  qwen3-tts 1.7B talker vs 35 ms/frame @ 12Hz   (README.md:586)
+  flux-klein 1024px     vs ~5 s/image           (README.md:589)
+
+Random weights (throughput is weight-value independent); real model-sized
+configs. Prints one JSON line per metric. Timing fetches values (the
+device tunnel makes block_until_ready a no-op) and uses min-of-N.
+
+Usage: python benchmarks/pipelines_bench.py [--only paraformer,asr,tts,flux]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timeit(fn, n=4):
+    fn()  # compile + warm
+    return min(min(fn() for _ in range(2)) for _ in range(max(1, n // 2)))
+
+
+def emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 4),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
+          flush=True)
+
+
+def bench_paraformer():
+    from ominix_mlx_tpu.models import paraformer as pf
+
+    cfg = pf.ParaformerConfig()            # Paraformer-large
+    params = pf.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    audio_s = 30.0
+    frames = int(audio_s * 100 / cfg.lfr_n)          # 10ms hop, LFR stride 6
+    feats = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, frames, cfg.input_dim), jnp.bfloat16)
+    run = jax.jit(lambda f: pf.transcribe_logits(params, cfg, f)[0].sum())
+
+    def once():
+        t0 = time.perf_counter()
+        float(run(feats))
+        return time.perf_counter() - t0
+
+    t = _timeit(once)
+    rtf = t / audio_s
+    emit("paraformer_large_rtf", rtf, "rtf(lower=better)",
+         (1 / 18.0) / rtf)                # >1 means faster than reference
+
+
+def bench_qwen3_asr():
+    from ominix_mlx_tpu.models import qwen3_asr as qa
+    from ominix_mlx_tpu.models import base
+
+    ecfg = qa.AudioEncoderConfig()
+    lcfg = base.TransformerConfig(         # Qwen3-0.6B decoder
+        vocab_size=151936, hidden_size=1024, num_layers=28, num_heads=16,
+        num_kv_heads=8, head_dim=128, intermediate_size=3072,
+        use_qk_norm=True, tie_word_embeddings=True)
+    eparams = qa.init_encoder_params(ecfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    lparams = base.init_params(lcfg, jax.random.PRNGKey(1), jnp.bfloat16)
+    audio_s = 30.0
+    n_mel = int(audio_s * 100)                        # 10ms hop
+    C = ecfg.chunk_frames
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (ecfg.num_mel_bins, n_mel + (-n_mel) % C),
+                            jnp.bfloat16)
+    n_dec = 64                                        # ~typical transcript
+
+    @jax.jit
+    def run(mel):
+        feats = qa.encode(eparams, ecfg, mel, n_mel)  # [T', 2048]
+        emb = feats[None, :, :lcfg.hidden_size]       # splice stand-in
+        cache = base.init_cache(lcfg, 1, emb.shape[1] + n_dec + 8,
+                                jnp.bfloat16)
+        logits, cache = base.forward_embeds(lparams, lcfg, emb, cache)
+        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+
+        def step(carry, _):
+            tok, cache = carry
+            lg, cache = base.forward(lparams, lcfg, tok, cache)
+            return (jnp.argmax(lg[:, -1:], -1).astype(jnp.int32), cache), tok
+        (_, _), toks = jax.lax.scan(step, (tok, cache), length=n_dec)
+        return toks.sum()
+
+    def once():
+        t0 = time.perf_counter()
+        float(run(mel))
+        return time.perf_counter() - t0
+
+    t = _timeit(once)
+    rtf = t / audio_s
+    emit("qwen3_asr_0p6b_rtf", rtf, "rtf(lower=better)", (1 / 50.0) / rtf)
+
+
+def bench_qwen3_tts():
+    from ominix_mlx_tpu.models import qwen3_tts as qt
+    from ominix_mlx_tpu.models import base
+    from ominix_mlx_tpu.nn.layers import embedding
+
+    tcfg = qt.TalkerConfig(transformer=base.TransformerConfig(
+        vocab_size=3072, hidden_size=2048, num_layers=28, num_heads=16,
+        num_kv_heads=8, head_dim=128, intermediate_size=6144,
+        use_qk_norm=True))                 # Qwen3-TTS 1.7B talker body
+    tp = qt.init_params(tcfg, jax.random.PRNGKey(0), jnp.bfloat16)
+
+    def frames_loop(n):
+        cache = base.init_cache(tcfg.transformer, 1, n + 16, jnp.bfloat16)
+        codes0 = jnp.full((1, tcfg.num_code_groups), 5, jnp.int32)
+        text_tok = jnp.asarray([tcfg.tts_pad_token_id % 3072], jnp.int32)
+
+        @jax.jit
+        def run(cache, codes):
+            def step(carry, _):
+                codes, cache = carry
+                te = embedding(tp["text_embedding"], text_tok[:, None])
+                te = qt.text_projection(tp["text_projection"], te)
+                c0 = embedding(tp["codec_embedding"], codes[:, :1])
+                rest = sum(tp["code_predictor"]["codec_embeddings"][g]
+                           [codes[:, g + 1]][:, None]
+                           for g in range(tcfg.num_code_groups - 1))
+                emb = te + c0 + rest.astype(te.dtype)
+                logits, hidden, cache = qt.talker_step(tp, tcfg, emb, cache)
+                code0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                c0e = embedding(tp["codec_embedding"], code0[:, None])
+                codes_rest = qt.predict_codes(tp["code_predictor"], tcfg,
+                                              hidden[:, -1:], c0e)
+                codes = jnp.concatenate([code0[:, None], codes_rest], 1)
+                return (codes, cache), code0
+            (_, _), c = jax.lax.scan(step, (codes0, cache), length=n)
+            return c.sum()
+
+        t0 = time.perf_counter()
+        float(run(cache, codes0))
+        return time.perf_counter() - t0
+
+    # difference quotient: per-frame marginal cost
+    f = lambda n: (lambda: frames_loop(n))
+    _timeit(f(16), 2)
+    _timeit(f(64), 2)
+    t16 = _timeit(f(16), 2)
+    t64 = _timeit(f(64), 2)
+    ms_per_frame = (t64 - t16) / (64 - 16) * 1e3
+    emit("qwen3_tts_1p7b_ms_per_frame", ms_per_frame, "ms/frame",
+         35.0 / ms_per_frame)
+
+
+def bench_flux_klein():
+    from ominix_mlx_tpu.models import flux_klein as fk
+    from ominix_mlx_tpu.models.dit import vae
+
+    cfg = fk.FluxKleinConfig()
+    vcfg = vae.VAEConfig()
+    params = fk.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    vparams = vae.init_decoder(vcfg, jax.random.PRNGKey(1), jnp.bfloat16)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 256, cfg.txt_embed_dim),
+                            jnp.bfloat16)
+
+    def once():
+        t0 = time.perf_counter()
+        img = fk.generate_image(params, cfg, vparams, vcfg, txt,
+                                height=1024, width=1024, num_steps=4)
+        float(img[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    t = _timeit(once, 3)
+    emit("flux_klein_1024px_s_per_image", t, "s/image", 5.0 / t)
+
+
+BENCHES = {"paraformer": bench_paraformer, "asr": bench_qwen3_asr,
+           "tts": bench_qwen3_tts, "flux": bench_flux_klein}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="paraformer,asr,tts,flux")
+    args = ap.parse_args()
+    for name in args.only.split(","):
+        try:
+            BENCHES[name]()
+        except Exception as e:
+            print(json.dumps({"metric": name, "error":
+                              f"{type(e).__name__}: {e}"[:300]}), flush=True)
+        jax.clear_caches()
+        import gc
+        gc.collect()
+
+
+if __name__ == "__main__":
+    main()

@@ -343,11 +343,17 @@ class Synthesizer:
 
     def __init__(self, talker_params: dict, tcfg: TalkerConfig,
                  codec_params: Optional[dict] = None,
-                 codec_cfg: Optional[dict] = None):
+                 codec_cfg: Optional[dict] = None,
+                 spk_params: Optional[dict] = None, spk_cfg=None,
+                 speech_enc: Optional[dict] = None, speech_enc_cfg=None):
         self.tp = talker_params
         self.tcfg = tcfg
         self.codec = codec_params
         self.codec_cfg = codec_cfg or {}
+        self.spk_params = spk_params            # ECAPA speaker encoder
+        self.spk_cfg = spk_cfg
+        self.speech_enc = speech_enc            # Mimi-style ref tokenizer
+        self.speech_enc_cfg = speech_enc_cfg
         self._step = jax.jit(self._frame_step, donate_argnums=(1,))
 
     def build_prefill(self, text_tokens: List[int], codec_prefix: List[int],
@@ -444,3 +450,222 @@ class Synthesizer:
         if buf:
             yield self.decode_audio(np.stack(buf)) \
                 if self.codec is not None else np.stack(buf)
+
+    # ------------------------------------------------- voice-clone modes ----
+
+    def encode_speaker(self, mel: jax.Array) -> jax.Array:
+        """Reference mel [T, mel_dim] -> x-vector [hidden] for the SPK slot
+        of the codec prefix (reference: lib.rs:679-689)."""
+        from ominix_mlx_tpu.models import speaker_encoder as se
+        assert self.spk_params is not None, "speaker encoder not loaded"
+        return se.speaker_encoder(self.spk_params, self.spk_cfg,
+                                  mel[None])[0]
+
+    def encode_reference(self, samples: jax.Array) -> np.ndarray:
+        """Reference waveform -> [frames, 16] codec codes for in-context
+        cloning (reference: speech_encoder.rs::encode)."""
+        assert self.speech_enc is not None, "speech encoder not loaded"
+        codes = speech_encode(self.speech_enc, self.speech_enc_cfg,
+                              samples[None])
+        return np.asarray(codes[0])
+
+    def generate_frames_clone(self, ref_text_tokens: List[int],
+                              text_tokens: List[int],
+                              ref_codes: np.ndarray,
+                              spk_embed: Optional[jax.Array] = None,
+                              codec_prefix: Optional[List[int]] = None,
+                              max_frames: int = 600) -> Iterator[np.ndarray]:
+        """In-context voice cloning (reference: generate_voice_clone,
+        generate.rs): text = ref_text + target_text; the reference audio's
+        codec frames are teacher-forced before free generation."""
+        tcfg = self.tcfg
+        full_text = list(ref_text_tokens) + list(text_tokens)
+        codec_prefix = codec_prefix or [tcfg.codec_pad_id] * 4
+        n_ref = int(ref_codes.shape[0])
+        cache = base.init_cache(
+            tcfg.transformer, 1,
+            len(codec_prefix) + 2 + n_ref + max_frames + 8, jnp.bfloat16)
+        emb = self.build_prefill(full_text, codec_prefix,
+                                 spk_embed=spk_embed)
+        _, _, cache = jax.jit(talker_step, static_argnames=("tcfg",))(
+            self.tp, tcfg, emb, cache)
+        text_pos = 1
+        # teacher-force the reference frames (codec prompt replay)
+        codes = jnp.asarray(ref_codes[0], jnp.int32)[None]
+        for f in range(1, n_ref):
+            tok = (full_text[text_pos] if text_pos < len(full_text)
+                   else tcfg.tts_pad_token_id)
+            text_pos += 1
+            _, cache = self._step(self.tp, cache, codes,
+                                  jnp.asarray([tok], jnp.int32))
+            codes = jnp.asarray(ref_codes[f], jnp.int32)[None]
+        # free-run generation continues from the reference context
+        for f in range(max_frames):
+            tok = (full_text[text_pos] if text_pos < len(full_text)
+                   else tcfg.tts_pad_token_id)
+            text_pos += 1
+            codes, cache = self._step(self.tp, cache, codes,
+                                      jnp.asarray([tok], jnp.int32))
+            c = np.asarray(codes[0])
+            if int(c[0]) == tcfg.codec_eos_id:
+                break
+            yield c
+
+    def synthesize_voice_clone(self, ref_text_tokens: List[int],
+                               text_tokens: List[int],
+                               ref_mel: Optional[jax.Array] = None,
+                               ref_samples: Optional[jax.Array] = None,
+                               ref_codes: Optional[np.ndarray] = None,
+                               spk_embed: Optional[jax.Array] = None,
+                               max_frames: int = 600) -> GenerationResult:
+        """Clone facade (reference: synthesize_voice_clone, lib.rs:615):
+        speaker x-vector + reference codec replay + target text."""
+        if spk_embed is None and ref_mel is not None:
+            spk_embed = self.encode_speaker(ref_mel)
+        if ref_codes is None:
+            assert ref_samples is not None, "need ref_codes or ref_samples"
+            ref_codes = self.encode_reference(ref_samples)
+        frames = list(self.generate_frames_clone(
+            ref_text_tokens, text_tokens, ref_codes, spk_embed,
+            max_frames=max_frames))
+        codes = np.stack(frames) if frames else np.zeros((0, 16), np.int32)
+        return GenerationResult(codes=codes, frames=len(frames))
+
+    def synthesize_voice_clone_instruct(self, ref_text_tokens, text_tokens,
+                                        instruct_tokens: List[int],
+                                        **kw) -> GenerationResult:
+        """Clone + instruction: the instruct text prepends the target text
+        (reference: generate_voice_clone_instruct)."""
+        return self.synthesize_voice_clone(
+            ref_text_tokens, list(instruct_tokens) + list(text_tokens), **kw)
+
+
+
+# ------------------------------------------------------------------ MRoPE ---
+
+def apply_mrope_tts(x: jax.Array, offset, temporal_section: int,
+                    base: float = 1e6) -> jax.Array:
+    """Temporal-only MRoPE with interleaved (traditional) rotation
+    (reference: mrope.rs:23-110): the first ``temporal_section`` frequency
+    pairs rotate with the temporal position, the rest are identity.
+
+    x: [B, H, L, head_dim]."""
+    B, H, L, hd = x.shape
+    half = hd // 2
+    inv_freq = 1.0 / (base ** (jnp.arange(temporal_section,
+                                          dtype=jnp.float32) * 2.0 / hd))
+    pos = offset + jnp.arange(L, dtype=jnp.float32)
+    ang = pos[:, None] * inv_freq[None, :]                # [L, ts]
+    cos = jnp.concatenate(
+        [jnp.cos(ang), jnp.ones((L, half - temporal_section))], -1)
+    sin = jnp.concatenate(
+        [jnp.sin(ang), jnp.zeros((L, half - temporal_section))], -1)
+    xf = x.astype(jnp.float32).reshape(B, H, L, half, 2)
+    x0, x1 = xf[..., 0], xf[..., 1]                       # interleaved pairs
+    r0 = x0 * cos - x1 * sin
+    r1 = x0 * sin + x1 * cos
+    return jnp.stack([r0, r1], -1).reshape(B, H, L, hd).astype(x.dtype)
+
+
+# ------------------------------------------------- speech encoder (clone) ---
+#
+# Mimi-style encoder (reference: speech_encoder.rs:1-470: "SEANet Conv
+# Encoder -> Transformer -> Downsample -> RVQ"): turns reference audio into
+# the same 16-codebook frame codes the talker consumes, enabling in-context
+# voice cloning (the codec prompt replays the reference speech).
+
+def _enc_res_block(p: dict, x: jax.Array) -> jax.Array:
+    h = jax.nn.elu(x)
+    h = causal_conv1d(p["conv1"], h)                      # C -> C/2, k=3
+    h = jax.nn.elu(h)
+    h = causal_conv1d(p["conv2"], h)                      # C/2 -> C, k=1
+    if "shortcut" in p:
+        x = causal_conv1d(p["shortcut"], x)
+    return x + h
+
+
+def _strided_conv(p: dict, x: jax.Array, stride: int) -> jax.Array:
+    """Causal strided downsampling conv."""
+    k = p["w"].shape[1]
+    x = jnp.pad(x, ((0, 0), (k - stride, 0), (0, 0)))
+    from ominix_mlx_tpu.nn.layers import conv1d as _c
+    return _c(p, x, stride=stride)
+
+
+def rvq_encode(codebook: jax.Array, x: jax.Array) -> jax.Array:
+    """Nearest-neighbor code assignment: [B, T, D] -> [B, T] ids."""
+    d = (jnp.sum(x * x, -1, keepdims=True)
+         - 2.0 * jnp.einsum("btd,vd->btv", x, codebook)
+         + jnp.sum(codebook * codebook, -1)[None, None])
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def speech_encode(enc: dict, cfg: dict, samples: jax.Array) -> jax.Array:
+    """samples [B, T] -> frame codes [B, frames, 16] (split RVQ: 1 semantic
+    + 15 acoustic residual codebooks, speech_encoder.rs:306-360)."""
+    x = samples[..., None]                                # [B, T, 1]
+    x = causal_conv1d(enc["init_conv"], x)
+    for blk, s in zip(enc["blocks"], cfg["enc_strides"]):
+        x = _enc_res_block(blk["res"], x)
+        x = jax.nn.elu(x)
+        x = _strided_conv(blk["down"], x, s)
+    x = causal_conv1d(enc["final_conv"], x)
+    # transformer over frames
+    tcfg = enc["_tcfg"]
+    cache = base.init_cache(tcfg, x.shape[0], x.shape[1], x.dtype)
+    h = x
+    from ominix_mlx_tpu.core.attention import causal_mask
+    mask = causal_mask(h.shape[1], h.shape[1], jnp.zeros((), jnp.int32))
+    rope = tcfg.rope()
+    for lp in enc["transformer_layers"]:
+        h, _ = base.decoder_layer(lp, tcfg, h, cache.layers[0],
+                                  jnp.zeros((), jnp.int32), mask, rope)
+    x = h
+    x = _strided_conv(enc["downsample"], x, 2)            # frame-rate halve
+    # split RVQ encode: semantic (cb 0) + residual acoustic (cbs 1..15)
+    sem_in = causal_conv1d(enc["semantic_input_proj"], x)
+    c0 = rvq_encode(enc["semantic_codebook"], sem_in)
+    ac_in = causal_conv1d(enc["acoustic_input_proj"], x)
+    resid = ac_in
+    codes = [c0]
+    for cb in enc["acoustic_codebooks"]:
+        ci = rvq_encode(cb, resid)
+        resid = resid - cb[ci]
+        codes.append(ci)
+    return jnp.stack(codes, axis=-1)                      # [B, frames, 16]
+
+
+def init_speech_encoder(key, dim: int = 32, enc_strides=(2, 2),
+                        n_transformer: int = 1, num_heads: int = 4,
+                        codec_vocab: int = 64, dtype=jnp.float32):
+    """Random-init speech encoder + static cfg (tests / structure)."""
+    ks = iter(jax.random.split(key, 200))
+
+    def cconv(cin, cout, k):
+        return {"w": jax.random.normal(next(ks), (cout, k, cin), dtype) * 0.05,
+                "b": jnp.zeros((cout,), dtype)}
+
+    tcfg = TransformerConfig(
+        vocab_size=1, hidden_size=dim, num_layers=1, num_heads=num_heads,
+        num_kv_heads=num_heads, head_dim=dim // num_heads,
+        intermediate_size=2 * dim)
+    enc = {
+        "init_conv": cconv(1, dim, 7),
+        "blocks": [{"res": {"conv1": cconv(dim, dim // 2, 3),
+                            "conv2": cconv(dim // 2, dim, 1)},
+                    "down": cconv(dim, dim, 2 * s)} for s in enc_strides],
+        "final_conv": cconv(dim, dim, 3),
+        "transformer_layers": [
+            base.init_params(tcfg, next(ks), dtype)["layers"][0]
+            for _ in range(n_transformer)],
+        "downsample": cconv(dim, dim, 4),
+        "semantic_input_proj": cconv(dim, dim, 1),
+        "acoustic_input_proj": cconv(dim, dim, 1),
+        "semantic_codebook": jax.random.normal(next(ks), (codec_vocab, dim),
+                                               dtype) * 0.1,
+        "acoustic_codebooks": [
+            jax.random.normal(next(ks), (codec_vocab, dim), dtype) * 0.1
+            for _ in range(15)],
+        "_tcfg": tcfg,
+    }
+    return enc, {"enc_strides": tuple(enc_strides)}

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ominix_mlx_tpu.models import qwen3_tts as tts
+from ominix_mlx_tpu.models import qwen3_tts as qt
 from ominix_mlx_tpu.models.base import TransformerConfig
 
 TINY = tts.TalkerConfig(
@@ -85,3 +86,61 @@ def test_streaming_session_chunks():
     if chunks:  # random model may emit EOS immediately
         total = sum(len(c) for c in chunks)
         assert total % 8 == 0  # upsample factor 8 per frame
+
+
+def test_speaker_encoder_xvector_shape_and_padding_invariance():
+    from ominix_mlx_tpu.models import speaker_encoder as se
+    cfg = se.SpeakerEncoderConfig(
+        mel_dim=16, enc_dim=32, enc_channels=(24, 24, 24, 24, 48),
+        enc_kernel_sizes=(5, 3, 3, 3, 1), enc_dilations=(1, 2, 3, 4, 1),
+        enc_attention_channels=8, enc_res2net_scale=4, enc_se_channels=8)
+    p = se.init_params(cfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 40, 16))
+    v = se.speaker_encoder(p, cfg, mel)
+    assert v.shape == (2, 32)
+    assert np.isfinite(np.asarray(v)).all()
+    # a longer reference should give a different (but finite) vector
+    mel2 = jnp.concatenate([mel, mel], axis=1)
+    v2 = se.speaker_encoder(p, cfg, mel2)
+    assert v2.shape == (2, 32)
+
+
+def test_mrope_temporal_only_rotation():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 16))
+    y = qt.apply_mrope_tts(x, 0, temporal_section=4)
+    # identity at position 0 (cos=1, sin=0 everywhere)
+    np.testing.assert_allclose(np.asarray(y[:, :, 0]),
+                               np.asarray(x[:, :, 0]), rtol=1e-5, atol=1e-5)
+    y5 = qt.apply_mrope_tts(x, 5, temporal_section=4)
+    # non-temporal pairs (beyond section) never rotate
+    np.testing.assert_allclose(np.asarray(y5[..., 8:]),
+                               np.asarray(x[..., 8:]), rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(y5[..., :8]), np.asarray(x[..., :8]))
+
+
+def test_speech_encoder_codes_shape():
+    enc, ecfg = qt.init_speech_encoder(jax.random.PRNGKey(0), dim=16,
+                                       enc_strides=(2, 2), codec_vocab=32)
+    samples = jax.random.normal(jax.random.PRNGKey(1), (1, 64))
+    codes = qt.speech_encode(enc, ecfg, samples)
+    assert codes.shape[0] == 1 and codes.shape[2] == 16
+    assert codes.shape[1] == 64 // (2 * 2 * 2)   # strides 2,2 + downsample 2
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 32).all()
+
+
+def test_voice_clone_generation_runs():
+    tcfg = qt.TalkerConfig(transformer=TransformerConfig(
+        vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+        num_kv_heads=2, head_dim=16, intermediate_size=48),
+        codec_vocab_size=32, codec_head_size=40, text_vocab_size=128,
+        text_embed_dim=16, cp_hidden=16, cp_layers=1, cp_heads=2,
+        codec_eos_id=33, codec_pad_id=34, codec_bos_id=35,
+        tts_pad_token_id=100)
+    tp = qt.init_params(tcfg, jax.random.PRNGKey(0))
+    syn = qt.Synthesizer(tp, tcfg)
+    ref_codes = np.random.default_rng(0).integers(0, 31, (3, 16))
+    res = syn.synthesize_voice_clone(
+        ref_text_tokens=[5, 9], text_tokens=[11, 3, 7],
+        ref_codes=ref_codes, max_frames=4)
+    assert res.codes.shape[1] == 16 if res.frames else res.frames == 0
+    assert res.frames <= 4
