@@ -132,3 +132,167 @@ def init_adaptor(acfg: AdaptorConfig, key, dtype=jnp.float32) -> dict:
         } for _ in range(acfg.layers)],
         "proj_out": init_linear(next(ks), h, acfg.out_dim, True, dtype),
     }
+
+
+# ------------------------------------------------ checkpoint name mapping ---
+
+def map_checkpoint_key(key: str) -> str:
+    """Normalize on-disk tensor names to the canonical layout this module
+    loads (behavior of the reference's map_safetensors_key,
+    funasr-nano-mlx/src/model.rs:349-375): encoder attention/ffn aliases
+    collapse onto the SAN-M names; LLM aliases onto HF Qwen names."""
+    k = key
+    k = k.replace(".attn.qkv.", ".self_attn.linear_q_k_v.")
+    k = k.replace(".attn.out.", ".self_attn.linear_out.")
+    k = k.replace(".attn.fsmn.", ".self_attn.fsmn.")
+    k = k.replace(".ffn.w1.", ".feed_forward.w_1.")
+    k = k.replace(".ffn.w2.", ".feed_forward.w_2.")
+    k = k.replace(".attn.q_proj.", ".self_attn.q_proj.")
+    k = k.replace(".attn.k_proj.", ".self_attn.k_proj.")
+    k = k.replace(".attn.v_proj.", ".self_attn.v_proj.")
+    k = k.replace(".attn.o_proj.", ".self_attn.o_proj.")
+    k = k.replace(".attn.q_norm.", ".self_attn.q_norm.")
+    k = k.replace(".attn.k_norm.", ".self_attn.k_norm.")
+    return k
+
+
+def encoder_params_from_flat(flat: dict,
+                             cfg: paraformer.ParaformerConfig) -> dict:
+    """SenseVoice/SAN-M encoder weights -> paraformer.encode param tree.
+
+    On-disk names (FunASR conventions): ``encoder.encoders0.0`` is the
+    input-dim layer, ``encoder.encoders.N`` the rest; each layer carries
+    self_attn.linear_q_k_v / linear_out / fsmn_block.weight,
+    feed_forward.w_1 / w_2, norm1 / norm2; final ``encoder.after_norm``."""
+    def lin(name):
+        p = {"w": jnp.asarray(flat[f"{name}.weight"])}
+        if f"{name}.bias" in flat:
+            p["b"] = jnp.asarray(flat[f"{name}.bias"])
+        return p
+
+    def norm(name):
+        return {"w": jnp.asarray(flat[f"{name}.weight"]),
+                "b": jnp.asarray(flat[f"{name}.bias"])}
+
+    def layer(prefix):
+        fsmn_w = jnp.asarray(flat[f"{prefix}.self_attn.fsmn_block.weight"])
+        if fsmn_w.ndim == 3 and fsmn_w.shape[-1] == 1:
+            pass                                   # already [C, K, 1]
+        elif fsmn_w.ndim == 3:                     # torch [C, 1, K]
+            fsmn_w = jnp.transpose(fsmn_w, (0, 2, 1))
+        return {
+            "norm1": norm(f"{prefix}.norm1"),
+            "norm2": norm(f"{prefix}.norm2"),
+            "self_attn": {
+                "linear_q_k_v": lin(f"{prefix}.self_attn.linear_q_k_v"),
+                "out_proj": lin(f"{prefix}.self_attn.linear_out"),
+                "fsmn_block": {"w": fsmn_w},
+            },
+            "ffn_up": lin(f"{prefix}.feed_forward.w_1"),
+            "ffn_down": lin(f"{prefix}.feed_forward.w_2"),
+        }
+
+    return {
+        "first_layer": layer("encoder.encoders0.0"),
+        "layers": [layer(f"encoder.encoders.{i}")
+                   for i in range(cfg.encoder_layers - 1)],
+        "after_norm": norm("encoder.after_norm"),
+    }
+
+
+def adaptor_params_from_flat(flat: dict, acfg: AdaptorConfig) -> dict:
+    """Adaptor weights (``adaptor.*``): linear1/blocks.N/linear2 layout."""
+    def lin(name):
+        p = {"w": jnp.asarray(flat[f"{name}.weight"])}
+        if f"{name}.bias" in flat:
+            p["b"] = jnp.asarray(flat[f"{name}.bias"])
+        return p
+
+    def norm(name):
+        return {"w": jnp.asarray(flat[f"{name}.weight"]),
+                "b": jnp.asarray(flat[f"{name}.bias"])}
+
+    return {
+        "proj_in": lin("adaptor.linear1"),
+        "layers": [{
+            "norm1": norm(f"adaptor.blocks.{i}.norm1"),
+            "norm2": norm(f"adaptor.blocks.{i}.norm2"),
+            "q": lin(f"adaptor.blocks.{i}.self_attn.q_proj"),
+            "k": lin(f"adaptor.blocks.{i}.self_attn.k_proj"),
+            "v": lin(f"adaptor.blocks.{i}.self_attn.v_proj"),
+            "o": lin(f"adaptor.blocks.{i}.self_attn.o_proj"),
+            "fc1": lin(f"adaptor.blocks.{i}.fc1"),
+            "fc2": lin(f"adaptor.blocks.{i}.fc2"),
+        } for i in range(acfg.layers)],
+        "proj_out": lin("adaptor.linear2"),
+    }
+
+
+def load_model(model_dir: str):
+    """Assemble a FunASRNano from a converted checkpoint directory:
+    encoder.* + adaptor.* + llm.* (Qwen3) tensors in safetensors
+    (reference: model.rs:300-380)."""
+    from ominix_mlx_tpu.utils.loading import load_config, load_safetensors
+
+    raw = load_config(model_dir)
+    flat = {map_checkpoint_key(k): v
+            for k, v in load_safetensors(model_dir).items()}
+    enc_cfg = paraformer.ParaformerConfig(
+        encoder_layers=raw.get("audio_encoder_conf", {}).get("num_blocks", 50))
+    acfg = AdaptorConfig(
+        in_dim=enc_cfg.encoder_dim,
+        out_dim=raw.get("adaptor_conf", {}).get("llm_dim", 1024))
+    lm_cfg = TransformerConfig.from_hf(raw.get("llm_conf", raw))
+    llm_flat = {k[len("llm."):]: v for k, v in flat.items()
+                if k.startswith("llm.")}
+    lm_params = base.params_from_flat(llm_flat, lm_cfg)
+    return FunASRNano(
+        enc_params=encoder_params_from_flat(flat, enc_cfg), enc_cfg=enc_cfg,
+        adaptor_params=adaptor_params_from_flat(flat, acfg), adaptor_cfg=acfg,
+        lm_params=lm_params, lm_cfg=lm_cfg)
+
+
+# ------------------------------------------------------------ long audio ----
+
+def chunk_ranges(n_samples: int, sample_rate: int, chunk_secs: float,
+                 overlap_secs: float = 0.0):
+    """Chunk boundaries for long audio (reference behavior:
+    funasr-qwen4b-mlx/src/model.rs:496-515): fixed-size chunks with
+    optional overlap; trailing chunks shorter than 100ms are dropped."""
+    chunk = int(chunk_secs * sample_rate)
+    overlap = int(overlap_secs * sample_rate)
+    step = chunk if overlap >= chunk else chunk - overlap
+    out = []
+    start = 0
+    while start < n_samples:
+        end = min(start + chunk, n_samples)
+        if end - start < sample_rate // 10:
+            break
+        out.append((start, end))
+        start += step
+    return out
+
+
+def transcribe_long_tokens(model: FunASRNano, samples, sample_rate: int,
+                           prompt_prefix: List[int], prompt_suffix: List[int],
+                           chunk_secs: float = 30.0,
+                           overlap_secs: float = 0.0,
+                           max_tokens: int = 256, stop_tokens=()) -> List[List[int]]:
+    """Chunked long-audio transcription (reference: transcribe_long /
+    translate_long, model.rs:388-459). Returns per-chunk token lists; the
+    caller detokenizes and joins (zh uses no separator, en a space)."""
+    import numpy as np
+
+    from ominix_mlx_tpu.audio.dsp import apply_lfr, log_mel_spectrogram
+
+    samples = np.asarray(samples, np.float32)
+    outs = []
+    for (s, e) in chunk_ranges(len(samples), sample_rate, chunk_secs,
+                               overlap_secs):
+        mel = log_mel_spectrogram(jnp.asarray(samples[s:e]), 400, 160,
+                                  model.enc_cfg.n_mels, sample_rate)
+        feats = apply_lfr(mel, model.enc_cfg.lfr_m, model.enc_cfg.lfr_n)
+        outs.append(model.transcribe_tokens(
+            feats[None], prompt_prefix, prompt_suffix,
+            max_tokens=max_tokens, stop_tokens=stop_tokens))
+    return outs

@@ -154,3 +154,139 @@ class Pipeline:
         wav = hifigan.vocode(self.hifi_params, self.hifi_cfg,
                              mel.astype(jnp.float32))
         return np.asarray(wav[0], np.float32)
+
+
+# ----------------------------------------------------------- S3 tokenizer ---
+#
+# Speech -> discrete 25Hz codes, the INPUT side of speech-to-speech
+# (reference: step-audio2-mlx/src/tts/s3tokenizer_mlx.rs, 580 LoC):
+# mel 128 -> two k=3 convs (gelu) -> 6 FSMN-attention blocks (depthwise
+# temporal-memory conv on V) -> linear to an 8-dim latent -> 81-level
+# scalar quantization, code = d0*81 + d1 (codebook 6561).
+
+@dataclasses.dataclass(frozen=True)
+class S3Config:
+    """Defaults: s3tokenizer_mlx.rs:59-70."""
+    mel_dim: int = 128
+    hidden_dim: int = 1280
+    ffn_dim: int = 5120
+    num_heads: int = 8
+    num_blocks: int = 6
+    fsmn_kernel_size: int = 31
+    output_dim: int = 8
+    quant_levels: int = 81
+
+
+def _s3_fsmn(p: dict, v: jax.Array, k: int) -> jax.Array:
+    """Depthwise temporal-memory conv added to V (FSMN)."""
+    from ominix_mlx_tpu.nn.layers import conv1d
+    C = v.shape[-1]
+    return v + conv1d(p, v, padding=(k - 1) // 2, groups=C)
+
+
+def _s3_block(p: dict, cfg: S3Config, x: jax.Array) -> jax.Array:
+    from ominix_mlx_tpu.nn.layers import layer_norm, linear
+    B, T, C = x.shape
+    H = cfg.num_heads
+    hd = C // H
+    h = layer_norm(p["norm1"], x)
+    q = linear(p["q_proj"], h).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    k = linear(p["k_proj"], h).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    v0 = linear(p["v_proj"], h)
+    v0 = _s3_fsmn(p["fsmn"], v0, cfg.fsmn_kernel_size)
+    v = v0.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    a = jax.nn.softmax(
+        jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd ** -0.5, -1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, T, C)
+    x = x + linear(p["out_proj"], o)
+    h = layer_norm(p["norm2"], x)
+    h = jax.nn.gelu(linear(p["ffn_up"], h))
+    return x + linear(p["ffn_down"], h)
+
+
+def s3_encode(params: dict, cfg: S3Config, mel: jax.Array) -> jax.Array:
+    """mel [B, T, 128] -> codes [B, T'] in [0, 6560]
+    (reference encode + quantize, s3tokenizer_mlx.rs:440-520)."""
+    from ominix_mlx_tpu.nn.layers import conv1d, linear
+    h = jax.nn.gelu(conv1d(params["input_conv1"], mel, padding=1))
+    h = jax.nn.gelu(conv1d(params["input_conv2"], h, stride=2, padding=1))
+    for bp in params["blocks"]:
+        h = _s3_block(bp, cfg, h)
+    latent = linear(params["output_proj"], h)             # [B, T', 8]
+    lv = (cfg.quant_levels - 1) / 2.0                     # 40
+    q = jnp.round(jnp.clip(latent, -1.0, 1.0) * lv)
+    idx = (q + lv).astype(jnp.int32)                      # [0, 80]
+    codes = idx[..., 0] * cfg.quant_levels + idx[..., 1]
+    return jnp.clip(codes, 0, cfg.quant_levels ** 2 - 1)
+
+
+def init_s3(cfg: S3Config, key, dtype=jnp.float32) -> dict:
+    from ominix_mlx_tpu.nn.layers import init_linear
+    ks = iter(jax.random.split(key, 12 * cfg.num_blocks + 8))
+
+    def cconv(cin, cout, k, groups=1):
+        s = (cin * k / groups) ** -0.5
+        return {"w": jax.random.uniform(next(ks), (cout, k, cin // groups),
+                                        dtype, -s, s),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def norm(d):
+        return {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+
+    D = cfg.hidden_dim
+    return {
+        "input_conv1": cconv(cfg.mel_dim, D, 3),
+        "input_conv2": cconv(D, D, 3),
+        "blocks": [{
+            "norm1": norm(D), "norm2": norm(D),
+            "q_proj": init_linear(next(ks), D, D, True, dtype),
+            "k_proj": init_linear(next(ks), D, D, False, dtype),
+            "v_proj": init_linear(next(ks), D, D, True, dtype),
+            "fsmn": cconv(D, D, cfg.fsmn_kernel_size, groups=D),
+            "out_proj": init_linear(next(ks), D, D, True, dtype),
+            "ffn_up": init_linear(next(ks), D, cfg.ffn_dim, True, dtype),
+            "ffn_down": init_linear(next(ks), cfg.ffn_dim, D, True, dtype),
+        } for _ in range(cfg.num_blocks)],
+        "output_proj": init_linear(next(ks), D, cfg.output_dim, True, dtype),
+    }
+
+
+def s3_params_from_flat(flat: dict, cfg: S3Config) -> dict:
+    """Checkpoint name map (reference: load_weights name pairs,
+    s3tokenizer_mlx.rs:345-415). Conv weights arrive torch [out, in, k]."""
+    def conv(name, groups=1):
+        w = jnp.asarray(flat[f"{name}.weight"])
+        p = {"w": jnp.transpose(w, (0, 2, 1))}
+        if f"{name}.bias" in flat:
+            p["b"] = jnp.asarray(flat[f"{name}.bias"])
+        return p
+
+    def lin(name, bias=True):
+        p = {"w": jnp.asarray(flat[f"{name}.weight"])}
+        if bias and f"{name}.bias" in flat:
+            p["b"] = jnp.asarray(flat[f"{name}.bias"])
+        return p
+
+    def norm(name):
+        return {"w": jnp.asarray(flat[f"{name}.weight"]),
+                "b": jnp.asarray(flat[f"{name}.bias"])}
+
+    return {
+        "input_conv1": conv("input_conv1"),
+        "input_conv2": conv("input_conv2"),
+        "blocks": [{
+            "norm1": norm(f"blocks.{i}.norm1"),
+            "norm2": norm(f"blocks.{i}.norm2"),
+            "q_proj": lin(f"blocks.{i}.attn.q_proj"),
+            "k_proj": lin(f"blocks.{i}.attn.k_proj", bias=False),
+            "v_proj": lin(f"blocks.{i}.attn.v_proj"),
+            "fsmn": conv(f"blocks.{i}.attn.fsmn.weight"
+                         if f"blocks.{i}.attn.fsmn.weight.weight" in flat
+                         else f"blocks.{i}.attn.fsmn"),
+            "out_proj": lin(f"blocks.{i}.attn.out_proj"),
+            "ffn_up": lin(f"blocks.{i}.ffn.up_proj"),
+            "ffn_down": lin(f"blocks.{i}.ffn.down_proj"),
+        } for i in range(cfg.num_blocks)],
+        "output_proj": lin("output_proj"),
+    }

@@ -142,3 +142,89 @@ def test_bert_hf_parity():
         want = hf(torch.tensor(toks)).last_hidden_state.numpy()
     got = bert.encode(params, cfg, jnp.asarray(toks))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_s3_tokenizer_encode():
+    """S3 tokenizer: mel -> 25Hz discrete codes (reference
+    s3tokenizer_mlx.rs); codes in [0, levels^2)."""
+    scfg = step_audio2.S3Config(mel_dim=16, hidden_dim=32, ffn_dim=64,
+                                num_heads=4, num_blocks=2,
+                                fsmn_kernel_size=5, output_dim=8,
+                                quant_levels=81)
+    p = step_audio2.init_s3(scfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 20, 16))
+    codes = step_audio2.s3_encode(p, scfg, mel)
+    assert codes.shape == (1, 10)                 # stride-2 subsample
+    c = np.asarray(codes)
+    assert (c >= 0).all() and (c < 81 * 81).all()
+
+
+def test_s3_quantization_is_deterministic_and_bounded():
+    scfg = step_audio2.S3Config(mel_dim=8, hidden_dim=16, ffn_dim=32,
+                                num_heads=2, num_blocks=1,
+                                fsmn_kernel_size=3)
+    p = step_audio2.init_s3(scfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8)) * 10
+    c1 = step_audio2.s3_encode(p, scfg, mel)
+    c2 = step_audio2.s3_encode(p, scfg, mel)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_funasr_checkpoint_name_maps_roundtrip():
+    """Build a flat dict with the on-disk names and check the loader
+    reproduces a tree the forward pass accepts (seam test for real
+    checkpoints, reference model.rs:349-375)."""
+    cfg = funasr_nano.paraformer.ParaformerConfig(
+        n_mels=8, lfr_m=1, lfr_n=1, encoder_dim=16, encoder_layers=2,
+        encoder_heads=2, encoder_ffn_dim=32, sanm_kernel_size=3,
+        decoder_dim=16, decoder_layers=1, decoder_ffn_dim=32, vocab_size=32)
+    rng = np.random.default_rng(0)
+
+    def lin(d_in, d_out):
+        return {"weight": jnp.asarray(rng.normal(size=(d_out, d_in)),
+                                      jnp.float32),
+                "bias": jnp.zeros((d_out,), jnp.float32)}
+
+    flat = {}
+    for name, prefix in [("encoder.encoders0.0", cfg.input_dim),
+                         ("encoder.encoders.0", cfg.encoder_dim)]:
+        d = cfg.encoder_dim
+        for k, v in lin(prefix, 3 * d).items():
+            flat[f"{name}.self_attn.linear_q_k_v.{k}"] = v
+        for k, v in lin(d, d).items():
+            flat[f"{name}.self_attn.linear_out.{k}"] = v
+        flat[f"{name}.self_attn.fsmn_block.weight"] = jnp.asarray(
+            rng.normal(size=(d, 1, cfg.sanm_kernel_size)), jnp.float32)
+        for k, v in lin(d, cfg.encoder_ffn_dim).items():
+            flat[f"{name}.feed_forward.w_1.{k}"] = v
+        for k, v in lin(cfg.encoder_ffn_dim, d).items():
+            flat[f"{name}.feed_forward.w_2.{k}"] = v
+        for nn_ in ("norm1", "norm2"):
+            flat[f"{name}.{nn_}.weight"] = jnp.ones((d if name.endswith("encoders.0") or nn_ != "norm1" else prefix,), jnp.float32)
+            flat[f"{name}.{nn_}.bias"] = jnp.zeros_like(flat[f"{name}.{nn_}.weight"])
+    # norm1 of the first layer operates on the input dim
+    flat["encoder.encoders0.0.norm1.weight"] = jnp.ones((cfg.input_dim,), jnp.float32)
+    flat["encoder.encoders0.0.norm1.bias"] = jnp.zeros((cfg.input_dim,), jnp.float32)
+    flat["encoder.after_norm.weight"] = jnp.ones((cfg.encoder_dim,), jnp.float32)
+    flat["encoder.after_norm.bias"] = jnp.zeros((cfg.encoder_dim,), jnp.float32)
+
+    enc = funasr_nano.encoder_params_from_flat(flat, cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.input_dim))
+    out = funasr_nano.paraformer.encode(enc, cfg, feats)
+    assert out.shape == (1, 6, cfg.encoder_dim)
+    assert np.isfinite(np.asarray(out)).all()
+    # alias normalization
+    assert funasr_nano.map_checkpoint_key("x.attn.qkv.weight") \
+        == "x.self_attn.linear_q_k_v.weight"
+
+
+def test_long_audio_chunking_seams():
+    """Chunk boundary behavior (reference model.rs:496-515): full cover,
+    overlap step, sub-100ms tail dropped."""
+    r = funasr_nano.chunk_ranges(16000 * 70, 16000, 30.0)
+    assert r == [(0, 480000), (480000, 960000), (960000, 1120000)]
+    r = funasr_nano.chunk_ranges(16000 * 60, 16000, 30.0, overlap_secs=5.0)
+    assert r[0] == (0, 480000) and r[1][0] == 400000
+    # 50ms tail is dropped
+    r = funasr_nano.chunk_ranges(16000 * 30 + 800, 16000, 30.0)
+    assert len(r) == 1
