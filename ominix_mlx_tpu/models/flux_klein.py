@@ -272,3 +272,70 @@ def generate_image(params: dict, cfg: FluxKleinConfig, vae_params: dict,
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
     return run(z, txt_embed, cos, sin)
+
+
+# --------------------------------------------------------- server adapter ---
+
+@dataclasses.dataclass
+class ImageGenerator:
+    """generate(prompt) -> [H, W, 3] float image in [0,1] (the reference's
+    examples/generate_klein.rs pipeline as a server-callable object)."""
+    params: dict
+    cfg: FluxKleinConfig
+    vae_params: dict
+    vae_cfg: object
+    text_params: Optional[dict] = None
+    text_cfg: Optional[object] = None
+    tokenizer: Optional[object] = None
+    txt_proj: Optional[dict] = None     # optional text-dim projection
+
+    def encode_prompt(self, prompt: str) -> jax.Array:
+        from ominix_mlx_tpu.models import base
+        from ominix_mlx_tpu.nn.layers import linear
+        assert self.text_params is not None, "text encoder not loaded"
+        ids = (self.tokenizer.encode(prompt) if self.tokenizer
+               else [ord(c) % 256 for c in prompt])
+        emb = base.encode_hidden(self.text_params, self.text_cfg,
+                                 jnp.asarray([ids], jnp.int32))
+        if self.txt_proj is not None:
+            emb = linear(self.txt_proj, emb)
+        return emb
+
+    def generate(self, prompt: str, height: int = 1024, width: int = 1024,
+                 num_steps: int = 4, seed: int = 0) -> jax.Array:
+        txt = self.encode_prompt(prompt).astype(jnp.bfloat16)
+        img = generate_image(self.params, self.cfg, self.vae_params,
+                             self.vae_cfg, txt, height, width, num_steps,
+                             key=jax.random.PRNGKey(seed))
+        return img[0]
+
+
+def load_model(model_dir: str) -> ImageGenerator:
+    """Canonical save format: transformer.* / vae.* / text_encoder.*."""
+    import os
+
+    from ominix_mlx_tpu.models import base
+    from ominix_mlx_tpu.models.dit import vae as vae_mod2
+    from ominix_mlx_tpu.utils.loading import (load_config, load_safetensors,
+                                              unflatten_params)
+
+    raw = load_config(model_dir)
+    cfg = FluxKleinConfig(**{k: tuple(v) if isinstance(v, list) else v
+                             for k, v in raw.get("transformer_config",
+                                                 {}).items()
+                             if k in FluxKleinConfig.__dataclass_fields__})
+    vcfg = vae_mod2.VAEConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in raw.get("vae_config", {}).items()
+        if k in vae_mod2.VAEConfig.__dataclass_fields__})
+    tree = unflatten_params(load_safetensors(model_dir))
+    text_cfg = (base.TransformerConfig.from_hf(raw["text_config"])
+                if "text_config" in raw else None)
+    tok = None
+    if os.path.exists(os.path.join(model_dir, "tokenizer.json")):
+        from ominix_mlx_tpu.utils.tokenizer import Tokenizer
+        tok = Tokenizer(model_dir)
+    return ImageGenerator(
+        params=tree["transformer"], cfg=cfg, vae_params=tree["vae"],
+        vae_cfg=vcfg, text_params=tree.get("text_encoder"),
+        text_cfg=text_cfg, tokenizer=tok, txt_proj=tree.get("txt_proj"))

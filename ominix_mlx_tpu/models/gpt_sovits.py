@@ -203,3 +203,31 @@ class VoiceCloner:
                                  feats)
             return np.asarray(wav[0], np.float32)
         return np.zeros((0,), np.float32)
+
+
+def load_model(model_dir: str) -> VoiceCloner:
+    """Canonical save format: t2s.* + vits.* tensors; config.json carries
+    t2s_config / vits_config; text-frontend assets (pinyin_dict.txt,
+    cmudict.rep) live alongside (reference models dir convention)."""
+    from ominix_mlx_tpu.models import vits as vits_mod
+    from ominix_mlx_tpu.text.frontend import TextFrontend
+    from ominix_mlx_tpu.utils.loading import (load_config, load_safetensors,
+                                              unflatten_params)
+
+    raw = load_config(model_dir)
+    tc = raw.get("t2s_config", {})
+    tcfg = T2SConfig(
+        phoneme_vocab=tc.get("phoneme_vocab", 512),
+        semantic_vocab=tc.get("semantic_vocab", 1025),
+        bert_dim=tc.get("bert_dim", 1024),
+        transformer=TransformerConfig.from_hf(tc["transformer"])
+        if "transformer" in tc else T2SConfig().transformer)
+    vcfg = vits_mod.VITSConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in raw.get("vits_config", {}).items()
+        if k in vits_mod.VITSConfig.__dataclass_fields__})
+    tree = unflatten_params(load_safetensors(model_dir))
+    return VoiceCloner(
+        t2s_params=tree["t2s"], t2s_cfg=tcfg,
+        vits_params=tree.get("vits"), vits_cfg=vcfg,
+        frontend=TextFrontend(assets_dir=model_dir))

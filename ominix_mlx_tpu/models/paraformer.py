@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -260,3 +261,65 @@ def init_params(cfg: ParaformerConfig, key, dtype=jnp.float32) -> dict:
         "output_layer": init_linear(next(ks), d, cfg.vocab_size, True, dtype),
     }
     return params
+
+
+# ------------------------------------------------------ facade + loading ----
+
+@dataclasses.dataclass
+class Transcriber:
+    """transcribe(samples, rate) facade (reference: paraformer.rs:1215)."""
+    params: dict
+    cfg: ParaformerConfig
+    cmvn_means: Optional[jax.Array] = None
+    cmvn_vars: Optional[jax.Array] = None
+    tokens: Optional[list] = None          # id -> string table
+
+    def features(self, samples: jax.Array, rate: int = 16000) -> jax.Array:
+        from ominix_mlx_tpu.audio.dsp import (apply_cmvn, apply_lfr,
+                                              log_mel_spectrogram)
+        mel = log_mel_spectrogram(samples, 400, 160, self.cfg.n_mels, rate)
+        feats = apply_lfr(mel, self.cfg.lfr_m, self.cfg.lfr_n)
+        if self.cmvn_means is not None:
+            feats = apply_cmvn(feats, self.cmvn_means, self.cmvn_vars)
+        return feats[None]
+
+    def transcribe_ids(self, samples: jax.Array, rate: int = 16000):
+        import numpy as np
+        logits, counts = jax.jit(
+            transcribe_logits, static_argnames=("cfg",))(
+            self.params, self.cfg, self.features(samples, rate))
+        n = int(counts[0])
+        ids = np.asarray(jnp.argmax(logits[0], -1))[:n]
+        return [int(i) for i in ids]
+
+    def transcribe(self, samples, rate: int = 16000) -> str:
+        ids = self.transcribe_ids(jnp.asarray(samples), rate)
+        if self.tokens is None:
+            return " ".join(str(i) for i in ids)
+        return "".join(self.tokens[i] if i < len(self.tokens) else ""
+                       for i in ids).replace("@@", "")
+
+
+def load_model(model_dir: str) -> Transcriber:
+    """Load from the canonical save format (utils.loading.save_model) or a
+    converted FunASR checkpoint (utils.convert.paraformer_rename names)."""
+    import os
+
+    from ominix_mlx_tpu.utils.convert import paraformer_rename
+    from ominix_mlx_tpu.utils.loading import (load_config, load_safetensors,
+                                              unflatten_params)
+
+    raw = load_config(model_dir)
+    cfg = ParaformerConfig(**{k: v for k, v in raw.items()
+                              if k in ParaformerConfig.__dataclass_fields__})
+    flat = {paraformer_rename(k): v
+            for k, v in load_safetensors(model_dir).items()}
+    params = unflatten_params(flat)
+    tokens = None
+    tok_path = os.path.join(model_dir, "tokens.txt")
+    if os.path.exists(tok_path):
+        with open(tok_path, encoding="utf-8") as f:
+            tokens = [ln.rstrip("\n") for ln in f]
+    cm = params.pop("cmvn", {}) if isinstance(params, dict) else {}
+    return Transcriber(params=params, cfg=cfg, tokens=tokens,
+                       cmvn_means=cm.get("means"), cmvn_vars=cm.get("vars"))

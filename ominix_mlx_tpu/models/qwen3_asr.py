@@ -239,3 +239,49 @@ class Qwen3ASR:
                 self.lm_params, cache, tok, jax.random.PRNGKey(0),
                 jnp.full((1, 64), -1, jnp.int32), sampler=engine.sampler)
         return out
+
+    def transcribe(self, samples, rate: int = 16000, language=None,
+                   max_tokens: int = 256) -> str:
+        """Server-contract transcription (reference transcribe /
+        transcribe_with_language, model.rs:576-608). With a tokenizer the
+        prompt wraps the audio in the chat format and forces the language
+        when given; without one, returns space-joined token ids."""
+        import numpy as np
+
+        samples = jnp.asarray(np.asarray(samples, np.float32))
+        feats = self.encode_audio(samples)[:, :self.lm_cfg.hidden_size]
+        if self.tokenizer is not None:
+            pre = self.tokenizer.encode("<|im_start|>user\n")
+            lang = f" {language}:" if language else ":"
+            suf = self.tokenizer.encode(
+                f"transcribe{lang}<|im_end|>\n<|im_start|>assistant\n")
+            stops = {self.tokenizer.eos_token_id} - {None}
+        else:
+            pre, suf, stops = [1], [2], ()
+        ids = self.transcribe_embeds(
+            feats, jnp.asarray(pre, jnp.int32), jnp.asarray(suf, jnp.int32),
+            max_tokens=max_tokens, stop_tokens=tuple(stops))
+        if self.tokenizer is not None:
+            return self.tokenizer.decode(ids)
+        return " ".join(map(str, ids))
+
+
+def load_model(model_dir: str) -> "Qwen3ASR":
+    """Load from the canonical save format: config.json with
+    audio_encoder_conf + text_config, tensors under encoder.* / llm.*."""
+    from ominix_mlx_tpu.utils.loading import (load_config, load_safetensors,
+                                              unflatten_params)
+
+    raw = load_config(model_dir)
+    ecfg = AudioEncoderConfig(**{
+        k: v for k, v in raw.get("audio_encoder_conf", {}).items()
+        if k in AudioEncoderConfig.__dataclass_fields__})
+    lcfg = base.TransformerConfig.from_hf(raw.get("text_config", raw))
+    tree = unflatten_params(load_safetensors(model_dir))
+    tok = None
+    import os
+    if os.path.exists(os.path.join(model_dir, "tokenizer.json")):
+        from ominix_mlx_tpu.utils.tokenizer import Tokenizer
+        tok = Tokenizer(model_dir)
+    return Qwen3ASR(enc_params=tree["encoder"], enc_cfg=ecfg,
+                    lm_params=tree["llm"], lm_cfg=lcfg, tokenizer=tok)

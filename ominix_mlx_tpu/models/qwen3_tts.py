@@ -669,3 +669,55 @@ def init_speech_encoder(key, dim: int = 32, enc_strides=(2, 2),
         "_tcfg": tcfg,
     }
     return enc, {"enc_strides": tuple(enc_strides)}
+
+
+# --------------------------------------------------------- server adapter ---
+
+@dataclasses.dataclass
+class TTSModel:
+    """synthesize(text, voice) -> (samples, rate) server contract
+    (reference API: README.md:472-490)."""
+    synthesizer: Synthesizer
+    tokenizer: object = None
+    sample_rate: int = 24000
+    voices: dict = dataclasses.field(default_factory=dict)  # name -> prefix
+
+    def synthesize(self, text: str, voice: Optional[str] = None):
+        toks = (self.tokenizer.encode(text) if self.tokenizer
+                else [ord(c) % 1000 for c in text])
+        tcfg = self.synthesizer.tcfg
+        prefix = self.voices.get(voice or "", [tcfg.codec_pad_id] * 4)
+        res = self.synthesizer.synthesize_codes(toks, prefix)
+        if self.synthesizer.codec is None:
+            raise RuntimeError("codec decoder weights not loaded")
+        wav = self.synthesizer.decode_audio(res.codes)
+        return wav.reshape(-1), self.sample_rate
+
+
+def load_model(model_dir: str) -> TTSModel:
+    """Canonical save format: talker.* / code_predictor nested under
+    talker.*, codec.* tensors; config.json carries talker_config,
+    codec_config, sample_rate."""
+    import os
+
+    from ominix_mlx_tpu.utils.loading import (load_config, load_safetensors,
+                                              unflatten_params)
+
+    raw = load_config(model_dir)
+    tc = raw.get("talker_config", {})
+    tcfg = TalkerConfig(
+        transformer=TransformerConfig.from_hf(tc.get("transformer", raw)),
+        **{k: v for k, v in tc.items()
+           if k in TalkerConfig.__dataclass_fields__ and k != "transformer"})
+    tree = unflatten_params(load_safetensors(model_dir))
+    tok = None
+    if os.path.exists(os.path.join(model_dir, "tokenizer.json")):
+        from ominix_mlx_tpu.utils.tokenizer import Tokenizer
+        tok = Tokenizer(model_dir)
+    syn = Synthesizer(tree["talker"], tcfg, codec_params=tree.get("codec"),
+                      codec_cfg=raw.get("codec_config"),
+                      spk_params=tree.get("speaker_encoder"),
+                      speech_enc=tree.get("speech_encoder"))
+    return TTSModel(synthesizer=syn, tokenizer=tok,
+                    sample_rate=raw.get("sample_rate", 24000),
+                    voices=raw.get("voices", {}))

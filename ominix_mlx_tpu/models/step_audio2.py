@@ -129,7 +129,15 @@ class Pipeline:
     flow_cfg: Optional[FlowConfig] = None
     hifi_params: Optional[dict] = None
     hifi_cfg: Optional[hifigan.HiFiGANConfig] = None
+    s3_params: Optional[dict] = None         # speech-input tokenizer
+    s3_cfg: Optional["S3Config"] = None
     mode: str = "asr_only"
+
+    def tokenize_speech(self, mel: jax.Array) -> jax.Array:
+        """mel [B, T, 128] -> 25Hz discrete codes (S3 tokenizer) — the
+        speech INPUT path of speech-to-speech (s3tokenizer_mlx.rs)."""
+        assert self.s3_params is not None, "S3 tokenizer weights not loaded"
+        return s3_encode(self.s3_params, self.s3_cfg, mel)
 
     def respond_tokens(self, feats, prompt_prefix, prompt_suffix,
                        max_tokens=128, stop_tokens=()):
@@ -290,3 +298,45 @@ def s3_params_from_flat(flat: dict, cfg: S3Config) -> dict:
         } for i in range(cfg.num_blocks)],
         "output_proj": lin("output_proj"),
     }
+
+
+def load_model(model_dir: str):
+    """Canonical save format: s3.* / flow.* / hifigan.* / llm.* tensors.
+    Returns a Pipeline wired with the S3 tokenizer front and flow+HiFiGAN
+    back (reference: pipeline.rs:43-108)."""
+    from ominix_mlx_tpu.utils.loading import (load_config, load_safetensors,
+                                              unflatten_params)
+
+    raw = load_config(model_dir)
+    tree = unflatten_params(load_safetensors(model_dir))
+    from ominix_mlx_tpu.models.base import TransformerConfig
+    lm_cfg = (TransformerConfig.from_hf(raw["text_config"])
+              if "text_config" in raw else None)
+    scfg = S3Config(**{k: v for k, v in raw.get("s3_config", {}).items()
+                       if k in S3Config.__dataclass_fields__})
+    fcfg = FlowConfig(**{k: v for k, v in raw.get("flow_config", {}).items()
+                         if k in FlowConfig.__dataclass_fields__}) \
+        if "flow_config" in raw else None
+    asr = None
+    if "encoder" in tree and "llm" in tree and lm_cfg is not None:
+        from ominix_mlx_tpu.models import funasr_nano, paraformer
+        acfg = funasr_nano.AdaptorConfig(
+            out_dim=lm_cfg.hidden_size,
+            **{k: v for k, v in raw.get("adaptor_conf", {}).items()
+               if k in funasr_nano.AdaptorConfig.__dataclass_fields__
+               and k != "out_dim"})
+        asr = funasr_nano.FunASRNano(
+            enc_params=tree["encoder"],
+            enc_cfg=paraformer.ParaformerConfig(
+                **{k: v for k, v in raw.get("audio_encoder_conf", {}).items()
+                   if k in paraformer.ParaformerConfig.__dataclass_fields__}),
+            adaptor_params=tree.get("adaptor"), adaptor_cfg=acfg,
+            lm_params=tree["llm"], lm_cfg=lm_cfg)
+    return Pipeline(
+        asr=asr,
+        flow_params=tree.get("flow"), flow_cfg=fcfg,
+        hifi_params=tree.get("hifigan"),
+        hifi_cfg=hifigan.HiFiGANConfig(**raw.get("hifigan_config", {}))
+        if "hifigan_config" in raw else None,
+        s3_params=tree.get("s3"), s3_cfg=scfg,
+        mode=raw.get("mode", "asr_only"))

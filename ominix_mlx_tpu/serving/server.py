@@ -83,14 +83,29 @@ class InferenceWorker:
 
 
 class Server:
-    def __init__(self, host: str = "127.0.0.1", port: int = 8080):
+    def __init__(self, host: str = "127.0.0.1", port: int = 8080,
+                 request_timeout_s: float = 600.0):
         self.host, self.port = host, port
         self.models: dict = {}
         self.worker = InferenceWorker()
+        self.request_timeout_s = request_timeout_s
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     def load_model(self, name: str, model_dir: str):
-        self.models[name] = LoadedModel(name, model_dir)
+        """Load ANY family through the registry: chat models get the
+        Engine-cached LoadedModel; ASR/TTS/clone/image pipelines register
+        their capability object directly (one server, all modalities —
+        reference README.md:360-366)."""
+        from ominix_mlx_tpu.models import registry
+        cap, obj = registry.load_pipeline(model_dir)
+        if cap == "chat":
+            self.models[name] = LoadedModel(name, model_dir)
+        else:
+            try:
+                obj.dir = model_dir
+            except Exception:
+                pass
+            self.models[name] = obj
 
     def add_model(self, name: str, model):
         """Register a pre-built model object (tests, custom assemblies)."""
@@ -122,6 +137,11 @@ class Server:
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         created = int(time.time())
 
+        # per-request timeout + cooperative cancellation (reference:
+        # synthesis timeout + cancellation tokens, voice_clone.rs:198-206;
+        # server-side request management, server.rs:729-803)
+        timeout_s = float(body.get("timeout_s", self.request_timeout_s))
+        cancel = threading.Event()
         result = {"text": "", "n": 0}
         done = threading.Event()
         err: list = []
@@ -132,6 +152,8 @@ class Server:
                 for tok in engine.generate(jnp.asarray(tokens), cache,
                                            max_tokens=max_tokens,
                                            stop_tokens=tuple(stops)):
+                    if cancel.is_set():
+                        break
                     out_ids.append(tok)
                     if send_chunk is not None:
                         piece = m.tokenizer.decode(out_ids)
@@ -152,7 +174,10 @@ class Server:
                 done.set()
 
         self.worker.submit(run, lambda e: (err.append(e), done.set()))
-        done.wait()
+        if not done.wait(timeout=timeout_s):
+            cancel.set()            # generation stops at the next token
+            done.wait()
+            raise TimeoutError(f"request exceeded {timeout_s:.0f}s")
         if err:
             raise err[0]
         return {
@@ -218,6 +243,33 @@ class Server:
             samples = samples.reshape(-1, ch).mean(-1)
         return {"text": m.transcribe(samples, rate)}
 
+    def image_generation(self, body: dict) -> dict:
+        """POST /v1/images/generations -> {"data": [{"b64_json": ...}]}.
+        The model must expose generate(prompt, height, width, ...) ->
+        [H, W, 3] floats (flux_klein.ImageGenerator)."""
+        import base64
+        import io
+
+        import numpy as np
+
+        name = body.get("model") or next(
+            (n for n, m in self.models.items() if hasattr(m, "generate")), "")
+        if name not in self.models or not hasattr(self.models[name],
+                                                  "generate"):
+            raise KeyError(f"model {name!r} has no image capability")
+        m = self.models[name]
+        size = body.get("size", "1024x1024")
+        w, h = (int(x) for x in size.split("x"))
+        img = m.generate(body.get("prompt", ""), height=h, width=w,
+                         num_steps=int(body.get("steps", 4)),
+                         seed=int(body.get("seed", 0)))
+        arr = np.asarray(jnp.clip(img, 0, 1) * 255.0).astype("uint8")
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return {"created": int(time.time()), "data": [
+            {"b64_json": base64.b64encode(buf.getvalue()).decode()}]}
+
     def list_models(self) -> dict:
         return {"object": "list", "data": [
             {"id": name, "object": "model", "owned_by": "ominix",
@@ -282,6 +334,13 @@ class Server:
                     body = json.loads(raw or b"{}")
                 except json.JSONDecodeError:
                     return self._json(400, {"error": "invalid JSON"})
+                if self.path == "/v1/images/generations":
+                    try:
+                        return self._json(200, server.image_generation(body))
+                    except KeyError as e:
+                        return self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        return self._json(500, {"error": str(e)})
                 if self.path == "/v1/audio/speech":
                     try:
                         wav = server.audio_speech(body)
@@ -315,6 +374,8 @@ class Server:
                         self._json(200, server.chat_completion(body))
                 except KeyError as e:
                     self._json(404, {"error": str(e)})
+                except TimeoutError as e:
+                    self._json(504, {"error": str(e)})
                 except Exception as e:
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

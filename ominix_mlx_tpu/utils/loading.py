@@ -73,3 +73,63 @@ def save_safetensors(path: str, tensors: Dict[str, jax.Array]):
     from safetensors.flax import save_file
 
     save_file({k: jnp.asarray(v) for k, v in tensors.items()}, path)
+
+
+# ------------------------------------------------ canonical save / load -----
+#
+# The reference distributes converted checkpoints per crate; here every
+# family can round-trip its param tree through ONE canonical on-disk form
+# (flat dotted names in safetensors + config.json), so the registry/server
+# can load any modality from a directory (reference README.md:430-470).
+
+def flatten_params(tree, prefix: str = "") -> Dict[str, jax.Array]:
+    """Nested dicts/lists of arrays -> flat {dotted.name: array}."""
+    out = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, (list, tuple)):
+        items = ((str(i), v) for i, v in enumerate(tree))
+    else:
+        if tree is not None:
+            out[prefix.rstrip(".")] = jnp.asarray(tree)
+        return out
+    for k, v in items:
+        out.update(flatten_params(v, f"{prefix}{k}."))
+    return out
+
+
+def unflatten_params(flat: Dict[str, jax.Array]):
+    """Inverse of flatten_params. Dict levels whose keys are all integers
+    become lists."""
+    root: dict = {}
+    for name, v in flat.items():
+        parts = name.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [fix(node[str(i)]) for i in range(len(keys))]
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(root)
+
+
+def save_model(model_dir: str, config: dict, params,
+               filename: str = "model.safetensors"):
+    """Write config.json + the flattened param tree (canonical format)."""
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=1)
+    save_safetensors(os.path.join(model_dir, filename),
+                     flatten_params(params))
+
+
+def load_canonical(model_dir: str):
+    """-> (config dict, nested params) from the canonical format."""
+    return load_config(model_dir), unflatten_params(load_safetensors(model_dir))

@@ -161,3 +161,119 @@ def test_local_models_and_delete(server, tmp_path_factory, monkeypatch):
     res = json.loads(urllib.request.urlopen(req).read())
     assert res["deleted"] is True
     assert _get("/v1/models/local")["data"] == []
+
+
+def test_registry_load_pipeline_all_modalities(tmp_path_factory):
+    """Save tiny models in the canonical format and load each through
+    registry.load_pipeline — the 'one server, all modalities' contract
+    (reference README.md:360-366)."""
+    import numpy as np
+
+    from ominix_mlx_tpu.models import paraformer, registry
+    from ominix_mlx_tpu.utils.loading import save_model
+
+    # --- paraformer (transcribe) ---
+    d = str(tmp_path_factory.mktemp("pf"))
+    pcfg = paraformer.ParaformerConfig(
+        n_mels=8, lfr_m=1, lfr_n=1, encoder_dim=16, encoder_layers=2,
+        encoder_heads=2, encoder_ffn_dim=32, sanm_kernel_size=3,
+        decoder_dim=16, decoder_layers=1, decoder_ffn_dim=32, vocab_size=32)
+    params = paraformer.init_params(pcfg, jax.random.PRNGKey(0))
+    cfgd = {"model_type": "paraformer",
+            **{k: getattr(pcfg, k)
+               for k in paraformer.ParaformerConfig.__dataclass_fields__}}
+    save_model(d, cfgd, params)
+    cap, obj = registry.load_pipeline(d)
+    assert cap == "transcribe"
+    txt = obj.transcribe(np.random.default_rng(0).normal(size=(1600,))
+                         .astype(np.float32), 16000)
+    assert isinstance(txt, str)
+
+    # --- chat model through the same entry point ---
+    from ominix_mlx_tpu.models import base
+    d2 = str(tmp_path_factory.mktemp("llm"))
+    lcfg = TransformerConfig(
+        vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+        num_kv_heads=1, head_dim=16, intermediate_size=48,
+        tie_word_embeddings=True)
+    lp = base.init_params(lcfg, jax.random.PRNGKey(1), jnp.float32)
+    from ominix_mlx_tpu.utils.loading import flatten_params, save_safetensors
+    import os
+    os.makedirs(d2, exist_ok=True)
+    # HF-style names the qwen3 loader expects
+    flat = {}
+    flat["model.embed_tokens.weight"] = lp["embed"]
+    flat["model.norm.weight"] = lp["norm"]
+    for i, l in enumerate(lp["layers"]):
+        p = f"model.layers.{i}"
+        flat[f"{p}.input_layernorm.weight"] = l["input_layernorm"]
+        flat[f"{p}.post_attention_layernorm.weight"] = \
+            l["post_attention_layernorm"]
+        for n in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            flat[f"{p}.self_attn.{n}.weight"] = l[n]["w"]
+        for n in ("gate_proj", "up_proj", "down_proj"):
+            flat[f"{p}.mlp.{n}.weight"] = l[n]["w"]
+    save_safetensors(os.path.join(d2, "model.safetensors"), flat)
+    with open(os.path.join(d2, "config.json"), "w") as f:
+        json.dump({"model_type": "qwen2", "vocab_size": 64,
+                   "hidden_size": 32, "num_hidden_layers": 1,
+                   "num_attention_heads": 2, "num_key_value_heads": 1,
+                   "head_dim": 16, "intermediate_size": 48,
+                   "tie_word_embeddings": True,
+                   "attention_bias": False}, f)
+    cap2, (mod, params2, cfg2) = registry.load_pipeline(d2)
+    assert cap2 == "chat"
+    c = mod.init_cache(cfg2, 1, 8, jnp.float32)
+    lg, _ = mod.forward(params2, cfg2, jnp.asarray([[1, 2]]), c)
+    assert lg.shape == (1, 2, 64)
+
+
+def test_request_timeout_returns_504(server):
+    body = {"model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 64, "timeout_s": 0.0}
+    req = urllib.request.Request(
+        "http://127.0.0.1:18731/v1/chat/completions",
+        json.dumps(body).encode(), {"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = True
+        assert e.code == 504
+    assert raised
+
+
+def test_image_generation_endpoint(server):
+    """Drive /v1/images/generations with a tiny ImageGenerator."""
+    import base64
+    import numpy as np
+
+    from ominix_mlx_tpu.models import flux_klein as fk
+    from ominix_mlx_tpu.models.dit import vae
+
+    tiny = fk.FluxKleinConfig(
+        in_channels=16, hidden_size=32, txt_embed_dim=32, num_heads=2,
+        depth=1, depth_single=1, head_dim=16, mlp_hidden=64,
+        axes_dim=(4, 4, 4, 4))
+    tiny_vae = vae.VAEConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                             z_channels=4, resolution=64)
+    text_cfg = TransformerConfig(
+        vocab_size=256, hidden_size=32, num_layers=1, num_heads=2,
+        num_kv_heads=1, head_dim=16, intermediate_size=48,
+        tie_word_embeddings=True)
+    gen = fk.ImageGenerator(
+        params=fk.init_params(tiny, jax.random.PRNGKey(0), jnp.float32),
+        cfg=tiny, vae_params=vae.init_decoder(tiny_vae, jax.random.PRNGKey(1)),
+        vae_cfg=tiny_vae,
+        text_params=base.init_params(text_cfg, jax.random.PRNGKey(2),
+                                     jnp.float32),
+        text_cfg=text_cfg)
+    server.add_model("tiny-image", gen)
+    body = {"model": "tiny-image", "prompt": "a cat", "size": "16x16",
+            "steps": 2}
+    req = urllib.request.Request(
+        "http://127.0.0.1:18731/v1/images/generations",
+        json.dumps(body).encode(), {"Content-Type": "application/json"})
+    out = json.loads(urllib.request.urlopen(req).read())
+    png = base64.b64decode(out["data"][0]["b64_json"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
