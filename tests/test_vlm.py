@@ -38,3 +38,50 @@ def test_moxin_generate():
     assert len(toks) == 5 and all(0 <= t < 64 for t in toks)
     toks2 = m.generate(img, [1, 2, 3], max_tokens=5)
     assert toks == toks2
+
+
+def test_sam_vit_window_partition_roundtrip():
+    from ominix_mlx_tpu.models import sam_vit
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 12, 8))
+    w, pad = sam_vit._window_partition(x, 4)
+    assert w.shape == (2 * 3 * 3, 4, 4, 8)
+    back = sam_vit._window_unpartition(w, 4, pad, (10, 12))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_sam_vit_encode_shapes():
+    """SAM ViT-B structure at toy size: windowed + global blocks + neck +
+    OCR downsample (reference vision.rs:1-611)."""
+    from ominix_mlx_tpu.models import sam_vit
+    cfg = sam_vit.SamViTConfig(
+        img_size=64, patch_size=16, embed_dim=32, depth=3, num_heads=2,
+        window_size=2, global_attn_indexes=(1,), out_chans=16)
+    p = sam_vit.init_params(cfg, jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out = sam_vit.encode(p, cfg, img)
+    # 64/16 = 4 grid; two stride-2 adapter convs -> 1x1
+    assert out.shape == (1, 1, 1, 16 * 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pdf_embedded_image_extraction():
+    """Pure-python PDF fallback: a synthetic PDF with one embedded JPEG
+    page extracts as an RGB image (reference pdf.rs behavior)."""
+    import io
+    from PIL import Image
+    from ominix_mlx_tpu.utils import pdf
+
+    img = Image.fromarray(
+        (np.random.default_rng(0).uniform(0, 255, (64, 48, 3))
+         ).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+    fake = (b"%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Width 48 /Height 64 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length " + str(len(jpeg)).encode() + b" >>\nstream\n"
+            + jpeg + b"\nendstream\nendobj\n%%EOF")
+    assert pdf.is_pdf(fake)
+    pages = pdf.render_pdf_pages(fake)
+    assert len(pages) == 1
+    assert pages[0].image.shape == (64, 48, 3)
