@@ -1,12 +1,12 @@
-"""DeepSeek-OCR-2: vision encoder -> projector -> MoE decoder with image
-token splicing.
+"""DeepSeek-OCR-2: SAM ViT-B vision encoder -> projector -> MoE decoder
+with image token splicing.
 
-TPU-native counterpart of reference crate deepseek-ocr2-mlx: vision encoder
-(vision.rs, 611 LoC — ViT-class, models/vit.py), Qwen2-style text side,
-MoE decoder with routed + shared experts (lib.rs:165-206,304), and
-``prepare_inputs`` image-token splicing (lib.rs:522). The reference's
-pdfium-based PDF ingestion (pdf.rs) is gated: pages are accepted as
-pre-rasterized [H, W, 3] arrays here (pdfium is not in this image).
+TPU-native counterpart of reference crate deepseek-ocr2-mlx: the crate's
+specific SAM-style windowed-attention encoder (vision.rs, 611 LoC ->
+models/sam_vit.py; a generic ViT is still accepted for small tests),
+Qwen2-style text side, MoE decoder with routed + shared experts
+(lib.rs:165-206,304), ``prepare_inputs`` image-token splicing (lib.rs:522),
+and PDF ingestion via utils/pdf.py (reference pdf.rs:1-259).
 """
 
 from __future__ import annotations
@@ -31,10 +31,34 @@ class DeepSeekOCR2:
     lm_cfg: TransformerConfig
 
     def encode_page(self, image01: jax.Array) -> jax.Array:
-        feats = vit.encode(self.vision_params, self.vision_cfg,
-                           image01 * 2.0 - 1.0)
+        from ominix_mlx_tpu.models import sam_vit
+        if isinstance(self.vision_cfg, sam_vit.SamViTConfig):
+            f = sam_vit.encode(self.vision_params, self.vision_cfg,
+                               image01 * 2.0 - 1.0)
+            feats = f.reshape(f.shape[0], -1, f.shape[-1])  # [B, hw, C]
+        else:
+            feats = vit.encode(self.vision_params, self.vision_cfg,
+                               image01 * 2.0 - 1.0)
         h = jax.nn.gelu(linear(self.projector["fc1"], feats))
         return linear(self.projector["fc2"], h)
+
+    def ocr_pdf_tokens(self, pdf_bytes: bytes, prompt_tokens: List[int],
+                       image_token_pos: int = 0, max_tokens: int = 128,
+                       stop_tokens=(), dpi: int = 200) -> List[List[int]]:
+        """OCR every page of a PDF (reference: pdf.rs + lib.rs pipeline)."""
+        import numpy as np
+
+        from ominix_mlx_tpu.utils import pdf as pdf_mod
+        size = getattr(self.vision_cfg, "img_size",
+                       getattr(self.vision_cfg, "image_size", 1024))
+        outs = []
+        for page in pdf_mod.render_pdf_pages(pdf_bytes, dpi):
+            img = jax.image.resize(
+                jnp.asarray(page.image, jnp.float32) / 255.0,
+                (size, size, 3), "bilinear")[None]
+            outs.append(self.ocr_tokens(img, prompt_tokens, image_token_pos,
+                                        max_tokens, stop_tokens))
+        return outs
 
     def prepare_inputs(self, image01: jax.Array, prompt_tokens: List[int],
                        image_token_pos: int) -> jax.Array:

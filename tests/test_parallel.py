@@ -57,3 +57,36 @@ def test_ep_moe_matches_unsharded():
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe schedule over a 4-stage pp mesh == plain sequential layer
+    application (parallel/pipeline.py; new design, no reference
+    counterpart — SURVEY.md §2.7)."""
+    from ominix_mlx_tpu.parallel import pipeline as pp
+    from ominix_mlx_tpu.nn.layers import linear
+
+    L, D, M, mb = 8, 16, 6, 2
+    rng = jax.random.PRNGKey(0)
+    layers = []
+    for i in range(L):
+        k1, k2, rng = jax.random.split(rng, 3)
+        layers.append({"w": jax.random.normal(k1, (D, D)) * 0.2,
+                       "b": jax.random.normal(k2, (D,)) * 0.1})
+
+    def layer_fn(lp, x):
+        return jnp.tanh(x @ lp["w"].T + lp["b"])
+
+    xs = jax.random.normal(jax.random.PRNGKey(1), (M, mb, D))
+
+    want = xs
+    for lp in layers:
+        want = layer_fn(lp, want)
+
+    mesh = pp.make_pp_mesh(pp=4, devices=jax.devices()[:4])
+    stacked = pp.stack_stage_params(layers, 4)
+    from ominix_mlx_tpu.parallel.mesh import shard_tree
+    stacked = shard_tree(stacked, pp.stage_specs(stacked), mesh)
+    got = pp.pipeline_apply(mesh, layer_fn, stacked, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
