@@ -31,6 +31,7 @@ class ViTConfig:
     num_registers: int = 0
     layer_scale: bool = False
     eps: float = 1e-6
+    hidden_act: str = "gelu"        # dinov2: exact gelu; siglip: tanh-gelu
 
     @property
     def num_patches(self):
@@ -40,7 +41,8 @@ class ViTConfig:
 DINOV2_LARGE = ViTConfig(has_cls_token=True, num_registers=4,
                          layer_scale=True)
 SIGLIP_SO400M = ViTConfig(hidden_size=1152, num_layers=27, num_heads=16,
-                          mlp_dim=4304, has_cls_token=False, num_registers=0)
+                          mlp_dim=4304, has_cls_token=False, num_registers=0,
+                          hidden_act="gelu_pytorch_tanh")
 
 
 def vit_block(p: dict, cfg: ViTConfig, x: jax.Array) -> jax.Array:
@@ -60,7 +62,10 @@ def vit_block(p: dict, cfg: ViTConfig, x: jax.Array) -> jax.Array:
         o = o * p["ls1"]
     x = x + o
     h = layer_norm(p["norm2"], x, cfg.eps)
-    h = linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], h)))
+    from ominix_mlx_tpu.nn.layers import ACTIVATIONS
+    act = (ACTIVATIONS[cfg.hidden_act] if cfg.hidden_act != "gelu"
+           else (lambda v: jax.nn.gelu(v, approximate=False)))
+    h = linear(p["fc2"], act(linear(p["fc1"], h)))
     if "ls2" in p:
         h = h * p["ls2"]
     return x + h
@@ -132,3 +137,91 @@ def init_params(cfg: ViTConfig, key, dtype=jnp.float32) -> dict:
     if cfg.num_registers:
         params["register_tokens"] = jnp.zeros((1, cfg.num_registers, D), dtype)
     return params
+
+
+# ------------------------------------------------------ HF weight maps ------
+
+def _lin(sd, name):
+    import numpy as np
+    p = {"w": jnp.asarray(np.asarray(sd[f"{name}.weight"]))}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[f"{name}.bias"]))
+    return p
+
+
+def _nrm(sd, name):
+    import numpy as np
+    return {"w": jnp.asarray(np.asarray(sd[f"{name}.weight"])),
+            "b": jnp.asarray(np.asarray(sd[f"{name}.bias"]))}
+
+
+def params_from_hf_dinov2(sd: dict, cfg: ViTConfig) -> dict:
+    """HF Dinov2Model / Dinov2WithRegistersModel state_dict -> our tree
+    (reference tower: moxin-vlm-mlx/src/vision.rs:40-50)."""
+    import numpy as np
+    out = {
+        "patch_embed": {
+            "w": jnp.transpose(jnp.asarray(np.asarray(
+                sd["embeddings.patch_embeddings.projection.weight"])),
+                (0, 2, 3, 1)),
+            "b": jnp.asarray(np.asarray(
+                sd["embeddings.patch_embeddings.projection.bias"]))},
+        "cls_token": jnp.asarray(np.asarray(sd["embeddings.cls_token"]))[0],
+        "pos_embed": jnp.asarray(np.asarray(
+            sd["embeddings.position_embeddings"])),
+        "norm": _nrm(sd, "layernorm"),
+        "blocks": [],
+    }
+    if "embeddings.register_tokens" in sd:
+        out["register_tokens"] = jnp.asarray(np.asarray(
+            sd["embeddings.register_tokens"]))[0]
+    for i in range(cfg.num_layers):
+        b = f"encoder.layer.{i}"
+        blk = {
+            "norm1": _nrm(sd, f"{b}.norm1"),
+            "norm2": _nrm(sd, f"{b}.norm2"),
+            "q": _lin(sd, f"{b}.attention.attention.query"),
+            "k": _lin(sd, f"{b}.attention.attention.key"),
+            "v": _lin(sd, f"{b}.attention.attention.value"),
+            "proj": _lin(sd, f"{b}.attention.output.dense"),
+            "fc1": _lin(sd, f"{b}.mlp.fc1"),
+            "fc2": _lin(sd, f"{b}.mlp.fc2"),
+        }
+        if f"{b}.layer_scale1.lambda1" in sd:
+            blk["ls1"] = jnp.asarray(np.asarray(sd[f"{b}.layer_scale1.lambda1"]))
+            blk["ls2"] = jnp.asarray(np.asarray(sd[f"{b}.layer_scale2.lambda1"]))
+        out["blocks"].append(blk)
+    return out
+
+
+def params_from_hf_siglip(sd: dict, cfg: ViTConfig) -> dict:
+    """HF SiglipVisionModel state_dict -> our tree (vision.rs:57-66).
+    Names may carry a vision_model. prefix."""
+    import numpy as np
+    if any(k.startswith("vision_model.") for k in sd):
+        sd = {k[len("vision_model."):]: v for k, v in sd.items()
+              if k.startswith("vision_model.")}
+    out = {
+        "patch_embed": {
+            "w": jnp.transpose(jnp.asarray(np.asarray(
+                sd["embeddings.patch_embedding.weight"])), (0, 2, 3, 1)),
+            "b": jnp.asarray(np.asarray(
+                sd["embeddings.patch_embedding.bias"]))},
+        "pos_embed": jnp.asarray(np.asarray(
+            sd["embeddings.position_embedding.weight"]))[None],
+        "norm": _nrm(sd, "post_layernorm"),
+        "blocks": [],
+    }
+    for i in range(cfg.num_layers):
+        b = f"encoder.layers.{i}"
+        out["blocks"].append({
+            "norm1": _nrm(sd, f"{b}.layer_norm1"),
+            "norm2": _nrm(sd, f"{b}.layer_norm2"),
+            "q": _lin(sd, f"{b}.self_attn.q_proj"),
+            "k": _lin(sd, f"{b}.self_attn.k_proj"),
+            "v": _lin(sd, f"{b}.self_attn.v_proj"),
+            "proj": _lin(sd, f"{b}.self_attn.out_proj"),
+            "fc1": _lin(sd, f"{b}.mlp.fc1"),
+            "fc2": _lin(sd, f"{b}.mlp.fc2"),
+        })
+    return out

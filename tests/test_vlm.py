@@ -4,6 +4,7 @@ end-to-end image+text generation on a tiny assembly."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ominix_mlx_tpu.models import moxin_vlm, vit
 
@@ -85,3 +86,56 @@ def test_pdf_embedded_image_extraction():
     pages = pdf.render_pdf_pages(fake)
     assert len(pages) == 1
     assert pages[0].image.shape == (64, 48, 3)
+
+
+def test_dinov2_hf_parity():
+    """Our ViT == HF Dinov2 (with registers when available) on random
+    weights — the vision-tower parity the LLM families already have."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    kw = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+              intermediate_size=64, image_size=28, patch_size=14,
+              layerscale_value=0.1)
+    try:
+        from transformers import (Dinov2WithRegistersConfig,
+                                  Dinov2WithRegistersModel)
+        hf = Dinov2WithRegistersModel(
+            Dinov2WithRegistersConfig(num_register_tokens=2, **kw)).eval()
+        n_reg = 2
+    except ImportError:
+        from transformers import Dinov2Config, Dinov2Model
+        hf = Dinov2Model(Dinov2Config(**kw)).eval()
+        n_reg = 0
+    cfg = vit.ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                        num_layers=2, num_heads=2, mlp_dim=64,
+                        has_cls_token=True, num_registers=n_reg,
+                        layer_scale=True)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = vit.params_from_hf_dinov2(sd, cfg)
+    img = np.random.default_rng(0).normal(size=(1, 28, 28, 3)).astype("f4")
+    with torch.no_grad():
+        want = hf(torch.from_numpy(img.transpose(0, 3, 1, 2))
+                  ).last_hidden_state.numpy()
+    got = vit.encode(params, cfg, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got), want[:, 1 + n_reg:],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_siglip_hf_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+    hf = SiglipVisionModel(SiglipVisionConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=28, patch_size=14)).eval()
+    cfg = vit.ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                        num_layers=2, num_heads=2, mlp_dim=64,
+                        has_cls_token=False, num_registers=0,
+                        hidden_act="gelu_pytorch_tanh")
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = vit.params_from_hf_siglip(sd, cfg)
+    img = np.random.default_rng(1).normal(size=(1, 28, 28, 3)).astype("f4")
+    with torch.no_grad():
+        want = hf(torch.from_numpy(img.transpose(0, 3, 1, 2))
+                  ).last_hidden_state.numpy()
+    got = vit.encode(params, cfg, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
