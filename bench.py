@@ -84,18 +84,44 @@ def emit(metric, value, unit, baseline):
         "vs_baseline": round(value / baseline, 3)}), flush=True)
 
 
+METRICS = {
+    # name: (cfg, quant_bits, baseline)
+    "qwen3_4b_bf16_decode": (QWEN3_4B, None, 45.0),
+    "mistral_7b_w4a8_decode": (MISTRAL_7B, 4, 82.8),
+    # headline last: the 4-bit decode axis the reference's table leads with
+    "qwen3_4b_w4a8_decode": (QWEN3_4B, 4, 45.0),
+}
+
+
 def main():
-    # largest model first: the bf16 4B needs ~8GB contiguous and is the
-    # one that fails if earlier runs fragmented HBM
-    bf16 = decode_tps(QWEN3_4B)
-    q4_4b = decode_tps(QWEN3_4B, quant_bits=4)
-    q4_7b = decode_tps(MISTRAL_7B, quant_bits=4)
-    emit("qwen3_4b_bf16_decode", bf16, "tokens/sec", 45.0)
-    emit("mistral_7b_w4a8_decode", q4_7b, "tokens/sec", 82.8)
-    # headline (last line = what the driver parses): the 4-bit decode axis
-    # the reference's own table leads with
-    emit("qwen3_4b_w4a8_decode", q4_4b, "tokens/sec", 45.0)
+    """Each metric runs in its own subprocess: model buffers don't free
+    reliably within one process (jit caches pin them), and the device
+    tunnel needs a cool-down between clients before HBM is reusable."""
+    import os
+    import subprocess
+
+    for i, name in enumerate(METRICS):
+        if i:
+            time.sleep(100)        # tunnel-side HBM release lag (measured)
+        r = subprocess.run([sys.executable, __file__, "--metric", name],
+                           capture_output=True, text=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if line:
+            print(line, flush=True)
+        else:
+            print(json.dumps({"metric": name,
+                              "error": r.stderr.strip()[-200:]}), flush=True)
+
+
+def run_one(name: str):
+    cfg, bits, baseline = METRICS[name]
+    emit(name, decode_tps(cfg, quant_bits=bits), "tokens/sec", baseline)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--metric":
+        run_one(sys.argv[2])
+    else:
+        main()
