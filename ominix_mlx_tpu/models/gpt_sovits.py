@@ -141,6 +141,9 @@ class VoiceCloner:
     vits_params: Optional[dict] = None
     vits_cfg: Optional[object] = None          # models.vits.VITSConfig
     frontend: Optional[object] = None          # text.TextFrontend
+    hubert_params: Optional[dict] = None       # semantic feature extractor
+    hubert_cfg: Optional[object] = None
+    hubert_codebook: Optional[jax.Array] = None  # k-means centers [V, C]
     ref_semantic: Optional[np.ndarray] = None
     ref_spec: Optional[np.ndarray] = None      # [T, spec_channels]
     # deprecated round-1 stand-ins (embedding-lookup vocoder path)
@@ -157,6 +160,26 @@ class VoiceCloner:
         """Linear spectrogram of the reference audio (audio.dsp.stft with
         n_fft=2048 hop=640 for the 32k model)."""
         self.ref_spec = np.asarray(spec, np.float32)
+
+    def set_reference_audio(self, samples, rate: int = 32000):
+        """Raw reference audio -> HuBERT k-means semantic codes + linear
+        spectrogram (reference: set_reference_audio, voice_clone.rs:398:
+        wav -> HuBERT 16k codes + GPU-STFT ref mel)."""
+        from ominix_mlx_tpu import native
+        from ominix_mlx_tpu.audio.dsp import stft
+        from ominix_mlx_tpu.models import hubert
+
+        assert self.hubert_params is not None and \
+            self.hubert_codebook is not None, "HuBERT weights not loaded"
+        samples = np.asarray(samples, np.float32)
+        wav16 = (native.resample_sinc(samples, rate, 16000)
+                 if rate != 16000 else samples)
+        feats = hubert.encode(self.hubert_params, self.hubert_cfg,
+                              jnp.asarray(wav16)[None])
+        codes = hubert.semantic_codes(feats[0], self.hubert_codebook)
+        self.set_reference_semantics(np.asarray(codes))
+        spec = jnp.abs(stft(jnp.asarray(samples), n_fft=2048, hop=640))
+        self.set_reference_spec(np.asarray(spec))
 
     def text_to_phonemes(self, text: str, lang: str = "auto") -> List[int]:
         if self.frontend is not None:

@@ -201,3 +201,129 @@ def conv_transpose1d(params: dict, x: jax.Array, stride: int = 1,
     if params.get("b") is not None:
         y = y + params["b"]
     return y
+
+
+# ------------------------------------------------------ recurrent / misc ----
+#
+# Recurrent and resampling layers from the reference's nn set
+# (mlx-rs/src/nn/recurrent.rs, pooling.rs, upsample.rs). All are
+# lax.scan-based so they stay jit-compatible; the hybrid LLM families use
+# specialized kernels instead (deltanet/GLA), these cover the general API.
+
+def rnn(params: dict, x: jax.Array, h0=None):
+    """Elman RNN: x [B, T, I] -> (outputs [B, T, H], h_T [B, H]).
+    params: {"wx": [H, I], "wh": [H, H], "b"?: [H]}."""
+    B, T, _ = x.shape
+    H = params["wx"].shape[0]
+    h0 = h0 if h0 is not None else jnp.zeros((B, H), x.dtype)
+    xw = jnp.einsum("bti,hi->bth", x, params["wx"])
+    if params.get("b") is not None:
+        xw = xw + params["b"]
+
+    def step(h, xt):
+        h = jnp.tanh(xt + h @ params["wh"].T)
+        return h, h
+
+    hT, ys = jax.lax.scan(step, h0, xw.transpose(1, 0, 2))
+    return ys.transpose(1, 0, 2), hT
+
+
+def gru(params: dict, x: jax.Array, h0=None):
+    """GRU: params {"wx": [3H, I], "wh": [3H, H], "b"?: [3H], "bhn"?: [H]}
+    (gate order r, z, n — torch convention)."""
+    B, T, _ = x.shape
+    H = params["wh"].shape[1]
+    h0 = h0 if h0 is not None else jnp.zeros((B, H), x.dtype)
+    xw = jnp.einsum("bti,hi->bth", x, params["wx"])
+    if params.get("b") is not None:
+        xw = xw + params["b"]
+
+    def step(h, xt):
+        hw = h @ params["wh"].T
+        xr, xz, xn = jnp.split(xt, 3, -1)
+        hr, hz, hn = jnp.split(hw, 3, -1)
+        if params.get("bhn") is not None:
+            hn = hn + params["bhn"]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1 - z) * n + z * h
+        return h, h
+
+    hT, ys = jax.lax.scan(step, h0, xw.transpose(1, 0, 2))
+    return ys.transpose(1, 0, 2), hT
+
+
+def lstm(params: dict, x: jax.Array, state=None):
+    """LSTM: params {"wx": [4H, I], "wh": [4H, H], "b"?: [4H]} (gate order
+    i, f, g, o)."""
+    B, T, _ = x.shape
+    H = params["wh"].shape[1]
+    if state is None:
+        state = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+    xw = jnp.einsum("bti,hi->bth", x, params["wx"])
+    if params.get("b") is not None:
+        xw = xw + params["b"]
+
+    def step(hc, xt):
+        h, c = hc
+        g = xt + h @ params["wh"].T
+        i, f, gg, o = jnp.split(g, 4, -1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (hT, cT), ys = jax.lax.scan(step, state, xw.transpose(1, 0, 2))
+    return ys.transpose(1, 0, 2), (hT, cT)
+
+
+def max_pool1d(x: jax.Array, k: int, stride=None) -> jax.Array:
+    """[B, T, C] -> [B, T', C]."""
+    stride = stride or k
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, 1), (1, stride, 1), "VALID")
+
+
+def avg_pool1d(x: jax.Array, k: int, stride=None) -> jax.Array:
+    stride = stride or k
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, k, 1),
+                              (1, stride, 1), "VALID")
+    return s / k
+
+
+def max_pool2d(x: jax.Array, k: int, stride=None) -> jax.Array:
+    """[B, H, W, C]."""
+    stride = stride or k
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, stride, stride, 1),
+        "VALID")
+
+
+def avg_pool2d(x: jax.Array, k: int, stride=None) -> jax.Array:
+    stride = stride or k
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, k, k, 1),
+                              (1, stride, stride, 1), "VALID")
+    return s / (k * k)
+
+
+def upsample(x: jax.Array, scale, mode: str = "nearest") -> jax.Array:
+    """[B, spatial..., C] integer-factor upsampling (nearest/linear)."""
+    if isinstance(scale, int):
+        scale = (scale,) * (x.ndim - 2)
+    shape = (x.shape[0],
+             *(int(d * s) for d, s in zip(x.shape[1:-1], scale)),
+             x.shape[-1])
+    method = "nearest" if mode == "nearest" else "bilinear"
+    return jax.image.resize(x, shape, method)
+
+
+def group_norm(params: dict, x: jax.Array, groups: int,
+               eps: float = 1e-5) -> jax.Array:
+    """Channels-last group norm over any spatial rank."""
+    C = x.shape[-1]
+    g = x.reshape(*x.shape[:-1], groups, C // groups)
+    axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mu = g.mean(axes, keepdims=True)
+    var = ((g - mu) ** 2).mean(axes, keepdims=True)
+    g = (g - mu) * jax.lax.rsqrt(var + eps)
+    return g.reshape(x.shape) * params["w"] + params["b"]

@@ -163,3 +163,52 @@ def test_eos_steering():
     assert np.isneginf(np.asarray(early)[0, 3])
     late = apply_eos_steering(logits, 3, jnp.int32(99), 5, 100)
     assert np.asarray(late)[0, 3] > 5.0
+
+
+def test_recurrent_layers_match_torch():
+    """GRU/LSTM vs torch (gate conventions torch-compatible so weight maps
+    are mechanical; reference layer set mlx-rs/src/nn/recurrent.rs)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from ominix_mlx_tpu.nn import layers as L
+
+    B, T, I, H = 2, 5, 3, 4
+    x = np.random.default_rng(0).normal(size=(B, T, I)).astype("f4")
+
+    tg = torch.nn.GRU(I, H, batch_first=True)
+    p = {"wx": jnp.asarray(tg.weight_ih_l0.detach().numpy()),
+         "wh": jnp.asarray(tg.weight_hh_l0.detach().numpy()),
+         "b": jnp.asarray(tg.bias_ih_l0.detach().numpy()),
+         "bhn": None}
+    # torch adds bias_hh inside the gates; fold r/z parts into b, keep n
+    bhh = tg.bias_hh_l0.detach().numpy()
+    p["b"] = p["b"] + jnp.asarray(np.concatenate([bhh[:2 * H], np.zeros(H, "f4")]))
+    p["bhn"] = jnp.asarray(bhh[2 * H:])
+    want, _ = tg(torch.from_numpy(x))
+    got, _ = L.gru(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+    tl = torch.nn.LSTM(I, H, batch_first=True)
+    pl = {"wx": jnp.asarray(tl.weight_ih_l0.detach().numpy()),
+          "wh": jnp.asarray(tl.weight_hh_l0.detach().numpy()),
+          "b": jnp.asarray((tl.bias_ih_l0 + tl.bias_hh_l0).detach().numpy())}
+    want, _ = tl(torch.from_numpy(x))
+    got, _ = L.lstm(pl, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pooling_and_upsample():
+    from ominix_mlx_tpu.nn import layers as L
+    x = jnp.arange(8.0).reshape(1, 8, 1)
+    np.testing.assert_allclose(
+        np.asarray(L.max_pool1d(x, 2))[0, :, 0], [1, 3, 5, 7])
+    np.testing.assert_allclose(
+        np.asarray(L.avg_pool1d(x, 2))[0, :, 0], [0.5, 2.5, 4.5, 6.5])
+    img = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    up = L.upsample(img, 2, "nearest")
+    assert up.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(up[0, :, :, 0]),
+                               [[0, 0, 1, 1], [0, 0, 1, 1],
+                                [2, 2, 3, 3], [2, 2, 3, 3]])
