@@ -31,8 +31,14 @@ def causal_mask(q_len: int, kv_capacity: int, offset: jax.Array,
     Mirrors reference ``create_causal_mask`` (mlx-rs-core/src/utils.rs:134-152)
     with the offset + optional sliding-window semantics.
     """
-    q_pos = offset.astype(jnp.int32) + jnp.arange(q_len, dtype=jnp.int32)[:, None]
-    k_pos = jnp.arange(kv_capacity, dtype=jnp.int32)[None, :]
+    off = offset.astype(jnp.int32)
+    if off.ndim == 1:           # per-sequence offsets (continuous batching)
+        q_pos = (off[:, None, None]
+                 + jnp.arange(q_len, dtype=jnp.int32)[None, :, None])
+        k_pos = jnp.arange(kv_capacity, dtype=jnp.int32)[None, None, :]
+    else:
+        q_pos = off + jnp.arange(q_len, dtype=jnp.int32)[:, None]
+        k_pos = jnp.arange(kv_capacity, dtype=jnp.int32)[None, :]
     ok = k_pos <= q_pos
     if window is not None:
         ok = ok & (k_pos > q_pos - window)
@@ -64,6 +70,8 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
         m = mask
         if m.ndim == 2:
             m = m[None, None, None]
+        elif m.ndim == 3:       # [B, T, S] per-sequence mask
+            m = m[:, None, None]
         elif m.ndim == 4:  # [B, H, T, S] -> [B, Hkv, G, T, S]
             m = m.reshape(B, Hkv, G, *m.shape[2:]) if m.shape[1] == H else m[:, :, None]
         logits = logits + m

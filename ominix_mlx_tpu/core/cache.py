@@ -55,10 +55,17 @@ class KVCache:
         the full buffer and mask by length, keeping shapes static.
         """
         z = jnp.zeros((), jnp.int32)
+        off = offset.astype(jnp.int32)
+        if off.ndim == 1:       # per-sequence offsets (continuous batching)
+            def put(buf, new, o):
+                return jax.lax.dynamic_update_slice(buf, new, (z, o, z))
+            k = jax.vmap(put)(self.k, k_new.astype(self.k.dtype), off)
+            v = jax.vmap(put)(self.v, v_new.astype(self.v.dtype), off)
+            return KVCache(k=k, v=v)
         k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype),
-                                         (z, z, offset.astype(jnp.int32), z))
+                                         (z, z, off, z))
         v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype),
-                                         (z, z, offset.astype(jnp.int32), z))
+                                         (z, z, off, z))
         return KVCache(k=k, v=v)
 
 

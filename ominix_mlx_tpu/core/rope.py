@@ -69,10 +69,17 @@ def apply_rope(x: jax.Array, positions: jax.Array, cfg: RopeConfig) -> jax.Array
     orig_dtype = x.dtype
     rot, rest = x[..., :dims], x[..., dims:]
     cos, sin = _angles(positions, dims, cfg.theta, cfg.scale)  # [..., T, half]
-    # broadcast cos/sin over leading dims of x
-    while cos.ndim < rot.ndim:
-        cos = cos[None]
-        sin = sin[None]
+    # broadcast cos/sin over the leading dims of x. positions [T] prepends
+    # all missing axes; positions [B, T] (per-sequence offsets, continuous
+    # batching) keeps B on axis 0 and broadcasts over the head axes between
+    if positions.ndim == 2 and rot.ndim >= 3:
+        while cos.ndim < rot.ndim:
+            cos = cos[:, None]
+            sin = sin[:, None]
+    else:
+        while cos.ndim < rot.ndim:
+            cos = cos[None]
+            sin = sin[None]
     rot = rot.astype(jnp.float32)
     if cfg.traditional:
         x1 = rot[..., 0::2]

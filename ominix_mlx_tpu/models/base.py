@@ -167,7 +167,8 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    positions = offset + jnp.arange(T, dtype=jnp.int32)
+    positions = (offset[:, None] if getattr(offset, "ndim", 0) == 1
+                 else offset) + jnp.arange(T, dtype=jnp.int32)
     q = apply_rope(q, positions, rope)
     k = apply_rope(k, positions, rope)
     cache = cache.update(k, v, offset)

@@ -112,3 +112,37 @@ def init_tiny(key) -> MoxinVLM:
         projector=proj,
         lm_params=base.init_params(lm_cfg, ks[0], jnp.float32),
         lm_cfg=lm_cfg)
+
+
+def load_model(model_dir: str) -> MoxinVLM:
+    """Load Moxin-7B VLM from a converted checkpoint dir: HF-named tower
+    tensors under dino./siglip. prefixes (params_from_hf_dinov2/siglip),
+    projector.fc1-3, and the Mistral LLM under llm. (reference:
+    moxin-vlm-mlx/src/lib.rs:282-383; vision stays bf16, LLM may be
+    quantized)."""
+    from ominix_mlx_tpu.utils.loading import load_config, load_safetensors
+
+    raw = load_config(model_dir)
+    flat = load_safetensors(model_dir)
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in flat.items()
+                if k.startswith(prefix)}
+
+    dcfg = vit.DINOV2_LARGE
+    scfg = vit.SIGLIP_SO400M
+    lm_cfg = base.TransformerConfig.from_hf(raw.get("text_config", raw))
+    proj_flat = sub("projector.")
+    projector = {
+        name: {"w": proj_flat[f"{name}.weight"],
+               **({"b": proj_flat[f"{name}.bias"]}
+                  if f"{name}.bias" in proj_flat else {})}
+        for name in ("fc1", "fc2", "fc3")}
+    return MoxinVLM(
+        dino_params=vit.params_from_hf_dinov2(sub("dino."), dcfg),
+        dino_cfg=dcfg,
+        siglip_params=vit.params_from_hf_siglip(sub("siglip."), scfg),
+        siglip_cfg=scfg,
+        projector=projector,
+        lm_params=base.params_from_flat(sub("llm."), lm_cfg),
+        lm_cfg=lm_cfg)
