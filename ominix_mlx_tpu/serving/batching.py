@@ -34,6 +34,9 @@ class _Request:
     tokens: List[int]
     max_tokens: int
     out: List[int] = dataclasses.field(default_factory=list)
+    stop: Optional[set] = None          # per-request stop ids (None -> global)
+    emit: Optional[Callable] = None     # streaming sink: emit(tok) per token,
+    #                                     emit(None) exactly once on finish
 
 
 class ContinuousBatcher:
@@ -98,8 +101,33 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------ public ----
 
-    def submit(self, rid, tokens: List[int], max_tokens: int = 128):
-        self.queue.append(_Request(rid, list(tokens), max_tokens))
+    def submit(self, rid, tokens: List[int], max_tokens: int = 128,
+               stop_tokens=None, emit: Optional[Callable] = None):
+        self.queue.append(_Request(
+            rid, list(tokens), max_tokens,
+            stop=set(stop_tokens) if stop_tokens is not None else None,
+            emit=emit))
+
+    def cancel(self, rid) -> bool:
+        """Drop a queued or in-flight request (per-request cancellation,
+        reference voice_clone.rs:198-206). Frees the slot immediately; the
+        emit sink (if any) receives the terminating ``None``."""
+        for req in list(self.queue):
+            if req.rid == rid:
+                self.queue.remove(req)
+                if req.emit:
+                    req.emit(None)
+                return True
+        for b, req in enumerate(self.active):
+            if req is not None and req.rid == rid:
+                self.active[b] = None
+                if req.emit:
+                    req.emit(None)
+                return True
+        return False
+
+    def pending(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.active)
 
     def _fill_free_slots(self):
         for b in range(self.slots):
@@ -139,13 +167,18 @@ class ContinuousBatcher:
             if req is None:
                 continue
             t = cur[b]
-            done = (t in self.stop_tokens
+            stops = req.stop if req.stop is not None else self.stop_tokens
+            done = (t in stops
                     or len(req.out) + 1 >= req.max_tokens
                     or int(self.offsets[b]) >= self.max_len - 1)
-            if t not in self.stop_tokens:
+            if t not in stops:
                 req.out.append(t)
+                if req.emit:
+                    req.emit(t)
             if done:
                 finished.append((req.rid, req.out))
+                if req.emit:
+                    req.emit(None)
                 self.active[b] = None
         self.toks = nxt
         return finished

@@ -59,6 +59,50 @@ class LoadedModel:
         return eng
 
 
+class BatchedChatRunner:
+    """Cross-request continuous batching for chat (serving/batching.py):
+    HTTP threads submit token lists, ONE dedicated thread steps the shared
+    slot-decode, and tokens stream back through per-request queues. Greedy
+    decode only — sampled requests keep the per-request Engine path."""
+
+    def __init__(self, model, slots: int = 4, max_len: int = 2048,
+                 dtype=jnp.bfloat16):
+        from ominix_mlx_tpu.serving.batching import ContinuousBatcher
+        self.lock = threading.Lock()
+        self.wake = threading.Event()
+        self.batcher = ContinuousBatcher(
+            lambda p, t, c: model.module.forward(p, model.cfg, t, c),
+            model.params, model.cfg,
+            lambda cfg, b, ml: model.module.init_cache(cfg, b, ml, dtype),
+            slots=slots, max_len=max_len)
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, tokens, max_tokens: int, stop_tokens=()):
+        rid = uuid.uuid4().hex
+        q: "queue.Queue" = queue.Queue()
+        with self.lock:
+            self.batcher.submit(rid, tokens, max_tokens,
+                                stop_tokens=stop_tokens, emit=q.put)
+        self.wake.set()
+        return rid, q
+
+    def cancel(self, rid):
+        with self.lock:
+            self.batcher.cancel(rid)
+
+    def _run(self):
+        while True:
+            with self.lock:
+                busy = self.batcher.pending()
+            if not busy:
+                self.wake.wait(timeout=0.1)
+                self.wake.clear()
+                continue
+            with self.lock:
+                self.batcher.step()
+
+
 class InferenceWorker:
     """Dedicated inference thread (reference: server.rs:971-1010)."""
 
@@ -87,6 +131,7 @@ class Server:
                  request_timeout_s: float = 600.0):
         self.host, self.port = host, port
         self.models: dict = {}
+        self.batchers: dict = {}
         self.worker = InferenceWorker()
         self.request_timeout_s = request_timeout_s
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -111,6 +156,14 @@ class Server:
         """Register a pre-built model object (tests, custom assemblies)."""
         self.models[name] = model
 
+    def enable_batching(self, name: str, slots: int = 4, max_len: int = 2048,
+                        dtype=jnp.bfloat16):
+        """Turn on continuous batching for a loaded chat model: concurrent
+        greedy requests share one slot-decode step instead of serializing
+        on the inference thread."""
+        self.batchers[name] = BatchedChatRunner(
+            self.models[name], slots=slots, max_len=max_len, dtype=dtype)
+
     # ---------------------------------------------------------- handlers ----
 
     def chat_completion(self, body: dict, send_chunk=None) -> dict:
@@ -129,13 +182,23 @@ class Server:
             top_p=float(body.get("top_p", 1.0)),
             top_k=int(body.get("top_k", 0)))
         max_tokens = int(body.get("max_tokens", DEFAULT_MAX_TOKENS))
-        engine = m.engine(sampler)
-        cache = m.module.init_cache(m.cfg, 1, len(tokens) + max_tokens + 8,
-                                    jnp.bfloat16)
         stops = ({m.tokenizer.eos_token_id}
                  if m.tokenizer.eos_token_id is not None else set())
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         created = int(time.time())
+
+        # greedy requests ride the continuous batcher when one is enabled:
+        # concurrent requests share decode steps (slot refill, no lockstep)
+        batcher = self.batchers.get(name)
+        if batcher is not None and sampler.temperature == 0:
+            return self._chat_batched(
+                batcher, m, name, tokens, max_tokens, stops, send_chunk,
+                float(body.get("timeout_s", self.request_timeout_s)),
+                rid, created)
+
+        engine = m.engine(sampler)
+        cache = m.module.init_cache(m.cfg, 1, len(tokens) + max_tokens + 8,
+                                    jnp.bfloat16)
 
         # per-request timeout + cooperative cancellation (reference:
         # synthesis timeout + cancellation tokens, voice_clone.rs:198-206;
@@ -190,6 +253,45 @@ class Server:
             "usage": {"prompt_tokens": len(tokens),
                       "completion_tokens": result["n"],
                       "total_tokens": len(tokens) + result["n"]},
+        }
+
+    def _chat_batched(self, batcher, m, name, tokens, max_tokens, stops,
+                      send_chunk, timeout_s, rid, created) -> dict:
+        """Drain one request's token queue from the shared batcher thread;
+        streams deltas as tokens land, cancels the slot on timeout."""
+        brid, q = batcher.submit(tokens, max_tokens, stop_tokens=stops)
+        deadline = time.time() + timeout_s
+        out_ids, text = [], ""
+        while True:
+            try:
+                tok = q.get(timeout=max(0.0, deadline - time.time()))
+            except queue.Empty:
+                batcher.cancel(brid)
+                raise TimeoutError(f"request exceeded {timeout_s:.0f}s")
+            if tok is None:
+                break
+            out_ids.append(tok)
+            if send_chunk is not None:
+                piece = m.tokenizer.decode(out_ids)
+                delta = piece[len(text):]
+                if delta:
+                    text = piece
+                    send_chunk({
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": created, "model": name,
+                        "choices": [{"index": 0,
+                                     "delta": {"content": delta},
+                                     "finish_reason": None}]})
+        text = m.tokenizer.decode(out_ids)
+        return {
+            "id": rid, "object": "chat.completion", "created": created,
+            "model": name,
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant", "content": text},
+                         "finish_reason": "stop"}],
+            "usage": {"prompt_tokens": len(tokens),
+                      "completion_tokens": len(out_ids),
+                      "total_tokens": len(tokens) + len(out_ids)},
         }
 
     def audio_speech(self, body: dict) -> bytes:
@@ -404,11 +506,19 @@ def main():
                     help="name=path or path")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch-slots", type=int, default=0,
+                    help="continuous-batching slots for chat models "
+                         "(0 = per-request decode)")
+    ap.add_argument("--batch-max-len", type=int, default=4096)
     args = ap.parse_args()
     srv = Server(args.host, args.port)
     for spec in args.model:
         name, _, path = spec.rpartition("=")
-        srv.load_model(name or path.rstrip("/").rsplit("/", 1)[-1], path)
+        name = name or path.rstrip("/").rsplit("/", 1)[-1]
+        srv.load_model(name, path)
+        if args.batch_slots and isinstance(srv.models[name], LoadedModel):
+            srv.enable_batching(name, slots=args.batch_slots,
+                                max_len=args.batch_max_len)
     print(f"serving on http://{args.host}:{args.port}")
     srv.serve_forever()
 

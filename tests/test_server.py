@@ -277,3 +277,58 @@ def test_image_generation_endpoint(server):
     out = json.loads(urllib.request.urlopen(req).read())
     png = base64.b64decode(out["data"][0]["b64_json"])
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_batched_chat_matches_unbatched(server):
+    """Continuous-batching route: concurrent greedy requests through the
+    shared batcher must return exactly the per-request engine outputs."""
+    import threading
+
+    base_out = {}
+    prompts = ["hello there", "another prompt!", "x"]
+    for p in prompts:
+        base_out[p] = _post("/v1/chat/completions", {
+            "model": "tiny", "max_tokens": 6,
+            "messages": [{"role": "user", "content": p}]})[
+                "choices"][0]["message"]["content"]
+
+    server.enable_batching("tiny", slots=2, max_len=128, dtype=jnp.float32)
+    try:
+        got = {}
+        errs = []
+
+        def fire(p):
+            try:
+                got[p] = _post("/v1/chat/completions", {
+                    "model": "tiny", "max_tokens": 6,
+                    "messages": [{"role": "user", "content": p}]})[
+                        "choices"][0]["message"]["content"]
+            except Exception as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=fire, args=(p,)) for p in prompts]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errs, errs
+        assert got == base_out
+    finally:
+        server.batchers.pop("tiny", None)
+
+
+def test_batched_chat_stream(server):
+    server.enable_batching("tiny", slots=2, max_len=128, dtype=jnp.float32)
+    try:
+        r = _post("/v1/chat/completions", {
+            "model": "tiny", "max_tokens": 5, "stream": True,
+            "messages": [{"role": "user", "content": "hi"}]}, raw=True)
+        events = [ln for ln in r.read().decode().splitlines()
+                  if ln.startswith("data: ")]
+        assert events[-1] == "data: [DONE]"
+        text = "".join(
+            json.loads(e[6:])["choices"][0]["delta"].get("content", "")
+            for e in events[:-1])
+        assert len(text) > 0
+    finally:
+        server.batchers.pop("tiny", None)
