@@ -239,7 +239,9 @@ def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
     reference: deepseek-ocr2 prepare_inputs lib.rs:522, qwen3-asr)."""
     T = x.shape[1]
     rope = cfg.rope()
-    kv_caps = [lc.max_len for lc in cache.layers if isinstance(lc, KVCache)]
+    from ominix_mlx_tpu.core.paged_cache import PagedKVCache
+    kv_caps = [lc.max_len for lc in cache.layers
+               if isinstance(lc, (KVCache, PagedKVCache))]
     mask = (causal_mask(T, kv_caps[0], cache.offset, cfg.sliding_window)
             if kv_caps else None)
     new_layers = []

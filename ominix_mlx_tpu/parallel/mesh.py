@@ -105,9 +105,15 @@ def moe_param_specs(lp_moe: dict) -> dict:
 def cache_specs(cache) -> object:
     """PartitionSpec tree for a ModelCache: shard KV heads on tp, batch on dp."""
     from ominix_mlx_tpu.core.cache import KVCache, ModelCache, RotatingKVCache
+    from ominix_mlx_tpu.core.paged_cache import PagedKVCache
     from ominix_mlx_tpu.models.sparse_attention import SparseKVCache
 
     def layer_spec(lc):
+        if isinstance(lc, PagedKVCache):
+            # pool [P, page, n_kv, D]: KV heads on tp; page table replicated
+            pool = P(None, None, "tp", None)
+            return PagedKVCache(k_pool=pool, v_pool=pool,
+                                page_table=P(None, None))
         if isinstance(lc, (KVCache, RotatingKVCache, SparseKVCache)):
             kv = P("dp", "tp", None, None)
             if isinstance(lc, RotatingKVCache):

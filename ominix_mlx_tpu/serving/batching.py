@@ -56,6 +56,7 @@ class ContinuousBatcher:
         self.offsets = jnp.zeros((slots,), jnp.int32)
         self.toks = jnp.zeros((slots,), jnp.int32)
         self.active: List[Optional[_Request]] = [None] * slots
+        self.off_host: List[int] = [0] * slots   # host mirror of offsets
         self.queue: deque = deque()
 
         def decode_step(params, layers, offsets, toks, active):
@@ -121,6 +122,7 @@ class ContinuousBatcher:
         for b, req in enumerate(self.active):
             if req is not None and req.rid == rid:
                 self.active[b] = None
+                self._release_slot(b)
                 if req.emit:
                     req.emit(None)
                 return True
@@ -128,6 +130,29 @@ class ContinuousBatcher:
 
     def pending(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.active)
+
+    # ----------------------------------------------- adoption hooks --------
+    # (overridden by PagedContinuousBatcher)
+
+    def _prefill_layers(self, bucket: int):
+        """Single-row empty cache layers for a prefill of ``bucket`` tokens."""
+        return jax.tree.map(
+            lambda a: a[:1] * 0, self.cache.layers,
+            is_leaf=lambda x: isinstance(x, jax.Array))
+
+    def _adopt_request(self, b: int, layers1, T: int, tok):
+        layers, self.offsets, self.toks = self._adopt(
+            list(self.cache.layers), layers1, jnp.int32(b), self.offsets,
+            self.toks, jnp.int32(T), tok)
+        self.cache = ModelCache(layers=list(layers), offset=self.offsets)
+
+    def _release_slot(self, b: int):
+        pass
+
+    def _pre_step(self):
+        pass
+
+    # ------------------------------------------------------------------------
 
     def _fill_free_slots(self):
         for b in range(self.slots):
@@ -138,15 +163,10 @@ class ContinuousBatcher:
             bucket = min(bucket_length(T), self.max_len)
             padded = jnp.zeros((1, bucket), jnp.int32).at[0, :T].set(
                 jnp.asarray(req.tokens, jnp.int32))
-            layers1 = jax.tree.map(
-                lambda a: a[:1] * 0, self.cache.layers,
-                is_leaf=lambda x: isinstance(x, jax.Array))
             layers1, tok = self._prefill(self.params, padded, jnp.int32(T),
-                                         layers1)
-            layers, self.offsets, self.toks = self._adopt(
-                list(self.cache.layers), layers1, jnp.int32(b), self.offsets,
-                self.toks, jnp.int32(T), tok)
-            self.cache = ModelCache(layers=list(layers), offset=self.offsets)
+                                         self._prefill_layers(bucket))
+            self._adopt_request(b, layers1, T, tok)
+            self.off_host[b] = T
             self.active[b] = req
 
     def step(self) -> List[Tuple[object, List[int]]]:
@@ -155,6 +175,7 @@ class ContinuousBatcher:
         self._fill_free_slots()
         if not any(r is not None for r in self.active):
             return []
+        self._pre_step()
         active_mask = jnp.asarray([r is not None for r in self.active])
         # current tokens are appended to outputs, then the step computes next
         cur = [int(t) for t in self.toks]
@@ -166,11 +187,12 @@ class ContinuousBatcher:
         for b, req in enumerate(self.active):
             if req is None:
                 continue
+            self.off_host[b] += 1
             t = cur[b]
             stops = req.stop if req.stop is not None else self.stop_tokens
             done = (t in stops
                     or len(req.out) + 1 >= req.max_tokens
-                    or int(self.offsets[b]) >= self.max_len - 1)
+                    or self.off_host[b] >= self.max_len - 1)
             if t not in stops:
                 req.out.append(t)
                 if req.emit:
@@ -180,6 +202,7 @@ class ContinuousBatcher:
                 if req.emit:
                     req.emit(None)
                 self.active[b] = None
+                self._release_slot(b)
         self.toks = nxt
         return finished
 
@@ -193,3 +216,128 @@ class ContinuousBatcher:
             for rid, out in self.step():
                 done[rid] = out
         return done
+
+
+class PagedContinuousBatcher(ContinuousBatcher):
+    """Continuous batching over a shared paged KV pool (core/paged_cache.py).
+
+    Slots draw pages from one physical pool as their sequences grow instead
+    of reserving slots x max_len up front, so the same HBM holds more
+    in-flight sequences of mixed lengths. Page allocation is host-side; the
+    per-layer page tables ride into the jitted decode as tiny int32 data
+    arguments, so growth never retraces. Works with models.base-compatible
+    forwards (TransformerConfig with num_layers/num_kv_heads/hd).
+    """
+
+    def __init__(self, forward_fn: Callable, params, cfg,
+                 slots: int = 4, max_len: int = 2048,
+                 num_pages: Optional[int] = None, page_size: int = 64,
+                 stop_tokens: Tuple[int, ...] = (), dtype=jnp.bfloat16):
+        from ominix_mlx_tpu.core.paged_cache import (PageAllocator,
+                                                     PagedKVCache)
+        assert max_len % page_size == 0, (max_len, page_size)
+        self.page_size = page_size
+        self.max_pages = max_len // page_size
+        self.n_kv = cfg.num_kv_heads
+        self.hd = cfg.hd
+        self.num_layers = cfg.num_layers
+        self.dtype = dtype
+        # default pool: fully backed (+1 null page); callers shrink it to
+        # oversubscribe capacity across slots
+        self.num_pages = num_pages or slots * self.max_pages + 1
+        self.alloc = PageAllocator(self.num_pages, page_size)
+        import numpy as np
+        self._np = np
+        self.table = np.zeros((slots, self.max_pages), np.int32)
+
+        def make_cache(cfg_, slots_, max_len_):
+            return ModelCache(
+                layers=[PagedKVCache.init(
+                    slots_, self.n_kv, self.num_pages, page_size, self.hd,
+                    self.max_pages, dtype) for _ in range(self.num_layers)],
+                offset=jnp.zeros((slots_,), jnp.int32))
+
+        super().__init__(forward_fn, params, cfg, make_cache, slots=slots,
+                         max_len=max_len, stop_tokens=stop_tokens)
+
+        def paged_adopt(pools, k1s, v1s, page_row, offsets, toks, slot,
+                        off_new, tok_new):
+            ps = page_size
+            new_pools = []
+            for (kp, vp), k1, v1 in zip(pools, k1s, v1s):
+                bucket = k1.shape[2]
+                n = -(-bucket // ps)
+                pad = n * ps - bucket
+                def vals(a):
+                    x = jnp.transpose(a[0], (1, 0, 2))       # [bucket,n_kv,D]
+                    if pad:
+                        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+                    return x.reshape(n, ps, self.n_kv, self.hd)
+                kp = kp.at[page_row].set(vals(k1).astype(kp.dtype))
+                vp = vp.at[page_row].set(vals(v1).astype(vp.dtype))
+                new_pools.append((kp, vp))
+            offsets = offsets.at[slot].set(off_new)
+            toks = toks.at[slot].set(tok_new)
+            return new_pools, offsets, toks
+
+        self._paged_adopt = jax.jit(paged_adopt, donate_argnums=(0,))
+
+    # ----------------------------------------------------------- hooks -----
+
+    def _layers_with_table(self):
+        """Rebuild layer views over the current pools + master table. Each
+        layer gets its OWN device copy of the table so the decode jit can
+        donate every buffer without aliasing."""
+        from ominix_mlx_tpu.core.paged_cache import PagedKVCache
+        return [PagedKVCache(k_pool=lc.k_pool, v_pool=lc.v_pool,
+                             page_table=jnp.asarray(self.table.copy()))
+                for lc in self.cache.layers]
+
+    def _sync_table(self):
+        self.cache = ModelCache(layers=self._layers_with_table(),
+                                offset=self.offsets)
+
+    def _prefill_layers(self, bucket: int):
+        return [KVCache.init(1, self.n_kv, bucket, self.hd, self.dtype)
+                for _ in range(self.num_layers)]
+
+    def _adopt_request(self, b: int, layers1, T: int, tok):
+        ps = self.page_size
+        bucket = layers1[0].k.shape[2]
+        owned = self.alloc.alloc(b, T)
+        n = -(-bucket // ps)
+        row = self._np.zeros((n,), self._np.int32)
+        row[:min(len(owned), n)] = owned[:n]
+        self.table[b, :] = 0
+        self.table[b, :len(owned)] = owned
+        pools = [(lc.k_pool, lc.v_pool) for lc in self.cache.layers]
+        k1s = [l1.k for l1 in layers1]
+        v1s = [l1.v for l1 in layers1]
+        pools, self.offsets, self.toks = self._paged_adopt(
+            pools, k1s, v1s, jnp.asarray(row), self.offsets, self.toks,
+            jnp.int32(b), jnp.int32(T), tok)
+        from ominix_mlx_tpu.core.paged_cache import PagedKVCache
+        self.cache = ModelCache(
+            layers=[PagedKVCache(k_pool=kp, v_pool=vp,
+                                 page_table=lc.page_table)
+                    for (kp, vp), lc in zip(pools, self.cache.layers)],
+            offset=self.offsets)
+        self._sync_table()
+
+    def _pre_step(self):
+        changed = False
+        for b, req in enumerate(self.active):
+            if req is None:
+                continue
+            need = self.alloc.pages_for(self.off_host[b] + 1)
+            if len(self.alloc.owned.get(b, [])) < need:
+                owned = self.alloc.alloc(b, self.off_host[b] + 1)
+                self.table[b, :len(owned)] = owned
+                changed = True
+        if changed:
+            self._sync_table()
+
+    def _release_slot(self, b: int):
+        self.alloc.release(b)
+        self.table[b, :] = 0
+        self._sync_table()

@@ -66,15 +66,22 @@ class BatchedChatRunner:
     decode only — sampled requests keep the per-request Engine path."""
 
     def __init__(self, model, slots: int = 4, max_len: int = 2048,
-                 dtype=jnp.bfloat16):
-        from ominix_mlx_tpu.serving.batching import ContinuousBatcher
+                 dtype=jnp.bfloat16, paged: bool = False,
+                 num_pages=None, page_size: int = 64):
+        from ominix_mlx_tpu.serving.batching import (ContinuousBatcher,
+                                                     PagedContinuousBatcher)
         self.lock = threading.Lock()
         self.wake = threading.Event()
-        self.batcher = ContinuousBatcher(
-            lambda p, t, c: model.module.forward(p, model.cfg, t, c),
-            model.params, model.cfg,
-            lambda cfg, b, ml: model.module.init_cache(cfg, b, ml, dtype),
-            slots=slots, max_len=max_len)
+        fwd = lambda p, t, c: model.module.forward(p, model.cfg, t, c)
+        if paged:
+            self.batcher = PagedContinuousBatcher(
+                fwd, model.params, model.cfg, slots=slots, max_len=max_len,
+                num_pages=num_pages, page_size=page_size, dtype=dtype)
+        else:
+            self.batcher = ContinuousBatcher(
+                fwd, model.params, model.cfg,
+                lambda cfg, b, ml: model.module.init_cache(cfg, b, ml, dtype),
+                slots=slots, max_len=max_len)
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -157,12 +164,15 @@ class Server:
         self.models[name] = model
 
     def enable_batching(self, name: str, slots: int = 4, max_len: int = 2048,
-                        dtype=jnp.bfloat16):
+                        dtype=jnp.bfloat16, paged: bool = False,
+                        num_pages=None, page_size: int = 64):
         """Turn on continuous batching for a loaded chat model: concurrent
         greedy requests share one slot-decode step instead of serializing
-        on the inference thread."""
+        on the inference thread. ``paged=True`` backs the slots with a
+        shared paged KV pool (core/paged_cache.py) sized ``num_pages``."""
         self.batchers[name] = BatchedChatRunner(
-            self.models[name], slots=slots, max_len=max_len, dtype=dtype)
+            self.models[name], slots=slots, max_len=max_len, dtype=dtype,
+            paged=paged, num_pages=num_pages, page_size=page_size)
 
     # ---------------------------------------------------------- handlers ----
 

@@ -90,3 +90,35 @@ def test_pipeline_parallel_matches_sequential():
     got = pp.pipeline_apply(mesh, layer_fn, stacked, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tp_sharded_paged_decode_matches_unsharded():
+    """Paged KV pool sharded heads-on-tp: decode step equals unsharded."""
+    from ominix_mlx_tpu.core.cache import ModelCache
+    from ominix_mlx_tpu.core.paged_cache import PagedKVCache
+
+    params = base.init_params(CFG, jax.random.PRNGKey(3), jnp.float32)
+    table = jnp.asarray([[1, 2]], jnp.int32)
+
+    def fresh_cache():
+        return ModelCache(
+            layers=[PagedKVCache.init(1, CFG.num_kv_heads, 4, 8, CFG.hd, 2,
+                                      jnp.float32, page_table=table)
+                    for _ in range(CFG.num_layers)],
+            offset=jnp.zeros((), jnp.int32))
+
+    tokens = jnp.asarray([[5, 17, 99]])
+    tok1 = jnp.asarray([[7]])
+    _, c = base.forward(params, CFG, tokens, fresh_cache())
+    want, _ = base.forward(params, CFG, tok1, c)
+
+    m = pmesh.make_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    sharded = pmesh.shard_params(CFG, params, m)
+    c2 = fresh_cache()
+    c2 = pmesh.shard_tree(c2, pmesh.cache_specs(c2), m)
+    with jax.set_mesh(m):
+        f = jax.jit(lambda p, t, c: base.forward(p, CFG, t, c))
+        _, c2 = f(sharded, tokens, c2)
+        got, _ = f(sharded, tok1, c2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -332,3 +332,21 @@ def test_batched_chat_stream(server):
         assert len(text) > 0
     finally:
         server.batchers.pop("tiny", None)
+
+
+def test_batched_chat_paged_pool(server):
+    """Batched route backed by the shared paged KV pool."""
+    want = _post("/v1/chat/completions", {
+        "model": "tiny", "max_tokens": 6,
+        "messages": [{"role": "user", "content": "paged"}]})[
+            "choices"][0]["message"]["content"]
+    server.enable_batching("tiny", slots=2, max_len=128, dtype=jnp.float32,
+                           paged=True, page_size=16, num_pages=10)
+    try:
+        got = _post("/v1/chat/completions", {
+            "model": "tiny", "max_tokens": 6,
+            "messages": [{"role": "user", "content": "paged"}]})[
+                "choices"][0]["message"]["content"]
+        assert got == want
+    finally:
+        server.batchers.pop("tiny", None)
