@@ -110,3 +110,56 @@ def init_mpd(key, channels=(16, 64, 256), dtype=jnp.float32) -> dict:
             cin = c
         discs.append({"convs": convs, "post": conv_p(cin, 1, (3, 1))})
     return {"discriminators": discs}
+
+
+# -------------------------------------------- scale discriminator -----------
+
+# (kernel, stride, padding) per layer — DiscriminatorS channel/stride plan
+# (reference gpt-sovits-mlx/src/models/discriminator.rs:30-110)
+_MSD_SPECS = ((15, 1, 7), (41, 4, 20), (41, 4, 20), (41, 4, 20),
+              (41, 4, 20), (5, 1, 2))
+
+
+def scale_discriminator(p: dict, wav: jax.Array):
+    """wav [B, T] -> (score, feature maps): strided 1D convs on the raw
+    waveform (DiscriminatorS; complements the period-folded views)."""
+    x = wav[:, :, None]
+    feats = []
+    for conv, (k, s, pad) in zip(p["convs"], _MSD_SPECS):
+        x = jax.nn.leaky_relu(conv1d(conv, x, stride=s, padding=pad), 0.1)
+        feats.append(x)
+    x = conv1d(p["post"], x, padding=1)
+    feats.append(x)
+    return x.reshape(x.shape[0], -1), feats
+
+
+def init_msd(key, channels=(16, 64, 256, 1024, 1024, 1024),
+             dtype=jnp.float32) -> dict:
+    ks = iter(jax.random.split(key, len(channels) + 1))
+
+    def conv_p(cin, cout, k):
+        return {"w": jax.random.normal(next(ks), (cout, k, cin),
+                                       dtype) * 0.02,
+                "b": jnp.zeros((cout,), dtype)}
+
+    convs, cin = [], 1
+    for c, (k, _, _) in zip(channels, _MSD_SPECS):
+        convs.append(conv_p(cin, c, k))
+        cin = c
+    return {"convs": convs, "post": conv_p(cin, 1, 3)}
+
+
+def combined_discriminator(params: dict, wav: jax.Array):
+    """DiscriminatorS + MultiPeriodDiscriminator, the reference's
+    MultiPeriodDiscriminator wrapper (discriminator.rs:398)."""
+    s_out, s_feats = scale_discriminator(params["msd"], wav)
+    p_outs, p_feats = multi_period_discriminator(params["mpd"], wav)
+    return [s_out] + p_outs, [s_feats] + p_feats
+
+
+def init_combined(key, mpd_channels=(16, 64, 256),
+                  msd_channels=(16, 64, 256, 1024, 1024, 1024),
+                  dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"msd": init_msd(k1, msd_channels, dtype),
+            "mpd": init_mpd(k2, mpd_channels, dtype)}
