@@ -71,6 +71,7 @@ def encode(params: dict, cfg: HubertConfig, wav: jax.Array,
     class _VC:
         num_heads = cfg.num_heads
         eps = cfg.eps
+        hidden_act = "gelu"                  # HuBERT FFN uses exact GELU
     for lp in params["layers"][:n]:
         x = vit_block(lp, _VC, x)
     return x
