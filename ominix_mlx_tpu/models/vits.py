@@ -400,7 +400,13 @@ def _wn_p(key, cfg: VITSConfig, hidden, dtype=jnp.float32):
 
 
 def init_params(cfg: VITSConfig, key, dtype=jnp.float32) -> dict:
-    ks = iter(jax.random.split(key, 64))
+    # generous key budget: full-size config needs ~'flows + upsamples +
+    # resblocks*dilations*2 + encoders' draws (64 was too few for the
+    # production 5-upsample/3-resblock config)
+    n_keys = (64 + 2 * cfg.flow_layers
+              + len(cfg.upsample_rates) * (1 + 2 * sum(
+                  len(d) for d in cfg.resblock_dilation_sizes)))
+    ks = iter(jax.random.split(key, n_keys))
     half = cfg.inter_channels // 2
     hc = cfg.hidden_channels
 
