@@ -95,7 +95,9 @@ def encode(params: dict, cfg: ParaformerConfig, feats: jax.Array) -> jax.Array:
     """feats: [B, T, n_mels*lfr_m] (LFR+CMVN output) -> [B, T, D]."""
     T = feats.shape[1]
     x = feats * math.sqrt(512.0)
-    x = x + jnp.asarray(sinusoid_pe(T, feats.shape[-1]))[None]
+    # keep the model dtype: a float32 PE would promote the whole stack
+    x = x + jnp.asarray(sinusoid_pe(T, feats.shape[-1]),
+                        dtype=feats.dtype)[None]
     x = encoder_layer(params["first_layer"], x, cfg.encoder_heads,
                       residual_attn=False)
     for lp in params["layers"]:
