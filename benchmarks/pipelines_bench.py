@@ -44,11 +44,13 @@ def bench_paraformer():
     frames = int(audio_s * 100 / cfg.lfr_n)          # 10ms hop, LFR stride 6
     feats = jax.random.normal(jax.random.PRNGKey(1),
                               (1, frames, cfg.input_dim), jnp.bfloat16)
-    run = jax.jit(lambda f: pf.transcribe_logits(params, cfg, f)[0].sum())
+    # params as an ARGUMENT, not a closure capture: closed-over arrays are
+    # baked into the lowering as constants (GBs -> pathological compiles)
+    run = jax.jit(lambda p, f: pf.transcribe_logits(p, cfg, f)[0].sum())
 
     def once():
         t0 = time.perf_counter()
-        float(run(feats))
+        float(run(params, feats))
         return time.perf_counter() - t0
 
     t = _timeit(once)
@@ -77,24 +79,24 @@ def bench_qwen3_asr():
     n_dec = 64                                        # ~typical transcript
 
     @jax.jit
-    def run(mel):
-        feats = qa.encode(eparams, ecfg, mel, n_mel)  # [T', 2048]
+    def run(ep, lp, mel):
+        feats = qa.encode(ep, ecfg, mel, n_mel)       # [T', 2048]
         emb = feats[None, :, :lcfg.hidden_size]       # splice stand-in
         cache = base.init_cache(lcfg, 1, emb.shape[1] + n_dec + 8,
                                 jnp.bfloat16)
-        logits, cache = base.forward_embeds(lparams, lcfg, emb, cache)
+        logits, cache = base.forward_embeds(lp, lcfg, emb, cache)
         tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
 
         def step(carry, _):
             tok, cache = carry
-            lg, cache = base.forward(lparams, lcfg, tok, cache)
+            lg, cache = base.forward(lp, lcfg, tok, cache)
             return (jnp.argmax(lg[:, -1:], -1).astype(jnp.int32), cache), tok
         (_, _), toks = jax.lax.scan(step, (tok, cache), length=n_dec)
         return toks.sum()
 
     def once():
         t0 = time.perf_counter()
-        float(run(mel))
+        float(run(eparams, lparams, mel))
         return time.perf_counter() - t0
 
     t = _timeit(once)
@@ -113,34 +115,36 @@ def bench_qwen3_tts():
         use_qk_norm=True))                 # Qwen3-TTS 1.7B talker body
     tp = qt.init_params(tcfg, jax.random.PRNGKey(0), jnp.bfloat16)
 
+    import functools
+
+    text_tok = jnp.asarray([tcfg.tts_pad_token_id % 3072], jnp.int32)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run(tp, cache, codes0, n):
+        def step(carry, _):
+            codes, cache = carry
+            te = embedding(tp["text_embedding"], text_tok[:, None])
+            te = qt.text_projection(tp["text_projection"], te)
+            c0 = embedding(tp["codec_embedding"], codes[:, :1])
+            rest = sum(tp["code_predictor"]["codec_embeddings"][g]
+                       [codes[:, g + 1]][:, None]
+                       for g in range(tcfg.num_code_groups - 1))
+            emb = te + c0 + rest.astype(te.dtype)
+            logits, hidden, cache = qt.talker_step(tp, tcfg, emb, cache)
+            code0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            c0e = embedding(tp["codec_embedding"], code0[:, None])
+            codes_rest = qt.predict_codes(tp["code_predictor"], tcfg,
+                                          hidden[:, -1:], c0e)
+            codes = jnp.concatenate([code0[:, None], codes_rest], 1)
+            return (codes, cache), code0
+        (_, _), c = jax.lax.scan(step, (codes0, cache), length=n)
+        return c.sum()
+
     def frames_loop(n):
-        cache = base.init_cache(tcfg.transformer, 1, n + 16, jnp.bfloat16)
+        cache = base.init_cache(tcfg.transformer, 1, 16 + 64, jnp.bfloat16)
         codes0 = jnp.full((1, tcfg.num_code_groups), 5, jnp.int32)
-        text_tok = jnp.asarray([tcfg.tts_pad_token_id % 3072], jnp.int32)
-
-        @jax.jit
-        def run(cache, codes):
-            def step(carry, _):
-                codes, cache = carry
-                te = embedding(tp["text_embedding"], text_tok[:, None])
-                te = qt.text_projection(tp["text_projection"], te)
-                c0 = embedding(tp["codec_embedding"], codes[:, :1])
-                rest = sum(tp["code_predictor"]["codec_embeddings"][g]
-                           [codes[:, g + 1]][:, None]
-                           for g in range(tcfg.num_code_groups - 1))
-                emb = te + c0 + rest.astype(te.dtype)
-                logits, hidden, cache = qt.talker_step(tp, tcfg, emb, cache)
-                code0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
-                c0e = embedding(tp["codec_embedding"], code0[:, None])
-                codes_rest = qt.predict_codes(tp["code_predictor"], tcfg,
-                                              hidden[:, -1:], c0e)
-                codes = jnp.concatenate([code0[:, None], codes_rest], 1)
-                return (codes, cache), code0
-            (_, _), c = jax.lax.scan(step, (codes0, cache), length=n)
-            return c.sum()
-
         t0 = time.perf_counter()
-        float(run(cache, codes0))
+        float(run(tp, cache, codes0, n))
         return time.perf_counter() - t0
 
     # difference quotient: per-frame marginal cost
@@ -181,18 +185,39 @@ BENCHES = {"paraformer": bench_paraformer, "asr": bench_qwen3_asr,
 
 
 def main():
+    """Each metric in its own subprocess: model buffers don't free within a
+    process (jit caches pin them) and the device tunnel needs ~100s between
+    clients before HBM is reusable (CLAUDE.md round-2 notes)."""
+    import os
+    import subprocess
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="paraformer,asr,tts,flux")
+    ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
-    for name in args.only.split(","):
+
+    if args.one:
         try:
-            BENCHES[name]()
+            BENCHES[args.one]()
         except Exception as e:
-            print(json.dumps({"metric": name, "error":
+            print(json.dumps({"metric": args.one, "error":
                               f"{type(e).__name__}: {e}"[:300]}), flush=True)
-        jax.clear_caches()
-        import gc
-        gc.collect()
+        return
+
+    names = args.only.split(",")
+    for i, name in enumerate(names):
+        if i:
+            time.sleep(100)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        for ln in lines:
+            print(ln, flush=True)
+        if not lines:
+            print(json.dumps({"metric": name,
+                              "error": r.stderr.strip()[-300:]}), flush=True)
 
 
 if __name__ == "__main__":

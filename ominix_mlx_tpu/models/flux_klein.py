@@ -261,8 +261,10 @@ def generate_image(params: dict, cfg: FluxKleinConfig, vae_params: dict,
     z = jax.random.normal(key, (B, seq, cfg.in_channels), jnp.float32)
     ts = flux_schedule(seq, num_steps)
 
+    # params ride as jit OPERANDS: closing over them would bake every
+    # weight into the lowered module as constants (GB-scale lowerings)
     @jax.jit
-    def run(z, txt_embed, cos, sin):
+    def run(params, vae_params, z, txt_embed, cos, sin):
         def v_fn(z, t):
             return forward(params, cfg, z.astype(txt_embed.dtype), txt_embed,
                            jnp.full((B,), t * 1000.0), cos, sin)
@@ -271,7 +273,7 @@ def generate_image(params: dict, cfg: FluxKleinConfig, vae_params: dict,
         img = vae_mod.decode(vae_params, vae_cfg, lat.astype(jnp.float32))
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
-    return run(z, txt_embed, cos, sin)
+    return run(params, vae_params, z, txt_embed, cos, sin)
 
 
 # --------------------------------------------------------- server adapter ---

@@ -182,11 +182,12 @@ def generate_latents(params: dict, cfg: QwenImageConfig, txt: jax.Array,
     z = jax.random.normal(key, (B, ph * pw, cfg.in_channels), jnp.float32)
     ts = shifted_linear_schedule(num_steps, shift)
 
+    # params as jit operands, not closure constants (see flux_klein.py)
     @jax.jit
-    def run(z, txt):
+    def run(params, z, txt):
         def v_fn(zz, t):
             return forward(params, cfg, zz.astype(txt.dtype), txt,
                            jnp.full((B,), t), icos, isin, tcos, tsin)
         return denoise(v_fn, z, ts)
 
-    return run(z, txt)
+    return run(params, z, txt)

@@ -233,8 +233,9 @@ def generate_image(params: dict, cfg: ZImageConfig, vae_params: dict,
     z = jax.random.normal(key, (B, ph * pw, cfg.patch_channels), jnp.float32)
     ts = shifted_linear_schedule(num_steps, shift)
 
+    # params as jit operands, not closure constants (see flux_klein.py)
     @jax.jit
-    def run(z, cap_feats):
+    def run(params, vae_params, z, cap_feats):
         def v_fn(zz, t):
             return forward(params, cfg, zz.astype(cap_feats.dtype),
                            jnp.full((B,), t), cap_feats, x_pos, cap_pos)
@@ -243,4 +244,4 @@ def generate_image(params: dict, cfg: ZImageConfig, vae_params: dict,
         img = vae_mod.decode(vae_params, vae_cfg, lat.astype(jnp.float32))
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
-    return run(z, cap_feats)
+    return run(params, vae_params, z, cap_feats)
