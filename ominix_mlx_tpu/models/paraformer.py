@@ -275,6 +275,9 @@ class Transcriber:
     cmvn_means: Optional[jax.Array] = None
     cmvn_vars: Optional[jax.Array] = None
     tokens: Optional[list] = None          # id -> string table
+    # optional CT-Transformer punctuation restoration (models/punctuation.py;
+    # reference feature-gate: funasr-mlx/src/punctuation.rs)
+    punc: object = None
 
     def features(self, samples: jax.Array, rate: int = 16000) -> jax.Array:
         from ominix_mlx_tpu.audio.dsp import (apply_cmvn, apply_lfr,
@@ -298,8 +301,11 @@ class Transcriber:
         ids = self.transcribe_ids(jnp.asarray(samples), rate)
         if self.tokens is None:
             return " ".join(str(i) for i in ids)
-        return "".join(self.tokens[i] if i < len(self.tokens) else ""
+        text = "".join(self.tokens[i] if i < len(self.tokens) else ""
                        for i in ids).replace("@@", "")
+        if self.punc is not None:
+            text = self.punc.punctuate(text)
+        return text
 
 
 def load_model(model_dir: str) -> Transcriber:
