@@ -39,6 +39,13 @@ MISTRAL_7B = TransformerConfig(
     num_kv_heads=8, head_dim=128, intermediate_size=14336,
     rope_theta=1000000.0, tie_word_embeddings=False)
 
+# GLM-4-9B-0414 architecture (HF config.json; reference README.md:579)
+GLM4_9B = TransformerConfig(
+    vocab_size=151552, hidden_size=4096, num_layers=40, num_heads=32,
+    num_kv_heads=2, head_dim=128, intermediate_size=13696,
+    partial_rotary_factor=0.5, attention_bias=True, rope_traditional=True,
+    tie_word_embeddings=False)
+
 
 def decode_tps(cfg: TransformerConfig, quant_bits=None,
                prompt_len: int = 128, cache_len: int = 1024) -> float:
@@ -88,6 +95,7 @@ METRICS = {
     # name: (cfg, quant_bits, baseline)
     "qwen3_4b_bf16_decode": (QWEN3_4B, None, 45.0),
     "mistral_7b_w4a8_decode": (MISTRAL_7B, 4, 82.8),
+    "glm4_9b_w4a8_decode": (GLM4_9B, 4, 35.0),
     # headline last: the 4-bit decode axis the reference's table leads with
     "qwen3_4b_w4a8_decode": (QWEN3_4B, 4, 45.0),
 }

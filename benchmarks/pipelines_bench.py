@@ -78,15 +78,19 @@ def bench_qwen3_asr():
                             jnp.bfloat16)
     n_dec = 64                                        # ~typical transcript
 
+    # three separate jits (encode / prefill / decode-scan): one fused
+    # program at this size stalls the remote compile service for 30+ min
     @jax.jit
-    def run(ep, lp, mel):
-        feats = qa.encode(ep, ecfg, mel, n_mel)       # [T', 2048]
-        emb = feats[None, :, :lcfg.hidden_size]       # splice stand-in
-        cache = base.init_cache(lcfg, 1, emb.shape[1] + n_dec + 8,
-                                jnp.bfloat16)
-        logits, cache = base.forward_embeds(lp, lcfg, emb, cache)
-        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    def enc(ep, mel):
+        return qa.encode(ep, ecfg, mel, n_mel)        # [T', 2048]
 
+    @jax.jit
+    def prefill(lp, emb, cache):
+        logits, cache = base.forward_embeds(lp, lcfg, emb, cache)
+        return jnp.argmax(logits[:, -1:], -1).astype(jnp.int32), cache
+
+    @jax.jit
+    def decode(lp, tok, cache):
         def step(carry, _):
             tok, cache = carry
             lg, cache = base.forward(lp, lcfg, tok, cache)
@@ -96,7 +100,12 @@ def bench_qwen3_asr():
 
     def once():
         t0 = time.perf_counter()
-        float(run(eparams, lparams, mel))
+        feats = enc(eparams, mel)
+        emb = feats[None, :, :lcfg.hidden_size]       # splice stand-in
+        cache = base.init_cache(lcfg, 1, emb.shape[1] + n_dec + 8,
+                                jnp.bfloat16)
+        tok, cache = prefill(lparams, emb, cache)
+        float(decode(lparams, tok, cache))
         return time.perf_counter() - t0
 
     t = _timeit(once)
