@@ -189,8 +189,44 @@ def bench_flux_klein():
     emit("flux_klein_1024px_s_per_image", t, "s/image", 5.0 / t)
 
 
+def bench_sovits():
+    """GPT-SoVITS voice-clone synthesis RTF vs the reference's 4x real-time
+    (README.md:587): T2S AR semantics (host loop, EOS-capable) + VITS
+    decode, full production sizes, random weights."""
+    import numpy as np
+
+    from ominix_mlx_tpu.models import gpt_sovits as gs
+    from ominix_mlx_tpu.models import vits
+
+    tcfg = gs.T2SConfig()
+    vcfg = vits.VITSConfig()
+    cloner = gs.VoiceCloner(
+        t2s_params=gs.init_t2s(tcfg, jax.random.PRNGKey(0), jnp.bfloat16),
+        t2s_cfg=tcfg,
+        vits_params=vits.init_params(vcfg, jax.random.PRNGKey(1),
+                                     jnp.bfloat16),
+        vits_cfg=vcfg)
+    cloner.set_reference_semantics(np.arange(50) % 1024)
+    cloner.set_reference_spec(np.abs(np.random.default_rng(0).normal(
+        size=(64, vcfg.spec_channels))).astype(np.float32))
+    phonemes = [int(x) for x in np.arange(64) % tcfg.phoneme_vocab]
+
+    def once():
+        t0 = time.perf_counter()
+        wav = cloner.synthesize(phonemes, max_tokens=100)
+        dt = time.perf_counter() - t0
+        audio_s = max(len(wav), 1) / 32000.0
+        return dt, audio_s
+
+    once()
+    dt, audio_s = min((once() for _ in range(2)), key=lambda x: x[0])
+    rtf = dt / audio_s
+    emit("gpt_sovits_clone_rtf", rtf, "rtf(lower=better)", 0.25 / rtf)
+
+
 BENCHES = {"paraformer": bench_paraformer, "asr": bench_qwen3_asr,
-           "tts": bench_qwen3_tts, "flux": bench_flux_klein}
+           "tts": bench_qwen3_tts, "flux": bench_flux_klein,
+           "sovits": bench_sovits}
 
 
 def main():
@@ -201,7 +237,7 @@ def main():
     import subprocess
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="paraformer,asr,tts,flux")
+    ap.add_argument("--only", default="paraformer,asr,tts,flux,sovits")
     ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 

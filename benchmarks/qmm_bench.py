@@ -73,13 +73,34 @@ def main():
     ap.add_argument("--shapes", default="gate,down")
     ap.add_argument("--variants", default="bf16,w8a8,w4a8")
     ap.add_argument("--m", type=int, default=1)
+    ap.add_argument("--act-ik", action="store_true",
+                    help="in-kernel activation quantization variant")
+    ap.add_argument("--check", action="store_true",
+                    help="numeric check vs XLA dequant reference")
     args = ap.parse_args()
-    print(f"backend={jax.default_backend()} M={args.m}")
+    if args.act_ik:
+        qm._ACT_IN_KERNEL = True
+    print(f"backend={jax.default_backend()} M={args.m} "
+          f"act_ik={qm._ACT_IN_KERNEL}")
     for sname in args.shapes.split(","):
         K, N = SHAPES[sname]
         for vname in args.variants.split(","):
             fn, x0, nbytes = make_variant(vname, jax.random.PRNGKey(0),
                                           K, N, args.m)
+            if args.check and vname != "bf16":
+                import numpy as np
+
+                from ominix_mlx_tpu.core.quant import dequantize
+                wk, _ = jax.random.split(jax.random.PRNGKey(0))
+                w = jax.random.normal(wk, (N, K), jnp.float32) * 0.02
+                bits = 8 if vname.startswith("w8") else 4
+                qt = quantize_tensor(w, 64, bits)
+                ref = x0.astype(jnp.float32) @ dequantize(
+                    qt, jnp.float32).T
+                got = fn(x0).astype(jnp.float32)
+                err = float(jnp.max(jnp.abs(got - ref))
+                            / (jnp.max(jnp.abs(ref)) + 1e-9))
+                print(f"{sname:5s} {vname:6s} rel_err={err:.4f}")
             t = timed(fn, x0, 320)
             print(f"{sname:5s} K={K:5d} N={N:5d} {vname:6s} "
                   f"{t * 1e6:8.1f} us  {nbytes / t / 1e9:7.1f} GB/s",

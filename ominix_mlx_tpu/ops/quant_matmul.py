@@ -149,11 +149,15 @@ def gather_rows(pqt: PackedQuantizedTensor, tokens: jax.Array) -> jax.Array:
 
 _NBUF = 2
 _SB_VMEM_MAX_N = 32768   # above this N, scales/biases stream per chunk
+# M=1 path: quantize the activation vector inside the kernel prologue
+# (saves the XLA-side abs-max/round/group-sum/Rm ops per projection call).
+# Opt-in until A/B-validated on device (see benchmarks/qmm_bench.py --act-ik)
+_ACT_IN_KERNEL = False
 
 
 def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
                stream_sb: bool, gs: int, K: int, Gp: int, M: int, TN: int,
-               NCH: int):
+               NCH: int, act_ik: bool = False):
     """Unified manual-pipeline P-kernel body. Static layout flags decide the
     operand list (see _qmm_p for the matching assembly):
 
@@ -179,14 +183,22 @@ def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
     else:
         XgL_ref = refs[0]
         idx = 1
+    xg_lo = xg_hi = rm = None
     if split:
-        s_lo, s_hi, b_lo, b_hi, xg_lo, xg_hi = refs[idx:idx + 6]
-        idx += 6
+        s_lo, s_hi, b_lo, b_hi = refs[idx:idx + 4]
+        idx += 4
+        if not act_ik:
+            xg_lo, xg_hi = refs[idx:idx + 2]
+            idx += 2
     else:
-        s_lo, b_lo, xg_lo = refs[idx:idx + 3]
-        idx += 3
-    rm = refs[idx]
-    idx += 1
+        s_lo, b_lo = refs[idx:idx + 2]
+        idx += 2
+        if not act_ik:
+            xg_lo = refs[idx]
+            idx += 1
+    if not act_ik:
+        rm = refs[idx]
+        idx += 1
     if not m1:
         e2 = refs[idx]
         idx += 1
@@ -203,7 +215,42 @@ def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
     acc_dt = jnp.int32 if int8_mxu else jnp.float32
 
     # ---- prologue: build the block-diagonal Xg from cxT (M == 1) ----------
-    if m1:
+    xg_val_lo = xg_val_hi = rm_val = None
+    if m1 and act_ik:
+        # activation quantization inside the kernel: xT is the RAW bf16
+        # vector; abs-max scale, int8 rounding, f32 group sums and the Rm
+        # scale column all happen here (one tiny VPU pass instead of 4-5
+        # XLA ops + their launches per projection call)
+        xf = cxT[:].astype(jnp.float32)                    # [K, 1]
+        if int8_mxu:
+            s_x = (jnp.max(jnp.abs(xf), axis=0, keepdims=True)[0, 0]
+                   / 127.0 + 1e-12)
+            cxq = jnp.round(xf / s_x)
+        else:
+            s_x = jnp.float32(1.0)
+            cxq = xf
+
+        def build(xq_part, xraw_part, Kpart, Gpart, scratch_ref):
+            """Write blockdiag(xq_part) into scratch; return the raw-x f32
+            group sums [1, Gpart] (the bias-term operand)."""
+            kk = jax.lax.broadcasted_iota(jnp.int32, (Kpart, Gpart), 0) // gs
+            gg = jax.lax.broadcasted_iota(jnp.int32, (Kpart, Gpart), 1)
+            sel = kk == gg
+            xgq = jnp.where(sel, xq_part, 0.0)             # [Kpart, Gpart]
+            scratch_ref[...] = (xgq.astype(jnp.int8) if int8_mxu
+                                else xgq.astype(jnp.bfloat16))
+            return jnp.sum(jnp.where(sel, xraw_part, 0.0), axis=0,
+                           keepdims=True).astype(jnp.bfloat16)
+
+        if split:
+            xgl_s, xgh_s = scratch.pop(0), scratch.pop(0)
+            xg_val_lo = build(cxq[:Kc], xf[:Kc], Kc, G2, xgl_s)
+            xg_val_hi = build(cxq[Kc:], xf[Kc:], Kc, G2, xgh_s)
+        else:
+            xg_s = scratch.pop(0)
+            xg_val_lo = build(cxq, xf, K, Gp, xg_s)
+        rm_val = jnp.full((G2 if split else Gp, 1), s_x, jnp.float32)
+    elif m1:
         cx = cxT[:]                                        # [K, 1]
         if split:
             kk = jax.lax.broadcasted_iota(jnp.int32, (Kc, G2), 0) // gs
@@ -292,7 +339,9 @@ def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
                                         preferred_element_type=acc_dt
                                         ).astype(jnp.float32)
 
-        def half(P, s_ref, b_ref, xg_ref, streamed_s=None, streamed_b=None):
+        rmv = rm_val if act_ik else rm[:]
+
+        def half(P, s_ref, b_ref, xg, streamed_s=None, streamed_b=None):
             s = (streamed_s if streamed_s is not None
                  else s_ref[pl.ds(i * TN, TN), :]).astype(jnp.bfloat16)
             if m1:  # E2 is the identity at M == 1
@@ -300,7 +349,7 @@ def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
             else:
                 S = jax.lax.dot_general(s, e2[:], (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            o = jax.lax.dot_general(rm[:], S * P, (((0,), (1,)), ((), ())),
+            o = jax.lax.dot_general(rmv, S * P, (((0,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             b = (streamed_b if streamed_b is not None
                  else b_ref[pl.ds(i * TN, TN), :]).astype(jnp.bfloat16)
@@ -308,16 +357,20 @@ def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
                 # codes stored as q+8 unsigned: w = s*(u-8)+b -> bias b-8s
                 b = b - jnp.bfloat16(8) * s
             return o + jax.lax.dot_general(
-                xg_ref[:], b, (((1,), (1,)), ((), ())),
+                xg, b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         if split:
-            out = (half(P_l, s_lo, b_lo, xg_lo)
-                   + half(P_h, s_hi, b_hi, xg_hi))
+            out = (half(P_l, s_lo, b_lo,
+                        xg_val_lo if act_ik else xg_lo[:])
+                   + half(P_h, s_hi, b_hi,
+                          xg_val_hi if act_ik else xg_hi[:]))
         elif stream_sb:
-            out = half(P, None, None, xg_lo, sbuf[slot], bbuf[slot])
+            out = half(P, None, None,
+                       xg_val_lo if act_ik else xg_lo[:],
+                       sbuf[slot], bbuf[slot])
         else:
-            out = half(P, s_lo, b_lo, xg_lo)
+            out = half(P, s_lo, b_lo, xg_val_lo if act_ik else xg_lo[:])
         out_ref[:, pl.ds(i * TN, TN)] = out
         return ()
 
@@ -340,26 +393,28 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
     split = G > 128
     stream_sb = N > _SB_VMEM_MAX_N
     m1 = M == 1
+    act_ik = m1 and _ACT_IN_KERNEL
     G2 = G // 2
     Kd = data.shape[1]                 # K (8-bit) or K/2 (nibble-packed)
-    xf = x.astype(jnp.float32)
-    xg = jnp.sum(xf.reshape(M, G, gs), -1).astype(jnp.bfloat16)  # group sums
-    if act8:
-        s_x = jnp.max(jnp.abs(xf), axis=1) / 127.0 + 1e-12       # [M]
-        cx = jnp.round(xf / s_x[:, None]).astype(jnp.int8)       # [M, K]
-        rm_vals = s_x
-        mxu_dt = jnp.int8
-    else:
-        cx = x.astype(jnp.bfloat16)
-        rm_vals = jnp.ones((M,), jnp.float32)
-        mxu_dt = jnp.bfloat16
-    if Gp > G:                         # pad the activation-side arrays too
-        xg = jnp.pad(xg, ((0, 0), (0, Gp - G)))
+    mxu_dt = jnp.int8 if act8 else jnp.bfloat16
+    if not act_ik:
+        xf = x.astype(jnp.float32)
+        xg = jnp.sum(xf.reshape(M, G, gs), -1).astype(jnp.bfloat16)
+        if act8:
+            s_x = jnp.max(jnp.abs(xf), axis=1) / 127.0 + 1e-12   # [M]
+            cx = jnp.round(xf / s_x[:, None]).astype(jnp.int8)   # [M, K]
+            rm_vals = s_x
+        else:
+            cx = x.astype(jnp.bfloat16)
+            rm_vals = jnp.ones((M,), jnp.float32)
+        if Gp > G:                     # pad the activation-side arrays too
+            xg = jnp.pad(xg, ((0, 0), (0, Gp - G)))
     Gr = G2 if split else Gp           # groups per matmul half
-    Rm = jnp.where(
-        (jnp.arange(Gr * M, dtype=jnp.int32)[:, None] % M)
-        == jnp.arange(M, dtype=jnp.int32)[None, :],
-        rm_vals.astype(jnp.float32)[None, :], 0.0)               # [GrM, M]
+    if not act_ik:
+        Rm = jnp.where(
+            (jnp.arange(Gr * M, dtype=jnp.int32)[:, None] % M)
+            == jnp.arange(M, dtype=jnp.int32)[None, :],
+            rm_vals.astype(jnp.float32)[None, :], 0.0)           # [GrM, M]
     sc = scales.astype(jnp.bfloat16)
     bs = biases.astype(jnp.bfloat16)
 
@@ -376,7 +431,11 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
         scratch += [pltpu.VMEM((_NBUF, TN_, Gp), jnp.bfloat16),
                     pltpu.VMEM((_NBUF, TN_, Gp), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA((_NBUF, 2))]
-    if m1:
+    if act_ik:
+        add(x.astype(jnp.bfloat16).T)                # RAW xT [K, 1]
+        scratch += ([pltpu.VMEM((K // 2, G2), mxu_dt)] * 2 if split
+                    else [pltpu.VMEM((K, Gp), mxu_dt)])
+    elif m1:
         add(cx.T)                                    # cxT [K, 1]
         scratch += ([pltpu.VMEM((K // 2, G2), mxu_dt)] * 2 if split
                     else [pltpu.VMEM((K, Gp), mxu_dt)])
@@ -392,14 +451,18 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
         else:
             add(Xg)
     if split:
-        for arr in (sc[:, :G2], sc[:, G2:], bs[:, :G2], bs[:, G2:],
-                    xg[:, :G2], xg[:, G2:]):
+        for arr in (sc[:, :G2], sc[:, G2:], bs[:, :G2], bs[:, G2:]):
             add(arr)
+        if not act_ik:
+            add(xg[:, :G2])
+            add(xg[:, G2:])
     else:
         add(sc, pl.ANY if stream_sb else pltpu.VMEM)
         add(bs, pl.ANY if stream_sb else pltpu.VMEM)
-        add(xg)
-    add(Rm)
+        if not act_ik:
+            add(xg)
+    if not act_ik:
+        add(Rm)
     if not m1:
         E2 = (jnp.arange(Gr, dtype=jnp.int32)[:, None]
               == jnp.arange(Gr * M, dtype=jnp.int32)[None, :] // M
@@ -411,7 +474,8 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
     NCH = N // TN
     kern = functools.partial(
         _pm_kernel, bits=bits, int8_mxu=act8, m1=m1, split=split,
-        stream_sb=stream_sb, gs=gs, K=K, Gp=Gp, M=M, TN=TN, NCH=NCH)
+        stream_sb=stream_sb, gs=gs, K=K, Gp=Gp, M=M, TN=TN, NCH=NCH,
+        act_ik=act_ik)
     out = pl.pallas_call(
         kern,
         in_specs=in_specs,
