@@ -143,6 +143,8 @@ def init_decoder(cfg: VAEConfig, key, dtype=jnp.float32) -> dict:
 
 def decode(p: dict, cfg: VAEConfig, z: jax.Array) -> jax.Array:
     """z: [B, h, w, z_channels] -> image [B, 8h, 8w, 3] in [-1, 1]."""
+    # run in the VAE's own dtype (convs require matching operand dtypes)
+    z = z.astype(p["conv_in"]["w"].dtype)
     z = z / cfg.scale_factor + cfg.shift_factor
     h = conv2d(p["conv_in"], z, padding=1)
     h = resnet_block(p["mid"]["block_1"], h)

@@ -72,6 +72,7 @@ def upsample3d(p: dict, x: jax.Array, temporal: bool) -> jax.Array:
 
 def decode(params: dict, cfg: VAE3DConfig, z: jax.Array) -> jax.Array:
     """z: [B, T, h, w, z_ch] -> video/image [B, T', 8h, 8w, 3]."""
+    z = z.astype(params["conv_in"]["w"].dtype)
     h = causal_conv3d(params["conv_in"], z)
     h = res_block3d(params["mid"]["block_1"], h)
     h = res_block3d(params["mid"]["block_2"], h)
