@@ -223,11 +223,11 @@ def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
         # XLA ops + their launches per projection call)
         xf = cxT[:].astype(jnp.float32)                    # [K, 1]
         if int8_mxu:
-            s_x = (jnp.max(jnp.abs(xf), axis=0, keepdims=True)[0, 0]
-                   / 127.0 + 1e-12)
-            cxq = jnp.round(xf / s_x)
+            sxm = (jnp.max(jnp.abs(xf), axis=0, keepdims=True)
+                   / 127.0 + 1e-12)                        # [1, 1]
+            cxq = jnp.round(xf / sxm)
         else:
-            s_x = jnp.float32(1.0)
+            sxm = jnp.ones((1, 1), jnp.float32)
             cxq = xf
 
         def build(xq_part, xraw_part, Kpart, Gpart, scratch_ref):
@@ -237,8 +237,10 @@ def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
             gg = jax.lax.broadcasted_iota(jnp.int32, (Kpart, Gpart), 1)
             sel = kk == gg
             xgq = jnp.where(sel, xq_part, 0.0)             # [Kpart, Gpart]
-            scratch_ref[...] = (xgq.astype(jnp.int8) if int8_mxu
-                                else xgq.astype(jnp.bfloat16))
+            # f32 -> int32 -> int8 (direct f32->int8 and int8 elementwise
+            # arith are illegal in Mosaic)
+            scratch_ref[...] = (xgq.astype(jnp.int32).astype(jnp.int8)
+                                if int8_mxu else xgq.astype(jnp.bfloat16))
             return jnp.sum(jnp.where(sel, xraw_part, 0.0), axis=0,
                            keepdims=True).astype(jnp.bfloat16)
 
@@ -249,7 +251,8 @@ def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
         else:
             xg_s = scratch.pop(0)
             xg_val_lo = build(cxq, xf, K, Gp, xg_s)
-        rm_val = jnp.full((G2 if split else Gp, 1), s_x, jnp.float32)
+        rm_val = jnp.broadcast_to(sxm, (G2 if split else Gp, 1)
+                                  ).astype(jnp.float32)
     elif m1:
         cx = cxT[:]                                        # [K, 1]
         if split:
