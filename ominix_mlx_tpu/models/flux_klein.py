@@ -242,6 +242,9 @@ def unpack_latent(z: jax.Array, ph: int, pw: int, c: int,
     return z.reshape(B, ph * patch, pw * patch, c)
 
 
+_RUN_CACHE: dict = {}
+
+
 def generate_image(params: dict, cfg: FluxKleinConfig, vae_params: dict,
                    vae_cfg, txt_embed: jax.Array, height: int = 1024,
                    width: int = 1024, num_steps: int = 4,
@@ -261,17 +264,26 @@ def generate_image(params: dict, cfg: FluxKleinConfig, vae_params: dict,
     z = jax.random.normal(key, (B, seq, cfg.in_channels), jnp.float32)
     ts = flux_schedule(seq, num_steps)
 
-    # params ride as jit OPERANDS: closing over them would bake every
-    # weight into the lowered module as constants (GB-scale lowerings)
-    @jax.jit
-    def run(params, vae_params, z, txt_embed, cos, sin):
-        def v_fn(z, t):
-            return forward(params, cfg, z.astype(txt_embed.dtype), txt_embed,
-                           jnp.full((B,), t * 1000.0), cos, sin)
-        z = denoise(v_fn, z, ts)
-        lat = unpack_latent(z, ph, pw, cfg.in_channels // 4, cfg.patch_size)
-        img = vae_mod.decode(vae_params, vae_cfg, lat.astype(jnp.float32))
-        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+    # params ride as jit OPERANDS (closure capture would bake weights in as
+    # constants) and the jitted fn is MEMOIZED per config+geometry: a fresh
+    # closure per call would re-trace the 4B-param graph every image
+    ck = (repr(cfg), repr(vae_cfg), B, ph, pw, num_steps,
+          txt_embed.shape[1], str(txt_embed.dtype))
+    run = _RUN_CACHE.get(ck)
+    if run is None:
+        @jax.jit
+        def run(params, vae_params, z, txt_embed, cos, sin):
+            def v_fn(z, t):
+                return forward(params, cfg, z.astype(txt_embed.dtype),
+                               txt_embed, jnp.full((B,), t * 1000.0),
+                               cos, sin)
+            z = denoise(v_fn, z, ts)
+            lat = unpack_latent(z, ph, pw, cfg.in_channels // 4,
+                                cfg.patch_size)
+            img = vae_mod.decode(vae_params, vae_cfg,
+                                 lat.astype(jnp.float32))
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+        _RUN_CACHE[ck] = run
 
     return run(params, vae_params, z, txt_embed, cos, sin)
 

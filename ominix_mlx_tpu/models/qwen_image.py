@@ -159,6 +159,9 @@ def init_params(cfg: QwenImageConfig, key, dtype=jnp.bfloat16) -> dict:
     }
 
 
+_RUN_CACHE: dict = {}
+
+
 def generate_latents(params: dict, cfg: QwenImageConfig, txt: jax.Array,
                      ph: int, pw: int, num_steps: int = 20,
                      shift: float = 3.0, key=None) -> jax.Array:
@@ -182,12 +185,17 @@ def generate_latents(params: dict, cfg: QwenImageConfig, txt: jax.Array,
     z = jax.random.normal(key, (B, ph * pw, cfg.in_channels), jnp.float32)
     ts = shifted_linear_schedule(num_steps, shift)
 
-    # params as jit operands, not closure constants (see flux_klein.py)
-    @jax.jit
-    def run(params, z, txt):
-        def v_fn(zz, t):
-            return forward(params, cfg, zz.astype(txt.dtype), txt,
-                           jnp.full((B,), t), icos, isin, tcos, tsin)
-        return denoise(v_fn, z, ts)
+    # params as jit operands + memoized jit (see flux_klein.py)
+    ck = (repr(cfg), B, ph, pw, num_steps, shift, txt.shape[1],
+          str(txt.dtype))
+    run = _RUN_CACHE.get(ck)
+    if run is None:
+        @jax.jit
+        def run(params, z, txt):
+            def v_fn(zz, t):
+                return forward(params, cfg, zz.astype(txt.dtype), txt,
+                               jnp.full((B,), t), icos, isin, tcos, tsin)
+            return denoise(v_fn, z, ts)
+        _RUN_CACHE[ck] = run
 
     return run(params, z, txt)

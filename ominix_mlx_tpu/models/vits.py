@@ -331,11 +331,16 @@ def sovits_decode(params: dict, cfg: VITSConfig, codes: jax.Array,
     decode + 2x upsample -> enc_p -> flow reverse -> dec."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    # run in the model's own dtype (bf16 checkpoints: convs need matching
+    # operand dtypes)
+    dtype = params["dec"]["conv_pre"]["w"].dtype
+    refer_spec = refer_spec.astype(dtype)
     ge = mel_style_encoder(params["ref_enc"], cfg, refer_spec)
     ssl = rvq_decode(params["quantizer"]["codebook"], codes)
     ssl = jnp.repeat(ssl, 2, axis=1)                 # 25Hz -> 50Hz
     m_p, logs_p = text_encoder(params["enc_p"], cfg, ssl, text, ge)
-    z_p = m_p + jax.random.normal(key, m_p.shape) * jnp.exp(logs_p) * noise_scale
+    z_p = (m_p + jax.random.normal(key, m_p.shape, dtype)
+           * jnp.exp(logs_p) * noise_scale).astype(dtype)
     z = flow_reverse(params["flow"], cfg, z_p, ge)
     return generator(params["dec"], cfg, z, ge)
 

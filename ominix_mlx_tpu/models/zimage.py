@@ -211,6 +211,9 @@ def init_params(cfg: ZImageConfig, key, dtype=jnp.bfloat16) -> dict:
 
 # ------------------------------------------------------------- pipeline -----
 
+_RUN_CACHE: dict = {}
+
+
 def generate_image(params: dict, cfg: ZImageConfig, vae_params: dict,
                    vae_cfg, cap_feats: jax.Array, height: int = 1024,
                    width: int = 1024, num_steps: int = 9, shift: float = 3.0,
@@ -233,15 +236,21 @@ def generate_image(params: dict, cfg: ZImageConfig, vae_params: dict,
     z = jax.random.normal(key, (B, ph * pw, cfg.patch_channels), jnp.float32)
     ts = shifted_linear_schedule(num_steps, shift)
 
-    # params as jit operands, not closure constants (see flux_klein.py)
-    @jax.jit
-    def run(params, vae_params, z, cap_feats):
-        def v_fn(zz, t):
-            return forward(params, cfg, zz.astype(cap_feats.dtype),
-                           jnp.full((B,), t), cap_feats, x_pos, cap_pos)
-        z = denoise(v_fn, z, ts)
-        lat = unpack_latent(z, ph, pw, cfg.in_channels, cfg.patch_size)
-        img = vae_mod.decode(vae_params, vae_cfg, lat.astype(jnp.float32))
-        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+    # params as jit operands + memoized jit (see flux_klein.py)
+    ck = (repr(cfg), repr(vae_cfg), B, ph, pw, num_steps,
+          cap_feats.shape[1], str(cap_feats.dtype))
+    run = _RUN_CACHE.get(ck)
+    if run is None:
+        @jax.jit
+        def run(params, vae_params, z, cap_feats):
+            def v_fn(zz, t):
+                return forward(params, cfg, zz.astype(cap_feats.dtype),
+                               jnp.full((B,), t), cap_feats, x_pos, cap_pos)
+            z = denoise(v_fn, z, ts)
+            lat = unpack_latent(z, ph, pw, cfg.in_channels, cfg.patch_size)
+            img = vae_mod.decode(vae_params, vae_cfg,
+                                 lat.astype(jnp.float32))
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+        _RUN_CACHE[ck] = run
 
     return run(params, vae_params, z, cap_feats)
