@@ -21,6 +21,7 @@ largest crate). Round-1 scope (the compute path):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -58,37 +59,62 @@ def t2s_prefill_embeds(params: dict, tcfg: T2SConfig,
     return jnp.concatenate([ph, sem.astype(ph.dtype)], 1)
 
 
+_T2S_CACHE: dict = {}
+
+
 def t2s_generate(params: dict, tcfg: T2SConfig, phonemes: jax.Array,
                  ref_semantic: jax.Array, bert: Optional[jax.Array] = None,
                  max_tokens: int = 600,
                  sampler: SamplerConfig = SamplerConfig(
                      temperature=1.0, top_k=15, top_p=1.0,
                      repetition_penalty=1.35),
-                 key=None) -> List[int]:
-    """AR semantic-code generation until EOS (t2s.rs:425-559)."""
+                 key=None, chunk: int = 64) -> List[int]:
+    """AR semantic-code generation until EOS (t2s.rs:425-559).
+
+    Decodes in ``chunk``-step on-device scans with a host EOS check
+    between chunks: per-token host dispatch would dominate the wall time
+    (25ms/step through the device tunnel), so dispatch cost amortizes
+    chunk-fold while EOS latency stays bounded by one chunk."""
+
+
     cfg = tcfg.transformer
     if key is None:
         key = jax.random.PRNGKey(0)
     embeds = t2s_prefill_embeds(params, tcfg, phonemes, bert, ref_semantic)
     T = embeds.shape[1]
-    cache = base.init_cache(cfg, 1, T + max_tokens + 8, embeds.dtype)
+    cap = T + max_tokens + chunk + 8
+    cache = base.init_cache(cfg, 1, cap, embeds.dtype)
     fwd = jax.jit(base.forward_embeds, static_argnames=("cfg",))
     logits, cache = fwd(params, cfg, embeds, cache)
     recent = jnp.full((1, sampler.repetition_context), -1, jnp.int32)
 
-    step = jax.jit(
-        lambda p, c, t, k, r: _t2s_step(p, cfg, c, t, k, r, sampler),
-        donate_argnums=(1,))
+    ck = (repr(cfg), repr(sampler), chunk)
+    chunk_fn = _T2S_CACHE.get(ck)
+    if chunk_fn is None:
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def chunk_fn(params, cache, tok, recent, key):
+            def body(carry, _):
+                tok, cache, recent, key = carry
+                key, sub = jax.random.split(key)
+                nxt, cache, recent = _t2s_step(params, cfg, cache, tok, sub,
+                                               recent, sampler)
+                return (nxt, cache, recent, key), tok
+            (tok, cache, recent, key), toks = jax.lax.scan(
+                body, (tok, cache, recent, key), length=chunk)
+            return toks[:, 0], tok, cache, recent, key
+        _T2S_CACHE[ck] = chunk_fn
+
     key, sub = jax.random.split(key)
     tok = sample(logits[:, -1], sub, sampler, recent)
-    out = []
-    for _ in range(max_tokens):
-        t = int(tok[0])
-        if t >= EOS_SEMANTIC:
-            break
-        out.append(t)
-        key, sub = jax.random.split(key)
-        tok, cache, recent = step(params, cache, tok, sub, recent)
+    out: List[int] = []
+    while len(out) < max_tokens:
+        toks, tok, cache, recent, key = chunk_fn(params, cache, tok,
+                                                 recent, key)
+        for t in np.asarray(toks):
+            t = int(t)
+            if t >= EOS_SEMANTIC or len(out) >= max_tokens:
+                return out
+            out.append(t)
     return out
 
 
