@@ -320,6 +320,9 @@ def posterior_encoder(p: dict, cfg: VITSConfig, spec: jax.Array,
 
 # ----------------------------------------------------------- full decode ----
 
+_DECODE_CACHE: dict = {}
+
+
 def sovits_decode(params: dict, cfg: VITSConfig, codes: jax.Array,
                   text: jax.Array, refer_spec: jax.Array,
                   noise_scale: float = 0.5,
@@ -328,21 +331,30 @@ def sovits_decode(params: dict, cfg: VITSConfig, codes: jax.Array,
     refer_spec [B, Tr, spec_channels] -> waveform [B, Tc*2*hop].
 
     Reference call path: SoVITS::decode (sovits.rs) = ref_enc -> quantizer
-    decode + 2x upsample -> enc_p -> flow reverse -> dec."""
+    decode + 2x upsample -> enc_p -> flow reverse -> dec. The whole chain
+    runs as ONE memoized jit (eager dispatch would pay the per-op RPC cost
+    hundreds of times; params ride as operands, see flux_klein.py)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    # run in the model's own dtype (bf16 checkpoints: convs need matching
-    # operand dtypes)
-    dtype = params["dec"]["conv_pre"]["w"].dtype
-    refer_spec = refer_spec.astype(dtype)
-    ge = mel_style_encoder(params["ref_enc"], cfg, refer_spec)
-    ssl = rvq_decode(params["quantizer"]["codebook"], codes)
-    ssl = jnp.repeat(ssl, 2, axis=1)                 # 25Hz -> 50Hz
-    m_p, logs_p = text_encoder(params["enc_p"], cfg, ssl, text, ge)
-    z_p = (m_p + jax.random.normal(key, m_p.shape, dtype)
-           * jnp.exp(logs_p) * noise_scale).astype(dtype)
-    z = flow_reverse(params["flow"], cfg, z_p, ge)
-    return generator(params["dec"], cfg, z, ge)
+    ck = (repr(cfg), float(noise_scale))
+    fn = _DECODE_CACHE.get(ck)
+    if fn is None:
+        @jax.jit
+        def fn(params, codes, text, refer_spec, key):
+            # run in the model's own dtype (bf16 checkpoints: convs need
+            # matching operand dtypes)
+            dtype = params["dec"]["conv_pre"]["w"].dtype
+            refer_spec_ = refer_spec.astype(dtype)
+            ge = mel_style_encoder(params["ref_enc"], cfg, refer_spec_)
+            ssl = rvq_decode(params["quantizer"]["codebook"], codes)
+            ssl = jnp.repeat(ssl, 2, axis=1)         # 25Hz -> 50Hz
+            m_p, logs_p = text_encoder(params["enc_p"], cfg, ssl, text, ge)
+            z_p = (m_p + jax.random.normal(key, m_p.shape, dtype)
+                   * jnp.exp(logs_p) * noise_scale).astype(dtype)
+            z = flow_reverse(params["flow"], cfg, z_p, ge)
+            return generator(params["dec"], cfg, z, ge)
+        _DECODE_CACHE[ck] = fn
+    return fn(params, codes, text, refer_spec, key)
 
 
 # ------------------------------------------------------------------- init ---
