@@ -151,8 +151,12 @@ _NBUF = 2
 _SB_VMEM_MAX_N = 32768   # above this N, scales/biases stream per chunk
 # M=1 path: quantize the activation vector inside the kernel prologue
 # (saves the XLA-side abs-max/round/group-sum/Rm ops per projection call).
-# Opt-in until A/B-validated on device (see benchmarks/qmm_bench.py --act-ik)
-_ACT_IN_KERNEL = False
+# Measured on v5e (benchmarks/qmm_bench.py --act-ik, M=1): 4-bit wins big
+# (gate 46->35us, down 50->35, qkv 36->27, identical numerics) but 8-bit
+# REGRESSES (qkv 18.5->24.7) — the f32 [K, G] prologue pass serializes
+# against the first panel's compute while the 8-bit path was already
+# DMA-bound. Applied to bits==4 only.
+_ACT_IN_KERNEL = True
 
 
 def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
@@ -396,7 +400,7 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
     split = G > 128
     stream_sb = N > _SB_VMEM_MAX_N
     m1 = M == 1
-    act_ik = m1 and _ACT_IN_KERNEL
+    act_ik = m1 and _ACT_IN_KERNEL and bits == 4
     G2 = G // 2
     Kd = data.shape[1]                 # K (8-bit) or K/2 (nibble-packed)
     mxu_dt = jnp.int8 if act8 else jnp.bfloat16
