@@ -58,11 +58,11 @@ def tps_plain(tp):
     return max(run() for _ in range(2))
 
 
-def tps_spec(tp, dp, dcfg, label):
+def tps_spec(tp, dp, dcfg, label, force_accept=False):
     spec = SpeculativeEngine(
         lambda p, t, c: base.forward(p, TARGET, t, c), tp,
         lambda p, t, c: base.forward(p, dcfg, t, c), dp,
-        num_draft_tokens=4)
+        num_draft_tokens=4, force_accept=force_accept)
     prompt = jnp.ones((PROMPT,), jnp.int32)
 
     def run():
@@ -96,6 +96,14 @@ def main():
         dp = base.init_params(DRAFT, jax.random.PRNGKey(7), jnp.bfloat16)
         v, acc = tps_spec(tp, dp, DRAFT, "floor")
         print(json.dumps({"metric": "spec_floor_randomdraft", "value":
+                          round(v, 2), "unit": "tokens/sec",
+                          "acceptance": round(acc, 3)}), flush=True)
+    if which in ("all", "ceiling"):
+        # acceptance=1 ceiling with a REALISTIC 0.6B draft: all compute
+        # runs, only the accept comparison is overridden (force_accept)
+        dp = base.init_params(DRAFT, jax.random.PRNGKey(7), jnp.bfloat16)
+        v, acc = tps_spec(tp, dp, DRAFT, "ceiling", force_accept=True)
+        print(json.dumps({"metric": "spec_ceiling_smalldraft", "value":
                           round(v, 2), "unit": "tokens/sec",
                           "acceptance": round(acc, 3)}), flush=True)
 

@@ -42,10 +42,14 @@ class SpecStats:
 class SpeculativeEngine:
     def __init__(self, target_forward: Callable, target_params,
                  draft_forward: Callable, draft_params,
-                 num_draft_tokens: int = 4):
+                 num_draft_tokens: int = 4, force_accept: bool = False):
         self.tf, self.tp = target_forward, target_params
         self.df, self.dp = draft_forward, draft_params
         self.nd = num_draft_tokens
+        # benchmarking only: pretend every draft verifies (all compute still
+        # runs) — measures the pipeline's acceptance=1 throughput ceiling
+        # with a given draft size, which real acceptance rates scale down
+        self.force_accept = force_accept
         self._draft_jit = jax.jit(self._draft_impl, donate_argnums=(1,))
         self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1,))
         self._prefill_t = jax.jit(self.tf, donate_argnums=(2,))
@@ -84,6 +88,8 @@ class SpeculativeEngine:
         n_accept = jax.lax.fori_loop(
             0, self.nd,
             lambda i, n: jnp.where((i == n) & agree[i], n + 1, n), 0)
+        if self.force_accept:
+            n_accept = jnp.int32(self.nd)
         # rollback: keep KV only for last_token + accepted drafts
         cache = ModelCache(layers=cache.layers,
                            offset=start + n_accept + 1)
