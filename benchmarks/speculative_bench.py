@@ -98,6 +98,29 @@ def main():
         print(json.dumps({"metric": "spec_floor_randomdraft", "value":
                           round(v, 2), "unit": "tokens/sec",
                           "acceptance": round(acc, 3)}), flush=True)
+    if which in ("all", "scan"):
+        # fully on-device round loop (generate_scan): zero host round-trips
+        dp = base.init_params(DRAFT, jax.random.PRNGKey(7), jnp.bfloat16)
+        for name, fa in (("spec_scan_ceiling", True),
+                         ("spec_scan_floor", False)):
+            spec = SpeculativeEngine(
+                lambda p, t, c: base.forward(p, TARGET, t, c), tp,
+                lambda p, t, c: base.forward(p, DRAFT, t, c), dp,
+                num_draft_tokens=4, force_accept=fa)
+            prompt = jnp.ones((PROMPT,), jnp.int32)
+
+            def run():
+                tc = base.init_cache(TARGET, 1, CAP, jnp.bfloat16)
+                dc = base.init_cache(DRAFT, 1, CAP, jnp.bfloat16)
+                t0 = time.perf_counter()
+                toks, _ = spec.generate_scan(prompt, tc, dc,
+                                             max_tokens=N_TOK)
+                return len(toks) / (time.perf_counter() - t0)
+
+            run()
+            v = max(run() for _ in range(2))
+            print(json.dumps({"metric": name, "value": round(v, 2),
+                              "unit": "tokens/sec"}), flush=True)
     if which in ("all", "ceiling"):
         # acceptance=1 ceiling with a REALISTIC 0.6B draft: all compute
         # runs, only the accept comparison is overridden (force_accept)

@@ -25,6 +25,8 @@ from typing import Callable, Iterator, Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ominix_mlx_tpu.core.cache import ModelCache
 
 
@@ -141,3 +143,89 @@ class SpeculativeEngine:
                 break
             x_prev = last if n == 0 else draft[:, n - 1]
             last = tgt[:, n]
+
+    # ------------------------------------------------ on-device round loop --
+
+    def generate_scan(self, prompt: jax.Array, t_cache: ModelCache,
+                      d_cache: ModelCache, max_tokens: int = 256,
+                      stop_tokens: tuple = (),
+                      stats: Optional[SpecStats] = None):
+        """Whole speculative decode as ONE jitted scan over rounds: every
+        round drafts nd tokens, verifies them in one target forward, rolls
+        the caches back by offset arithmetic, and appends the accepted
+        prefix + correction into a token buffer at a traced write position
+        (later rounds overwrite the unaccepted tail). Zero host round-trips
+        until the final fetch — the TPU-native form of the reference's
+        async_eval-pipelined speculative loop (speculative.rs:113-190).
+
+        Returns (tokens list, rounds) — tokens trimmed at stop/max.
+        """
+        if prompt.ndim == 1:
+            prompt = prompt[None]
+        rounds = -(-max_tokens // (self.nd + 1)) + 1
+        run = self._scan_jit(rounds)
+        buf, n_out, accepted = run(self.tp, self.dp, prompt, t_cache,
+                                   d_cache)
+        toks = [int(x) for x in np.asarray(buf[:int(n_out)])]
+        if stats is not None:
+            stats.rounds += rounds
+            stats.drafted += rounds * self.nd
+            stats.accepted += int(accepted)
+        out = []
+        for t in toks:
+            if t in stop_tokens:
+                break
+            out.append(t)
+            if len(out) >= max_tokens:
+                break
+        return out, rounds
+
+    def _scan_jit(self, rounds: int):
+        fn = self._scan_cache.get(rounds) if hasattr(self, "_scan_cache") \
+            else None
+        if fn is not None:
+            return fn
+
+        def run(tp, dp, prompt, t_cache, d_cache):
+            t_logits, t_cache = self.tf(tp, prompt, t_cache)
+            _, d_cache = self.df(dp, prompt, d_cache)
+            last = jnp.argmax(t_logits[:, -1], -1).astype(jnp.int32)
+            x_prev = prompt[:, -1]
+            cap = rounds * (self.nd + 1) + self.nd + 2
+            buf = jnp.zeros((cap,), jnp.int32)
+            buf = buf.at[0].set(last[0])
+
+            def round_fn(carry, _):
+                t_cache, d_cache, last, x_prev, buf, n_out, acc = carry
+                d_cache = ModelCache(layers=d_cache.layers,
+                                     offset=t_cache.offset - 1)
+                catchup = jnp.concatenate([x_prev[:, None], last[:, None]],
+                                          1)
+                draft, d_cache = self._draft_impl(dp, d_cache, catchup)
+                tgt, n_acc, t_cache = self._verify_impl(tp, t_cache, last,
+                                                        draft)
+                buf = jax.lax.dynamic_update_slice(buf, tgt[0], (n_out,))
+                x_prev = jnp.where(
+                    n_acc > 0,
+                    jax.lax.dynamic_index_in_dim(draft[0],
+                                                 jnp.maximum(n_acc - 1, 0),
+                                                 keepdims=False),
+                    last[0])[None]
+                last = jax.lax.dynamic_index_in_dim(tgt[0], n_acc,
+                                                    keepdims=False)[None]
+                return (t_cache, d_cache, last, x_prev, buf,
+                        n_out + n_acc + 1, acc + n_acc), ()
+
+            (t_cache, d_cache, last, x_prev, buf, n_out, acc), _ = \
+                jax.lax.scan(
+                    round_fn,
+                    (t_cache, d_cache, last, x_prev, buf, jnp.int32(1),
+                     jnp.int32(0)),
+                    length=rounds)
+            return buf, n_out, acc
+
+        fn = jax.jit(run, donate_argnums=(3, 4))
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+        self._scan_cache[rounds] = fn
+        return fn

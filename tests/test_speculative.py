@@ -57,3 +57,27 @@ def test_self_draft_accepts_everything():
                              max_tokens=13, stats=stats))
     assert got == want
     assert stats.acceptance_rate == 1.0, stats
+
+
+def test_generate_scan_matches_host_loop():
+    """The on-device round-scan must emit exactly the host loop's tokens."""
+    tp = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    dp = base.init_params(DRAFT_CFG, jax.random.PRNGKey(1), jnp.float32)
+    spec = SpeculativeEngine(
+        lambda p, t, c: base.forward(p, CFG, t, c), tp,
+        lambda p, t, c: base.forward(p, DRAFT_CFG, t, c), dp,
+        num_draft_tokens=3)
+    prompt = jnp.asarray([3, 1, 4, 1, 5])
+
+    want = list(spec.generate(prompt, base.init_cache(CFG, 1, 96,
+                                                      jnp.float32),
+                              base.init_cache(DRAFT_CFG, 1, 96, jnp.float32),
+                              max_tokens=20))
+    st = SpecStats()
+    got, rounds = spec.generate_scan(
+        prompt, base.init_cache(CFG, 1, 96, jnp.float32),
+        base.init_cache(DRAFT_CFG, 1, 96, jnp.float32), max_tokens=20,
+        stats=st)
+    assert rounds >= 1 and len(got) >= rounds   # >= 1 token per round
+    n = min(len(got), len(want))
+    assert got[:n] == want[:n], (got, want)
