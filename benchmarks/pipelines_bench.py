@@ -224,9 +224,80 @@ def bench_sovits():
     emit("gpt_sovits_clone_rtf", rtf, "rtf(lower=better)", 0.25 / rtf)
 
 
+def bench_sala_w8():
+    """MiniCPM-SALA-9B-class hybrid at w8a8 vs the reference's 28 tok/s
+    8-bit number (README.md:581). Quantized weights are built directly in
+    the packed kernel layout from the init tree's SHAPES (jax.eval_shape)
+    — materializing 9B dense params first would OOM the chip."""
+    from ominix_mlx_tpu.core.quant import QuantizedTensor
+    from ominix_mlx_tpu.models import minicpm_sala as mc
+    from ominix_mlx_tpu.ops.quant_matmul import prepare
+
+    cfg = mc.MiniCPMConfig(
+        vocab_size=73448, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=2, head_dim=128, intermediate_size=11264,
+        mixer_types=tuple(("lightning-attn" if i % 4 != 3 else "minicpm4")
+                          for i in range(32)))
+    gs = 64
+    shapes = jax.eval_shape(
+        lambda: mc.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16))
+    kit = iter(jax.random.split(jax.random.PRNGKey(1), 4096))
+
+    def eligible(s):
+        return (len(s.shape) == 2 and s.shape[0] % 128 == 0
+                and s.shape[1] % 128 == 0 and s.shape[1] % gs == 0
+                and min(s.shape) >= 256)
+
+    def build(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "w" and hasattr(v, "shape") and eligible(v):
+                    N, K = v.shape
+                    out[k] = prepare(QuantizedTensor(
+                        q=jax.random.randint(next(kit), (N, K), -127, 128,
+                                             jnp.int8),
+                        scales=jnp.full((N, K // gs), (K ** -0.5) / 127,
+                                        jnp.bfloat16),
+                        biases=jnp.zeros((N, K // gs), jnp.bfloat16),
+                        group_size=gs, bits=8))
+                else:
+                    out[k] = build(v)
+            return out
+        if isinstance(node, list):
+            return [build(v) for v in node]
+        if hasattr(node, "shape"):
+            return (jax.random.normal(next(kit), node.shape, node.dtype)
+                    * 0.02)
+        return node
+
+    params = build(shapes)
+
+    @jax.jit
+    def decode_n(params, cache, tok):
+        def step(carry, _):
+            tok, cache = carry
+            logits, cache = mc.forward(params, cfg, tok, cache)
+            return (jnp.argmax(logits[:, -1:], -1).astype(jnp.int32),
+                    cache), logits.sum()
+        (_, _), outs = jax.lax.scan(step, (tok, cache), length=128)
+        return outs.sum()
+
+    def once():
+        cache = mc.init_cache(cfg, 1, 1024, jnp.bfloat16)
+        t0 = time.perf_counter()
+        float(decode_n(params, cache, jnp.ones((1, 1), jnp.int32)))
+        return time.perf_counter() - t0
+
+    once()
+    t = min(once() for _ in range(2))
+    tps = 128 / t
+    emit("minicpm_sala_9b_w8a8_decode", tps, "tokens/sec", tps / 28.0)
+
+
 BENCHES = {"paraformer": bench_paraformer, "asr": bench_qwen3_asr,
            "tts": bench_qwen3_tts, "flux": bench_flux_klein,
-           "sovits": bench_sovits}
+           "sovits": bench_sovits, "sala8": bench_sala_w8}
 
 
 def main():

@@ -135,3 +135,44 @@ def quantized_matmul(x: jax.Array, qt: QuantizedTensor, dtype=jnp.bfloat16) -> j
     """
     w = dequantize(qt, dtype)
     return jnp.dot(x.astype(dtype), w.T, preferred_element_type=dtype)
+
+
+def quantize_tree(params, group_size: int = 64, bits: int = 4,
+                  pack: bool = True, min_dim: int = 256):
+    """Generic post-hoc quantizer for ANY param tree: every dict holding a
+    2D "w" whose shapes satisfy the kernel constraints (rows/cols 128-
+    aligned, K divisible by the group size, both dims >= min_dim) gets its
+    weight group-quantized in place; everything else (norms, convs,
+    embeddings, small projections) is left dense.
+
+    This is what lets non-base architectures (hybrid GLA/sparse mixers,
+    adapters) run the quantized decode kernels without a bespoke walker —
+    nn.layers.linear dispatches on the leaf type.
+    """
+    import jax
+
+    from ominix_mlx_tpu.ops.quant_matmul import prepare
+
+    def eligible(w):
+        return (isinstance(w, jax.Array) and w.ndim == 2
+                and w.shape[0] % 128 == 0 and w.shape[1] % 128 == 0
+                and w.shape[1] % group_size == 0
+                and min(w.shape) >= min_dim)
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "w" and eligible(v):
+                    qt = quantize_tensor(jnp.asarray(v, jnp.float32),
+                                         group_size, bits)
+                    out[k] = prepare(qt) if pack else qt
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(walk(v) for v in node)
+        return node
+
+    return walk(params)

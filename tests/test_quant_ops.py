@@ -118,3 +118,29 @@ def test_moe_block_quantized_matches_dense():
         corr = np.corrcoef(np.asarray(y_dense).ravel(),
                            np.asarray(y_quant).ravel())[0, 1]
         assert corr > 0.995, (T, corr)
+
+
+def test_quantize_tree_generic_hybrid():
+    """Generic tree quantizer: eligible 2D weights quantize, everything
+    else stays dense, and the hybrid forward still runs."""
+    import jax
+
+    from ominix_mlx_tpu.core.quant import QuantizedTensor, quantize_tree
+    from ominix_mlx_tpu.models import minicpm_sala as mc
+
+    cfg = mc.MiniCPMConfig(
+        vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=64, intermediate_size=512,
+        mixer_types=("lightning-attn", "minicpm4"))
+    p = mc.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    want, _ = mc.forward(p, cfg, jnp.ones((1, 4), jnp.int32),
+                         mc.init_cache(cfg, 1, 16, jnp.float32))
+    q = quantize_tree(p, group_size=64, bits=8, pack=False)
+    leaves = jax.tree_util.tree_leaves(
+        q, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    assert sum(isinstance(x, QuantizedTensor) for x in leaves) >= 8
+    got, _ = mc.forward(q, cfg, jnp.ones((1, 4), jnp.int32),
+                        mc.init_cache(cfg, 1, 16, jnp.float32))
+    import numpy as np
+    # int8 grouped quantization: close, not exact
+    assert np.allclose(np.asarray(got), np.asarray(want), rtol=0.2, atol=0.5)
