@@ -50,9 +50,22 @@ class FakeModel:
                       self.params, sampler)
 
 
+def _free_port() -> int:
+    import socket
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+PORT = _free_port()     # unique per process: xdist workers that split
+                        # this module each bind their own server
+
+
 @pytest.fixture(scope="module")
 def server():
-    srv = Server(port=18731)
+    srv = Server(port=PORT)
     srv.add_model("tiny", FakeModel())
     srv.start_background()
     yield srv
@@ -60,13 +73,13 @@ def server():
 
 
 def _get(path):
-    with urllib.request.urlopen(f"http://127.0.0.1:18731{path}") as r:
+    with urllib.request.urlopen(f"http://127.0.0.1:{PORT}{path}") as r:
         return json.loads(r.read())
 
 
 def _post(path, body, raw=False):
     req = urllib.request.Request(
-        f"http://127.0.0.1:18731{path}", json.dumps(body).encode(),
+        f"http://127.0.0.1:{PORT}{path}", json.dumps(body).encode(),
         {"Content-Type": "application/json"})
     r = urllib.request.urlopen(req)
     return r if raw else json.loads(r.read())
@@ -143,7 +156,7 @@ def test_audio_endpoints(server):
         assert w.getframerate() == 16000 and w.getnframes() == 1600
 
     req = urllib.request.Request(
-        "http://127.0.0.1:18731/v1/audio/transcriptions", data)
+        f"http://127.0.0.1:{PORT}/v1/audio/transcriptions", data)
     out = json.loads(urllib.request.urlopen(req).read())
     assert out["text"].startswith("heard 1600 samples")
 
@@ -157,7 +170,7 @@ def test_local_models_and_delete(server, tmp_path_factory, monkeypatch):
     out = _get("/v1/models/local")
     assert out["data"][0]["id"] == "org/tiny"
     req = urllib.request.Request(
-        "http://127.0.0.1:18731/v1/models/org/tiny", method="DELETE")
+        f"http://127.0.0.1:{PORT}/v1/models/org/tiny", method="DELETE")
     res = json.loads(urllib.request.urlopen(req).read())
     assert res["deleted"] is True
     assert _get("/v1/models/local")["data"] == []
@@ -232,7 +245,7 @@ def test_request_timeout_returns_504(server):
     body = {"model": "tiny", "messages": [{"role": "user", "content": "hi"}],
             "max_tokens": 64, "timeout_s": 0.0}
     req = urllib.request.Request(
-        "http://127.0.0.1:18731/v1/chat/completions",
+        f"http://127.0.0.1:{PORT}/v1/chat/completions",
         json.dumps(body).encode(), {"Content-Type": "application/json"})
     try:
         urllib.request.urlopen(req)
@@ -272,7 +285,7 @@ def test_image_generation_endpoint(server):
     body = {"model": "tiny-image", "prompt": "a cat", "size": "16x16",
             "steps": 2}
     req = urllib.request.Request(
-        "http://127.0.0.1:18731/v1/images/generations",
+        f"http://127.0.0.1:{PORT}/v1/images/generations",
         json.dumps(body).encode(), {"Content-Type": "application/json"})
     out = json.loads(urllib.request.urlopen(req).read())
     png = base64.b64decode(out["data"][0]["b64_json"])
