@@ -308,7 +308,7 @@ def main():
     import subprocess
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="paraformer,asr,tts,flux,sovits")
+    ap.add_argument("--only", default="paraformer,asr,tts,flux,sovits,sala8")
     ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
