@@ -29,6 +29,10 @@ def main():
                          "load_model_quantized)")
     ap.add_argument("--chat", action="store_true",
                     help="wrap the prompt with the model chat template")
+    ap.add_argument("--draft-model", default=None,
+                    help="small same-vocab checkpoint for speculative "
+                         "decoding (greedy; on-device round loop)")
+    ap.add_argument("--draft-tokens", type=int, default=4)
     args = ap.parse_args()
 
     from ominix_mlx_tpu.core.generate import Engine, GenerationStats
@@ -45,6 +49,33 @@ def main():
             if args.chat else args.prompt)
     ids = tok.encode(text)
 
+    stats = GenerationStats()
+    stops = {tok.eos_token_id} if tok.eos_token_id is not None else set()
+
+    if args.draft_model:
+        # speculative decoding: draft proposes, target verifies; the whole
+        # round loop runs on device (core/speculative.py generate_scan)
+        from ominix_mlx_tpu.core.speculative import (SpecStats,
+                                                     SpeculativeEngine)
+        dmod, dparams, dcfg = registry.load_model(args.draft_model)
+        spec = SpeculativeEngine(
+            lambda p, t, c: mod.forward(p, cfg, t, c), params,
+            lambda p, t, c: dmod.forward(p, dcfg, t, c), dparams,
+            num_draft_tokens=args.draft_tokens)
+        cap = len(ids) + args.max_tokens + 2 * args.draft_tokens + 8
+        st = SpecStats()
+        t0 = time.time()
+        out, _ = spec.generate_scan(
+            jnp.asarray(ids), mod.init_cache(cfg, 1, cap, jnp.bfloat16),
+            dmod.init_cache(dcfg, 1, cap, jnp.bfloat16),
+            max_tokens=args.max_tokens, stop_tokens=tuple(stops), stats=st)
+        dt = time.time() - t0
+        print(tok.decode(out))
+        print(f"\n-- speculative: {len(out)} tok in {dt:.2f}s "
+              f"({len(out) / dt:.1f} tok/s), acceptance "
+              f"{st.acceptance_rate:.2f}", file=sys.stderr)
+        return
+
     engine = Engine(
         lambda p, t, c: mod.forward(p, cfg, t, c), params,
         SamplerConfig(temperature=args.temperature, top_k=args.top_k,
@@ -53,8 +84,6 @@ def main():
             p, cfg, t, c, fresh_prefill=True))
     cache = mod.init_cache(cfg, 1, len(ids) + args.max_tokens + 8,
                            jnp.bfloat16)
-    stats = GenerationStats()
-    stops = {tok.eos_token_id} if tok.eos_token_id is not None else set()
     out = []
     printed = ""
     for t in engine.generate(jnp.asarray(ids), cache, args.max_tokens,

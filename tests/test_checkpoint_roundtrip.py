@@ -161,3 +161,21 @@ def test_generate_cli_end_to_end(checkpoint_dir):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "decode 6 tok" in r.stderr
+
+
+def test_generate_cli_speculative(checkpoint_dir):
+    """--draft-model path: self-draft speculative decode via the CLI."""
+    import subprocess
+    import sys as _sys
+
+    d, _, _ = checkpoint_dir
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [_sys.executable, "examples/generate.py", "--model", d,
+         "--draft-model", d, "--prompt", "hi there", "--max-tokens", "6"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "speculative:" in r.stderr
+    # self-draft: acceptance must be 1.00
+    assert "acceptance 1.00" in r.stderr, r.stderr[-400:]
