@@ -59,15 +59,21 @@ def bench_paraformer():
          (1 / 18.0) / rtf)                # >1 means faster than reference
 
 
-def bench_qwen3_asr():
+def bench_qwen3_asr(size: str = "0.6b"):
     from ominix_mlx_tpu.models import qwen3_asr as qa
     from ominix_mlx_tpu.models import base
 
     ecfg = qa.AudioEncoderConfig()
-    lcfg = base.TransformerConfig(         # Qwen3-0.6B decoder
-        vocab_size=151936, hidden_size=1024, num_layers=28, num_heads=16,
-        num_kv_heads=8, head_dim=128, intermediate_size=3072,
-        use_qk_norm=True, tie_word_embeddings=True)
+    if size == "1.7b":                     # Qwen3-1.7B decoder
+        lcfg = base.TransformerConfig(
+            vocab_size=151936, hidden_size=2048, num_layers=28, num_heads=16,
+            num_kv_heads=8, head_dim=128, intermediate_size=6144,
+            use_qk_norm=True, tie_word_embeddings=True)
+    else:
+        lcfg = base.TransformerConfig(     # Qwen3-0.6B decoder
+            vocab_size=151936, hidden_size=1024, num_layers=28, num_heads=16,
+            num_kv_heads=8, head_dim=128, intermediate_size=3072,
+            use_qk_norm=True, tie_word_embeddings=True)
     eparams = qa.init_encoder_params(ecfg, jax.random.PRNGKey(0), jnp.bfloat16)
     lparams = base.init_params(lcfg, jax.random.PRNGKey(1), jnp.bfloat16)
     audio_s = 30.0
@@ -110,7 +116,10 @@ def bench_qwen3_asr():
 
     t = _timeit(once)
     rtf = t / audio_s
-    emit("qwen3_asr_0p6b_rtf", rtf, "rtf(lower=better)", (1 / 50.0) / rtf)
+    if size == "1.7b":                     # reference: 30x RT (README:584)
+        emit("qwen3_asr_1p7b_rtf", rtf, "rtf(lower=better)", (1 / 30.0) / rtf)
+    else:                                  # reference: 50x RT (README:585)
+        emit("qwen3_asr_0p6b_rtf", rtf, "rtf(lower=better)", (1 / 50.0) / rtf)
 
 
 def bench_qwen3_tts():
@@ -295,9 +304,43 @@ def bench_sala_w8():
     emit("minicpm_sala_9b_w8a8_decode", tps, "tokens/sec", tps / 28.0)
 
 
+def bench_moxin_decoder():
+    """Moxin-7B VLM decode vs the reference's 30 tok/s 8-bit (README:582):
+    the VLM decoder IS Mistral-7B (vision towers run once at prefill), so
+    steady-state decode is the Mistral w8a8 stream."""
+    from ominix_mlx_tpu.core.generate import Engine
+    from ominix_mlx_tpu.core.sampling import SamplerConfig
+    from ominix_mlx_tpu.models import base
+
+    cfg = base.TransformerConfig(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, head_dim=128, intermediate_size=14336,
+        rope_theta=1000000.0, tie_word_embeddings=False)
+    params = base.init_quantized_params(cfg, jax.random.PRNGKey(0), 64, 8)
+    params = base.fuse_layer_projections(params)
+    engine = Engine(lambda p, t, c: base.forward(p, cfg, t, c), params)
+    prompt = jnp.ones((1, 128), jnp.int32)
+
+    def run(n):
+        cache = base.init_cache(cfg, 1, 1024, jnp.bfloat16)
+        t0 = time.perf_counter()
+        toks, _ = engine.generate_scan(prompt, cache, max_tokens=n)
+        int(toks[0, -1])
+        return time.perf_counter() - t0
+
+    run(128)
+    run(512)
+    t_short = min(run(128) for _ in range(2))
+    t_long = min(run(512) for _ in range(2))
+    tps = 384 / (t_long - t_short)
+    emit("moxin_vlm_decoder_w8a8", tps, "tokens/sec", tps / 30.0)
+
+
 BENCHES = {"paraformer": bench_paraformer, "asr": bench_qwen3_asr,
+           "asr17": lambda: bench_qwen3_asr("1.7b"),
            "tts": bench_qwen3_tts, "flux": bench_flux_klein,
-           "sovits": bench_sovits, "sala8": bench_sala_w8}
+           "sovits": bench_sovits, "sala8": bench_sala_w8,
+           "moxin": bench_moxin_decoder}
 
 
 def main():
