@@ -336,11 +336,36 @@ def bench_moxin_decoder():
     emit("moxin_vlm_decoder_w8a8", tps, "tokens/sec", tps / 30.0)
 
 
+def bench_zimage():
+    """Z-Image Turbo 1024px 9-step vs the reference's ~3 s/image
+    (README.md:588; conditions unstated there — this measures the full
+    1024px 9-step pipeline)."""
+    from ominix_mlx_tpu.models import zimage as zi
+    from ominix_mlx_tpu.models.dit import vae
+
+    cfg = zi.ZImageConfig()
+    vcfg = vae.VAEConfig()
+    params = zi.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    vparams = vae.init_decoder(vcfg, jax.random.PRNGKey(1), jnp.bfloat16)
+    cap = jax.random.normal(jax.random.PRNGKey(2), (1, 128, cfg.cap_feat_dim),
+                            jnp.bfloat16)
+
+    def once():
+        t0 = time.perf_counter()
+        img = zi.generate_image(params, cfg, vparams, vcfg, cap,
+                                height=1024, width=1024, num_steps=9)
+        float(img[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    t = _timeit(once, 3)
+    emit("zimage_1024px_s_per_image", t, "s/image", 3.0 / t)
+
+
 BENCHES = {"paraformer": bench_paraformer, "asr": bench_qwen3_asr,
            "asr17": lambda: bench_qwen3_asr("1.7b"),
            "tts": bench_qwen3_tts, "flux": bench_flux_klein,
            "sovits": bench_sovits, "sala8": bench_sala_w8,
-           "moxin": bench_moxin_decoder}
+           "moxin": bench_moxin_decoder, "zimage": bench_zimage}
 
 
 def main():
