@@ -344,7 +344,8 @@ def bench_zimage():
     from ominix_mlx_tpu.models.dit import vae
 
     cfg = zi.ZImageConfig()
-    vcfg = vae.VAEConfig()
+    # Z-Image latents are 16-channel (FLUX.1-style VAE head)
+    vcfg = vae.VAEConfig(z_channels=cfg.in_channels)
     params = zi.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     vparams = vae.init_decoder(vcfg, jax.random.PRNGKey(1), jnp.bfloat16)
     cap = jax.random.normal(jax.random.PRNGKey(2), (1, 128, cfg.cap_feat_dim),
