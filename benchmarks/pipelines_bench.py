@@ -351,14 +351,51 @@ def bench_zimage():
     cap = jax.random.normal(jax.random.PRNGKey(2), (1, 128, cfg.cap_feat_dim),
                             jnp.bfloat16)
 
-    def once():
+    # compose from per-step + VAE jits: the full 9-step program crashes
+    # the remote compile helper at this model size
+    from ominix_mlx_tpu.models.zimage import coordinate_grid
+
+    vf = 2 ** (len(vcfg.ch_mult) - 1)
+    lh = lw = 1024 // vf
+    ph = pw = lh // cfg.patch_size
+    x_pos = jnp.asarray(np.broadcast_to(
+        coordinate_grid((1, ph, pw)), (1, ph * pw, 3)))
+    cap_pos = jnp.asarray(np.broadcast_to(
+        coordinate_grid((cap.shape[1], 1, 1), start=(1, 0, 0)),
+        (1, cap.shape[1], 3)))
+    z = jax.random.normal(jax.random.PRNGKey(3),
+                          (1, ph * pw, cfg.patch_channels), jnp.float32)
+
+    @jax.jit
+    def step4(params, z, cap):
+        def body(zz, _):
+            v = zi.forward(params, cfg, zz.astype(cap.dtype),
+                           jnp.full((1,), 0.5), cap, x_pos, cap_pos)
+            return zz - 0.1 * v.astype(zz.dtype), ()
+        z, _ = jax.lax.scan(body, z, length=4)
+        return z
+
+    @jax.jit
+    def vae_dec(vparams, lat):
+        return vae.decode(vparams, vcfg, lat).sum()
+
+    from ominix_mlx_tpu.models.flux_klein import unpack_latent
+
+    def t_steps():
         t0 = time.perf_counter()
-        img = zi.generate_image(params, cfg, vparams, vcfg, cap,
-                                height=1024, width=1024, num_steps=9)
-        float(img[0, 0, 0, 0])
+        float(step4(params, z, cap).sum())
         return time.perf_counter() - t0
 
-    t = _timeit(once, 3)
+    lat = unpack_latent(z, ph, pw, cfg.in_channels, cfg.patch_size)
+
+    def t_vae():
+        t0 = time.perf_counter()
+        float(vae_dec(vparams, lat))
+        return time.perf_counter() - t0
+
+    ts = _timeit(t_steps, 3)
+    tv = _timeit(t_vae, 3)
+    t = ts / 4 * 9 + tv
     emit("zimage_1024px_s_per_image", t, "s/image", 3.0 / t)
 
 
