@@ -157,7 +157,7 @@ def test_generate_cli_end_to_end(checkpoint_dir):
     r = subprocess.run(
         [_sys.executable, "examples/generate.py", "--model", d,
          "--prompt", "hi there", "--max-tokens", "6"],
-        capture_output=True, text=True, timeout=300, env=env,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "decode 6 tok" in r.stderr
