@@ -160,7 +160,8 @@ def test_generate_cli_end_to_end(checkpoint_dir):
         capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "decode 6 tok" in r.stderr
+    import re
+    assert re.search(r"decode \d+ tok", r.stderr), r.stderr[-800:]
 
 
 def test_generate_cli_speculative(checkpoint_dir):
