@@ -142,6 +142,33 @@ class Server:
         self.worker = InferenceWorker()
         self.request_timeout_s = request_timeout_s
         self._httpd: Optional[ThreadingHTTPServer] = None
+        # observability counters (GET /metrics, prometheus text format)
+        self.metrics = {"requests_total": 0, "requests_failed": 0,
+                        "prompt_tokens_total": 0,
+                        "completion_tokens_total": 0,
+                        "request_seconds_total": 0.0}
+        self._metrics_lock = threading.Lock()
+
+    def _count(self, prompt_tokens=0, completion_tokens=0, seconds=0.0,
+               failed=False):
+        with self._metrics_lock:
+            self.metrics["requests_total"] += 1
+            if failed:
+                self.metrics["requests_failed"] += 1
+            self.metrics["prompt_tokens_total"] += prompt_tokens
+            self.metrics["completion_tokens_total"] += completion_tokens
+            self.metrics["request_seconds_total"] += seconds
+
+    def metrics_text(self) -> str:
+        """Prometheus exposition format (counters only)."""
+        lines = []
+        with self._metrics_lock:
+            for k, v in self.metrics.items():
+                lines.append(f"# TYPE ominix_{k} counter")
+                lines.append(f"ominix_{k} {v}")
+        lines.append(f"# TYPE ominix_models_loaded gauge")
+        lines.append(f"ominix_models_loaded {len(self.models)}")
+        return "\n".join(lines) + "\n"
 
     def load_model(self, name: str, model_dir: str):
         """Load ANY family through the registry: chat models get the
@@ -410,7 +437,15 @@ class Server:
                 self.wfile.write(data)
 
             def do_GET(self):
-                if self.path == "/health":
+                if self.path == "/metrics":
+                    data = server.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/health":
                     self._json(200, server.health())
                 elif self.path in ("/v1/models", "/models"):
                     self._json(200, server.list_models())
@@ -468,6 +503,7 @@ class Server:
                     return
                 if self.path != "/v1/chat/completions":
                     return self._json(404, {"error": "not found"})
+                t_req = time.time()
                 try:
                     if body.get("stream"):
                         self.send_response(200)
@@ -480,15 +516,23 @@ class Server:
                                 b"data: " + json.dumps(obj).encode() + b"\n\n")
                             self.wfile.flush()
 
-                        server.chat_completion(body, send_chunk)
+                        out = server.chat_completion(body, send_chunk)
                         self.wfile.write(b"data: [DONE]\n\n")
                     else:
-                        self._json(200, server.chat_completion(body))
+                        out = server.chat_completion(body)
+                        self._json(200, out)
+                    u = out.get("usage", {})
+                    server._count(u.get("prompt_tokens", 0),
+                                  u.get("completion_tokens", 0),
+                                  time.time() - t_req)
                 except KeyError as e:
+                    server._count(failed=True, seconds=time.time() - t_req)
                     self._json(404, {"error": str(e)})
                 except TimeoutError as e:
+                    server._count(failed=True, seconds=time.time() - t_req)
                     self._json(504, {"error": str(e)})
                 except Exception as e:
+                    server._count(failed=True, seconds=time.time() - t_req)
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)

@@ -363,3 +363,19 @@ def test_batched_chat_paged_pool(server):
         assert got == want
     finally:
         server.batchers.pop("tiny", None)
+
+
+def test_metrics_endpoint(server):
+    import urllib.request
+    _post("/v1/chat/completions", {
+        "model": "tiny", "max_tokens": 3,
+        "messages": [{"role": "user", "content": "metrics"}]})
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}/metrics") as r:
+        text = r.read().decode()
+    assert "ominix_requests_total" in text
+    lines = {l.split()[0]: float(l.split()[1])
+             for l in text.splitlines() if l and not l.startswith("#")}
+    assert lines["ominix_requests_total"] >= 1
+    assert lines["ominix_completion_tokens_total"] >= 3
+    assert lines["ominix_models_loaded"] >= 1
