@@ -1,43 +1,49 @@
 """ASR CLI — counterpart of qwen3-asr-mlx / funasr-mlx transcribe examples.
 
 Usage:
-    python examples/transcribe.py --model /path/to/qwen3-asr --audio x.wav
+    python examples/transcribe.py --model /path/to/asr-checkpoint \
+        --audio x.wav [--punc /path/to/ct-punc] [--long]
+
+Any registry model exposing ``transcribe(samples, rate)`` works
+(paraformer, qwen3-asr, funasr-nano/qwen4b); ``--long`` uses the chunked
+long-audio path when the model provides one; ``--punc`` restores
+punctuation with the CT-Transformer model.
 """
 
 import argparse
 import sys
 
-sys.path.insert(0, ".")
-
-import jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True)
     ap.add_argument("--audio", required=True)
-    ap.add_argument("--language", default=None)
-    ap.add_argument("--max-tokens", type=int, default=256)
+    ap.add_argument("--punc", default=None,
+                    help="CT-Transformer punctuation model dir")
+    ap.add_argument("--long", action="store_true",
+                    help="chunked long-audio transcription")
     args = ap.parse_args()
 
+    import numpy as np
+
     from ominix_mlx_tpu.audio.io import load_wav
-    from ominix_mlx_tpu.utils.loading import load_config
+    from ominix_mlx_tpu.models import registry
 
+    cap, asr = registry.load_pipeline(args.model)
+    assert hasattr(asr, "transcribe"), \
+        f"{args.model} has no ASR capability (got {cap})"
     samples, rate = load_wav(args.audio, target_rate=16000)
-    raw = load_config(args.model)
-    mt = raw.get("model_type", "qwen3_asr")
-    if "paraformer" in mt:
-        print("Paraformer path: models/paraformer.transcribe_logits "
-              "(weights loader pending checkpoint availability)",
-              file=sys.stderr)
-        return
-    from ominix_mlx_tpu.models import qwen3_asr
-    from ominix_mlx_tpu.utils.tokenizer import Tokenizer
-
-    tok = Tokenizer(args.model)
-    # full checkpoint wiring: encoder + LLM weights from the same dir
-    raise SystemExit("qwen3-asr checkpoint loading requires model weights; "
-                     "see models/qwen3_asr.Qwen3ASR for the API")
+    samples = np.asarray(samples)
+    if args.long and hasattr(asr, "transcribe_long"):
+        text = asr.transcribe_long(samples, rate)
+    else:
+        text = asr.transcribe(samples, rate)
+    if args.punc:
+        from ominix_mlx_tpu.models.punctuation import PunctuationModel
+        text = PunctuationModel.load(args.punc).punctuate(text)
+    print(text)
 
 
 if __name__ == "__main__":
