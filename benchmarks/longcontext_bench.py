@@ -11,10 +11,11 @@ Usage: python benchmarks/longcontext_bench.py [--offsets 4096,16384,65536]
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -14,10 +14,11 @@ Usage: python benchmarks/pipelines_bench.py [--only paraformer,asr,tts,flux]
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

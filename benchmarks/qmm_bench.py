@@ -10,10 +10,11 @@ Usage: python benchmarks/qmm_bench.py [--shapes gate,down] [--variants bf16,w8a8
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

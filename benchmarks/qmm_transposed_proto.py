@@ -18,10 +18,11 @@ Usage: python benchmarks/qmm_transposed_proto.py [--shapes gate,qkv]
 
 import argparse
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

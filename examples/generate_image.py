@@ -7,9 +7,10 @@ checkpoint dir it loads weights (round-2 wiring for the 4B/20B configs).
 """
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -99,7 +99,9 @@ def mel_filterbank(n_mels: int, n_fft: int, sample_rate: int,
     if norm == "slaney":
         enorm = 2.0 / (hz[2:] - hz[:-2])
         fb *= enorm[:, None]
-    return jnp.asarray(fb, jnp.float32)
+    # cache NUMPY, not a jax array: under a jit trace jnp.asarray yields a
+    # tracer, and lru_cache would leak it into later traces
+    return np.asarray(fb, np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "n_mels",

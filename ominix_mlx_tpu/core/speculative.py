@@ -20,6 +20,7 @@ that runs the first N layers of the same params.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Iterator, Optional
 
 import jax
@@ -150,50 +151,89 @@ class SpeculativeEngine:
                       d_cache: ModelCache, max_tokens: int = 256,
                       stop_tokens: tuple = (),
                       stats: Optional[SpecStats] = None):
-        """Whole speculative decode as ONE jitted scan over rounds: every
-        round drafts nd tokens, verifies them in one target forward, rolls
-        the caches back by offset arithmetic, and appends the accepted
-        prefix + correction into a token buffer at a traced write position
-        (later rounds overwrite the unaccepted tail). Zero host round-trips
-        until the final fetch — the TPU-native form of the reference's
-        async_eval-pipelined speculative loop (speculative.rs:113-190).
+        """Speculative decode as jitted scans over rounds: every round
+        drafts nd tokens, verifies them in one target forward, rolls the
+        caches back by offset arithmetic, and appends the accepted prefix +
+        correction into a token buffer at a traced write position. Zero
+        host round-trips inside a chunk — the TPU-native form of the
+        reference's async_eval-pipelined speculative loop
+        (speculative.rs:113-190).
 
-        Returns (tokens list, rounds) — tokens trimmed at stop/max.
+        The host loops CHUNKS of rounds until max_tokens tokens are out or
+        a stop token lands: with real acceptance < 1 a single fixed round
+        count would silently under-produce (each round only yields
+        n_accept+1 tokens). Returns (tokens list, rounds run).
         """
         if prompt.ndim == 1:
             prompt = prompt[None]
-        rounds = -(-max_tokens // (self.nd + 1)) + 1
-        run = self._scan_jit(rounds)
-        buf, n_out, accepted = run(self.tp, self.dp, prompt, t_cache,
-                                   d_cache)
-        toks = [int(x) for x in np.asarray(buf[:int(n_out)])]
-        if stats is not None:
-            stats.rounds += rounds
-            stats.drafted += rounds * self.nd
-            stats.accepted += int(accepted)
-        out = []
-        for t in toks:
-            if t in stop_tokens:
-                break
-            out.append(t)
-            if len(out) >= max_tokens:
-                break
-        return out, rounds
+        T = prompt.shape[1]
+        caps = [lc.max_len for lc in t_cache.layers
+                if hasattr(lc, "max_len")]
+        cap = min(caps) if caps else None
 
-    def _scan_jit(self, rounds: int):
-        fn = self._scan_cache.get(rounds) if hasattr(self, "_scan_cache") \
-            else None
+        t_cache, d_cache, last, x_prev = self._spec_prefill_jit(
+            self.tp, self.dp, prompt, t_cache, d_cache)
+
+        out = []
+        stopped = False
+
+        def take(toks) -> bool:
+            nonlocal stopped
+            for t in toks:
+                if t in stop_tokens:
+                    stopped = True
+                    return True
+                out.append(t)
+                if len(out) >= max_tokens:
+                    stopped = True
+                    return True
+            return False
+
+        take([int(last[0])])
+        total_rounds = 0
+        while not stopped:
+            # optimistic round count for the remainder; every extra chunk
+            # only happens when acceptance fell short
+            rounds = -(-(max_tokens - len(out)) // (self.nd + 1)) + 1
+            if cap is not None:
+                # keep every transient verify write (offset + nd + 1) inside
+                # the cache; offset tracks T + len(out) exactly
+                safe = (cap - (T + len(out)) - (self.nd + 2)) // (self.nd + 1)
+                if safe < 1:
+                    break
+                rounds = min(rounds, safe)
+            run = self._rounds_jit(rounds)
+            buf, n_out, accepted, t_cache, d_cache, last, x_prev = run(
+                self.tp, self.dp, t_cache, d_cache, last, x_prev)
+            total_rounds += rounds
+            if stats is not None:
+                stats.rounds += rounds
+                stats.drafted += rounds * self.nd
+                stats.accepted += int(accepted)
+            take([int(x) for x in np.asarray(buf[:int(n_out)])])
+        return out, total_rounds
+
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnums=(4, 5))
+    def _spec_prefill_jit(self, tp, dp, prompt, t_cache, d_cache):
+        t_logits, t_cache = self.tf(tp, prompt, t_cache)
+        _, d_cache = self.df(dp, prompt, d_cache)
+        last = jnp.argmax(t_logits[:, -1], -1).astype(jnp.int32)
+        return t_cache, d_cache, last, prompt[:, -1]
+
+    def _rounds_jit(self, rounds: int):
+        """Jitted chunk of ``rounds`` speculative rounds resuming from
+        (caches, last, x_prev); memoized per round count."""
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        fn = cache.get(rounds)
         if fn is not None:
             return fn
 
-        def run(tp, dp, prompt, t_cache, d_cache):
-            t_logits, t_cache = self.tf(tp, prompt, t_cache)
-            _, d_cache = self.df(dp, prompt, d_cache)
-            last = jnp.argmax(t_logits[:, -1], -1).astype(jnp.int32)
-            x_prev = prompt[:, -1]
-            cap = rounds * (self.nd + 1) + self.nd + 2
-            buf = jnp.zeros((cap,), jnp.int32)
-            buf = buf.at[0].set(last[0])
+        def run(tp, dp, t_cache, d_cache, last, x_prev):
+            buf = jnp.zeros((rounds * (self.nd + 1) + self.nd + 2,),
+                            jnp.int32)
 
             def round_fn(carry, _):
                 t_cache, d_cache, last, x_prev, buf, n_out, acc = carry
@@ -219,13 +259,11 @@ class SpeculativeEngine:
             (t_cache, d_cache, last, x_prev, buf, n_out, acc), _ = \
                 jax.lax.scan(
                     round_fn,
-                    (t_cache, d_cache, last, x_prev, buf, jnp.int32(1),
+                    (t_cache, d_cache, last, x_prev, buf, jnp.int32(0),
                      jnp.int32(0)),
                     length=rounds)
-            return buf, n_out, acc
+            return buf, n_out, acc, t_cache, d_cache, last, x_prev
 
-        fn = jax.jit(run, donate_argnums=(3, 4))
-        if not hasattr(self, "_scan_cache"):
-            self._scan_cache = {}
-        self._scan_cache[rounds] = fn
+        fn = jax.jit(run, donate_argnums=(2, 3))
+        cache[rounds] = fn
         return fn

@@ -15,7 +15,7 @@ audio embeddings into the chat prompt exactly like qwen3-asr.
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,12 @@ def _mha(lp, x, heads):
     return linear(lp["o"], o)
 
 
+# default chat wrapping (reference: funasr-nano-mlx/src/model.rs:544-546,
+# 1062-1098 — system + instruction + <|startofspeech|>AUDIO<|endofspeech|>)
+DEFAULT_SYSTEM = "You are a helpful assistant."
+DEFAULT_INSTRUCTION = "语音转写成中文："
+
+
 @dataclasses.dataclass
 class FunASRNano:
     """transcribe facade (reference: funasr-nano lib.rs / model.rs)."""
@@ -76,6 +82,7 @@ class FunASRNano:
     adaptor_cfg: AdaptorConfig
     lm_params: dict
     lm_cfg: TransformerConfig
+    tokenizer: Optional[object] = None
 
     def encode(self, feats: jax.Array) -> jax.Array:
         """LFR features [B, T, mel*lfr] -> LLM embeds [B, T', D_lm]."""
@@ -112,6 +119,57 @@ class FunASRNano:
                 self.lm_params, cache, tok, jax.random.PRNGKey(0),
                 jnp.full((1, 64), -1, jnp.int32), sampler=engine.sampler)
         return out
+
+    # ------------------------------------------------- server/CLI facade ----
+
+    def _prompt_ids(self, instruction=None, system=None):
+        """Chat wrapping token ids around the spliced audio embeddings
+        (reference prompt layout: model.rs:544-546)."""
+        tok = self.tokenizer
+        if tok is None:
+            return [1], [2], ()
+        pre = tok.encode(
+            f"<|im_start|>system\n{system or DEFAULT_SYSTEM}<|im_end|>\n"
+            f"<|im_start|>user\n{instruction or DEFAULT_INSTRUCTION}"
+            f"<|startofspeech|>")
+        suf = tok.encode("<|endofspeech|><|im_end|>\n<|im_start|>assistant\n")
+        return pre, suf, tuple({tok.eos_token_id} - {None})
+
+    def _features(self, samples, rate: int):
+        import numpy as np
+
+        from ominix_mlx_tpu.audio.dsp import apply_lfr, log_mel_spectrogram
+
+        mel = log_mel_spectrogram(
+            jnp.asarray(np.asarray(samples, np.float32)), 400, 160,
+            self.enc_cfg.n_mels, rate)
+        return apply_lfr(mel, self.enc_cfg.lfr_m, self.enc_cfg.lfr_n)
+
+    def _detok(self, ids: List[int]) -> str:
+        return (self.tokenizer.decode(ids) if self.tokenizer
+                else " ".join(map(str, ids)))
+
+    def transcribe(self, samples, rate: int = 16000, max_tokens: int = 256,
+                   instruction=None) -> str:
+        """Server/CLI-contract transcription (reference: model.rs:377)."""
+        pre, suf, stops = self._prompt_ids(instruction)
+        ids = self.transcribe_tokens(self._features(samples, rate)[None],
+                                     pre, suf, max_tokens=max_tokens,
+                                     stop_tokens=stops)
+        return self._detok(ids)
+
+    def transcribe_long(self, samples, rate: int = 16000,
+                        chunk_secs: float = 30.0, overlap_secs: float = 0.0,
+                        max_tokens: int = 256, instruction=None,
+                        sep: str = "") -> str:
+        """Chunked long-audio transcription joined into one string
+        (reference: transcribe_long, funasr-qwen4b model.rs:388-459)."""
+        pre, suf, stops = self._prompt_ids(instruction)
+        outs = transcribe_long_tokens(
+            self, samples, rate, pre, suf, chunk_secs=chunk_secs,
+            overlap_secs=overlap_secs, max_tokens=max_tokens,
+            stop_tokens=stops)
+        return sep.join(self._detok(ids) for ids in outs)
 
 
 def init_adaptor(acfg: AdaptorConfig, key, dtype=jnp.float32) -> dict:
@@ -246,10 +304,15 @@ def load_model(model_dir: str):
     llm_flat = {k[len("llm."):]: v for k, v in flat.items()
                 if k.startswith("llm.")}
     lm_params = base.params_from_flat(llm_flat, lm_cfg)
+    import os
+    tok = None
+    if os.path.exists(os.path.join(model_dir, "tokenizer.json")):
+        from ominix_mlx_tpu.utils.tokenizer import Tokenizer
+        tok = Tokenizer(model_dir)
     return FunASRNano(
         enc_params=encoder_params_from_flat(flat, enc_cfg), enc_cfg=enc_cfg,
         adaptor_params=adaptor_params_from_flat(flat, acfg), adaptor_cfg=acfg,
-        lm_params=lm_params, lm_cfg=lm_cfg)
+        lm_params=lm_params, lm_cfg=lm_cfg, tokenizer=tok)
 
 
 # ------------------------------------------------------------ long audio ----

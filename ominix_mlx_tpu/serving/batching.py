@@ -131,6 +131,22 @@ class ContinuousBatcher:
     def pending(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.active)
 
+    def abort_all(self):
+        """Terminate every queued and in-flight request (each emit sink gets
+        its ``None``) — used by the serving thread to unblock HTTP waiters
+        after an unrecoverable step error."""
+        for req in list(self.queue):
+            if req.emit:
+                req.emit(None)
+        self.queue.clear()
+        for b, req in enumerate(self.active):
+            if req is None:
+                continue
+            self.active[b] = None
+            self._release_slot(b)
+            if req.emit:
+                req.emit(None)
+
     # ----------------------------------------------- adoption hooks --------
     # (overridden by PagedContinuousBatcher)
 
@@ -152,12 +168,19 @@ class ContinuousBatcher:
     def _pre_step(self):
         pass
 
+    def _can_adopt(self, n_tokens: int) -> bool:
+        """Whether backing memory exists to adopt a new sequence now
+        (paged pools may be oversubscribed)."""
+        return True
+
     # ------------------------------------------------------------------------
 
     def _fill_free_slots(self):
         for b in range(self.slots):
             if self.active[b] is not None or not self.queue:
                 continue
+            if not self._can_adopt(len(self.queue[0].tokens)):
+                break                 # wait for pages to free; stay queued
             req = self.queue.popleft()
             T = len(req.tokens)
             bucket = min(bucket_length(T), self.max_len)
@@ -324,6 +347,30 @@ class PagedContinuousBatcher(ContinuousBatcher):
             offset=self.offsets)
         self._sync_table()
 
+    def _can_adopt(self, n_tokens: int) -> bool:
+        need = self.alloc.pages_for(n_tokens + 1)
+        if need > self.num_pages - 1:
+            # can never fit even an empty pool: fail it rather than stall
+            req = self.queue.popleft()
+            if req.emit:
+                req.emit(None)
+            return bool(self.queue) and self._can_adopt(
+                len(self.queue[0].tokens))
+        return need <= len(self.alloc.free)
+
+    def _preempt(self, b: int):
+        """Pool exhausted mid-decode: release this slot's pages and requeue
+        the request as a continuation (prompt + tokens generated so far) so
+        it re-prefills once pages free up. Greedy decode makes the replayed
+        state exact; no token is lost or duplicated (the current pending
+        token is re-derived by the continuation prefill)."""
+        req = self.active[b]
+        self.active[b] = None
+        self._release_slot(b)
+        self.queue.append(_Request(req.rid, req.tokens + req.out,
+                                   req.max_tokens, out=req.out,
+                                   stop=req.stop, emit=req.emit))
+
     def _pre_step(self):
         changed = False
         for b, req in enumerate(self.active):
@@ -331,7 +378,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 continue
             need = self.alloc.pages_for(self.off_host[b] + 1)
             if len(self.alloc.owned.get(b, [])) < need:
-                owned = self.alloc.alloc(b, self.off_host[b] + 1)
+                try:
+                    owned = self.alloc.alloc(b, self.off_host[b] + 1)
+                except MemoryError:
+                    # oversubscribed pool: preempt this sequence instead of
+                    # killing the stepping thread (the advertised mode)
+                    self._preempt(b)
+                    changed = True
+                    continue
                 self.table[b, :len(owned)] = owned
                 changed = True
         if changed:

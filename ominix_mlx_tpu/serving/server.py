@@ -99,6 +99,8 @@ class BatchedChatRunner:
             self.batcher.cancel(rid)
 
     def _run(self):
+        import sys
+        import traceback
         while True:
             with self.lock:
                 busy = self.batcher.pending()
@@ -106,8 +108,19 @@ class BatchedChatRunner:
                 self.wake.wait(timeout=0.1)
                 self.wake.clear()
                 continue
-            with self.lock:
-                self.batcher.step()
+            try:
+                with self.lock:
+                    self.batcher.step()
+            except Exception:
+                # an unhandled step error must not kill the stepping thread
+                # (every in-flight and future request would hang): abort the
+                # affected requests so their HTTP threads unblock, keep going
+                traceback.print_exc(file=sys.stderr)
+                with self.lock:
+                    try:
+                        self.batcher.abort_all()
+                    except Exception:
+                        traceback.print_exc(file=sys.stderr)
 
 
 class InferenceWorker:

@@ -91,13 +91,17 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             else:
                 float_data.append(struct.unpack("<f", val)[0])
         elif field in (5, 7):                # int32_data / int64_data
+            # protobuf encodes negative ints as 10-byte varints equal to
+            # 2^64 + v: convert back to signed before materializing
+            def signed(d):
+                return d - (1 << 64) if d >= (1 << 63) else d
             if wire == 2:
                 p = 0
                 while p < len(val):
                     d, p = _read_varint(val, p)
-                    int_data.append(d)
+                    int_data.append(signed(d))
             else:
-                int_data.append(val)
+                int_data.append(signed(val))
     dtype = _DTYPES.get(dtype_code, np.float32)
     if raw is not None:
         arr = np.frombuffer(raw, dtype=dtype)

@@ -228,3 +228,30 @@ def test_long_audio_chunking_seams():
     # 50ms tail is dropped
     r = funasr_nano.chunk_ranges(16000 * 30 + 800, 16000, 30.0)
     assert len(r) == 1
+
+
+def test_funasr_nano_transcribe_facade():
+    """CLI/server-contract methods (reference transcribe model.rs:377,
+    transcribe_long model.rs:388-459): transcribe(samples, rate) and
+    transcribe_long(samples, rate) run end-to-end from raw samples without
+    a tokenizer (ids joined as text)."""
+    enc_cfg = paraformer.ParaformerConfig(
+        n_mels=8, lfr_m=2, encoder_dim=16, encoder_layers=2, encoder_heads=2,
+        encoder_ffn_dim=24, sanm_kernel_size=3, decoder_layers=1,
+        decoder_dim=16, decoder_heads=2, decoder_ffn_dim=24, vocab_size=32)
+    acfg = funasr_nano.AdaptorConfig(in_dim=16, hidden=24, out_dim=32,
+                                     layers=1, heads=2, downsample=2)
+    m = funasr_nano.FunASRNano(
+        enc_params=paraformer.init_params(enc_cfg, jax.random.PRNGKey(0)),
+        enc_cfg=enc_cfg,
+        adaptor_params=funasr_nano.init_adaptor(acfg, jax.random.PRNGKey(1)),
+        adaptor_cfg=acfg,
+        lm_params=base.init_params(LM, jax.random.PRNGKey(2), jnp.float32),
+        lm_cfg=LM)
+    samples = np.sin(np.linspace(0, 440 * 2 * np.pi, 8000)).astype(np.float32)
+    text = m.transcribe(samples, 16000, max_tokens=4)
+    assert isinstance(text, str) and len(text.split()) == 4
+    # long path: 1.5s chunks over 3s of audio -> 2 chunks joined
+    long_text = m.transcribe_long(np.tile(samples, 6), 16000,
+                                  chunk_secs=1.5, max_tokens=2, sep=" | ")
+    assert isinstance(long_text, str) and " | " in long_text

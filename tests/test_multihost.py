@@ -2,12 +2,15 @@
 distributed runtime) must compute EXACTLY the same sharded train-step loss
 as the equivalent single-process 4-device run."""
 
+import os
 import re
 import socket
 import subprocess
 import sys
 
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _free_port() -> int:
@@ -26,8 +29,7 @@ def _loss(out: str) -> float:
 
 def test_dcn_two_process_matches_single():
     port = _free_port()
-    env = {"PYTHONPATH": "/root/repo"}
-    import os
+    env = {"PYTHONPATH": REPO}
     env.update({k: v for k, v in os.environ.items()
                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
     mod = "ominix_mlx_tpu.parallel.multihost"
@@ -36,7 +38,7 @@ def test_dcn_two_process_matches_single():
          "--port", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
-        cwd="/root/repo") for r in (0, 1)]
+        cwd=REPO) for r in (0, 1)]
     outs = [p.communicate(timeout=300) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, (so, se[-800:])
@@ -46,7 +48,7 @@ def test_dcn_two_process_matches_single():
     single = subprocess.run(
         [sys.executable, "-m", mod, "--rank", "0", "--single",
          "--nprocs", "2"],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd=REPO,
         env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
         timeout=300)
     assert single.returncode == 0, single.stderr[-800:]

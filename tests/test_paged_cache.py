@@ -91,3 +91,54 @@ def test_paged_batcher_matches_single_sequence():
     # every slot released its pages at completion
     assert not cb.alloc.owned or all(not v for v in cb.alloc.owned.values())
     assert len(cb.alloc.free) == 9
+
+
+def test_paged_batcher_preempts_on_pool_exhaustion():
+    """Pool too small to extend every in-flight sequence: the batcher must
+    PREEMPT (release + requeue as a continuation) instead of raising
+    MemoryError, and every request must still finish with the exact greedy
+    tokens (continuation replay is exact for greedy decode)."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    # page_size=4, 2 slots: each request needs ceil((T+out)/4) pages; with
+    # only 5 usable pages two growing sequences WILL collide mid-decode
+    cb = PagedContinuousBatcher(
+        lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+        slots=2, max_len=64, page_size=4, num_pages=6,
+        dtype=jnp.float32)
+    reqs = [("a", [3, 7, 11], 10), ("b", [5, 2], 12), ("c", [9, 1, 4, 8], 8)]
+    got = cb.run_all(reqs)
+    for rid, prompt, mt in reqs:
+        want = _reference(params, prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+    assert not cb.alloc.owned or all(not v for v in cb.alloc.owned.values())
+
+
+def test_paged_batcher_abort_all_unblocks_emits():
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    cb = PagedContinuousBatcher(
+        lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+        slots=2, max_len=64, page_size=8, num_pages=17, dtype=jnp.float32)
+    sink = {"a": [], "b": [], "c": []}
+    for rid in sink:
+        cb.submit(rid, [3, 7], 20, emit=sink[rid].append)
+    cb.step()  # adopt + first decode
+    cb.abort_all()
+    assert not cb.pending()
+    for rid, toks in sink.items():
+        assert toks and toks[-1] is None, (rid, toks)
+
+
+def test_paged_batcher_rejects_never_fitting_request():
+    """A prompt that can never fit in the whole pool must be failed (emit
+    None) rather than stalling the queue forever."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    cb = PagedContinuousBatcher(
+        lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+        slots=1, max_len=64, page_size=4, num_pages=4, dtype=jnp.float32)
+    big, small = [], []
+    cb.submit("big", list(range(1, 40)), 4, emit=big.append)
+    cb.submit("small", [3, 7], 4, emit=small.append)
+    done = cb.run_all([])
+    assert big == [None]
+    assert "small" in done and len(done["small"]) >= 1
