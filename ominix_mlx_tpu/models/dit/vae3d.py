@@ -70,9 +70,30 @@ def upsample3d(p: dict, x: jax.Array, temporal: bool) -> jax.Array:
     return causal_conv3d(p["conv"], x)
 
 
+# Qwen-Image VAE latent statistics (reference: vae.rs:20-28 LATENTS_MEAN /
+# LATENTS_STD); the diffusion runs in normalized latent space and the
+# decoder expects denormalized latents.
+LATENTS_MEAN = (-0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653,
+                -0.1517, 1.5508, 0.4134, -0.0715, 0.5517, -0.3632,
+                -0.1922, -0.9497, 0.2503, -0.2921)
+LATENTS_STD = (2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052,
+               2.0743, 3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253,
+               2.8251, 1.916)
+
+
+def denormalize_latent(z: jax.Array) -> jax.Array:
+    """Normalized diffusion latent -> decoder space (vae.rs:257), channel
+    axis LAST ([..., C], stats sliced to C for reduced test configs)."""
+    c = z.shape[-1]
+    return z * jnp.asarray(LATENTS_STD[:c], z.dtype) \
+        + jnp.asarray(LATENTS_MEAN[:c], z.dtype)
+
+
 def decode(params: dict, cfg: VAE3DConfig, z: jax.Array) -> jax.Array:
     """z: [B, T, h, w, z_ch] -> video/image [B, T', 8h, 8w, 3]."""
     z = z.astype(params["conv_in"]["w"].dtype)
+    if "post_quant_conv" in params:        # 1x1x1 latent conv (vae.rs:264)
+        z = causal_conv3d(params["post_quant_conv"], z)
     h = causal_conv3d(params["conv_in"], z)
     h = res_block3d(params["mid"]["block_1"], h)
     h = res_block3d(params["mid"]["block_2"], h)
@@ -84,6 +105,13 @@ def decode(params: dict, cfg: VAE3DConfig, z: jax.Array) -> jax.Array:
                            cfg.temporal_upsample[i])
     h = swish(group_norm3d(params["norm_out"], h))
     return causal_conv3d(params["conv_out"], h)
+
+
+def decode_image(params: dict, cfg: VAE3DConfig, z: jax.Array) -> jax.Array:
+    """Single-image path: NORMALIZED latent [B, h, w, 16] -> [B, H, W, 3]
+    in [0, 1] (reference decode path vae.rs:264-283 with T=1)."""
+    img = decode(params, cfg, denormalize_latent(z)[:, None])[:, 0]
+    return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
 
 def init_decoder(cfg: VAE3DConfig, key, dtype=jnp.float32) -> dict:
@@ -107,6 +135,7 @@ def init_decoder(cfg: VAE3DConfig, key, dtype=jnp.float32) -> dict:
 
     block_in = cfg.ch * cfg.ch_mult[-1]
     params = {
+        "post_quant_conv": c(cfg.z_channels, cfg.z_channels, (1, 1, 1)),
         "conv_in": c(cfg.z_channels, block_in),
         "mid": {"block_1": rb(block_in, block_in),
                 "block_2": rb(block_in, block_in)},

@@ -44,6 +44,7 @@ PIPELINE_TYPES = {
     "gpt_sovits": ("ominix_mlx_tpu.models.gpt_sovits", "clone"),
     "step_audio2": ("ominix_mlx_tpu.models.step_audio2", "speech2speech"),
     "flux_klein": ("ominix_mlx_tpu.models.flux_klein", "image"),
+    "qwen_image": ("ominix_mlx_tpu.models.qwen_image", "image"),
 }
 
 

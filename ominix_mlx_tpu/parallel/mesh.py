@@ -102,6 +102,45 @@ def moe_param_specs(lp_moe: dict) -> dict:
     return specs
 
 
+def mmdit_param_specs(params: dict) -> dict:
+    """TP specs for the Qwen-Image MMDiT (models/qwen_image.py) — the 20B
+    image family's multi-chip path (SURVEY §2.7: larger than one chip's
+    HBM in bf16 + activations at 1024px).
+
+    Megatron-style within each joint block: every projection INTO head/ffn
+    space is column-parallel, every projection back to model dim is
+    row-parallel -> exactly two psums per stream per block. adaLN
+    modulations and norms replicate (tiny)."""
+    COL = ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj",
+           "ff_in", "ff_ctx_in")
+    ROW = ("to_out", "to_add_out", "ff_out", "ff_ctx_out")
+
+    def lin(col: bool, p):
+        return _prune({"w": P("tp", None) if col else P(None, "tp"),
+                       "b": P("tp") if col else P(None)}, p)
+
+    def blk(bp: dict) -> dict:
+        out = {}
+        for k, v in bp.items():
+            if k == "attn":
+                # QK-RMSNorm weights ([head_dim]) replicate
+                out[k] = {ak: (lin(True, av) if ak in COL else
+                               lin(False, av) if ak in ROW else P(None))
+                          for ak, av in v.items()}
+            elif k in COL:
+                out[k] = lin(True, v)
+            elif k in ROW:
+                out[k] = lin(False, v)
+            else:                               # img_mod/txt_mod + norms
+                out[k] = jax.tree.map(lambda _: P(None), v)
+        return out
+
+    specs = {k: jax.tree.map(lambda _: P(None), v)
+             for k, v in params.items() if k != "blocks"}
+    specs["blocks"] = [blk(bp) for bp in params["blocks"]]
+    return specs
+
+
 def cache_specs(cache) -> object:
     """PartitionSpec tree for a ModelCache: shard KV heads on tp, batch on dp."""
     from ominix_mlx_tpu.core.cache import KVCache, ModelCache, RotatingKVCache

@@ -41,3 +41,102 @@ def test_vae3d_decode_shapes():
     # one spatial upsample level (x2), temporal x2 on level 1
     assert img.shape == (1, 4, 8, 8, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_params_from_flat_roundtrip():
+    """init -> flat (diffusers names) -> params_from_flat is identity."""
+    p0 = qi.init_params(TINY, jax.random.PRNGKey(0), jnp.float32)
+    p1 = qi.params_from_flat(qi.flat_from_params(p0), TINY)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p0, p1)
+
+
+def test_txt_mask_matches_unpadded():
+    """Masked-out padded txt tokens must not change the velocity field."""
+    params = qi.init_params(TINY, jax.random.PRNGKey(0), jnp.float32)
+    txt = jax.random.normal(jax.random.PRNGKey(1), (1, 3, TINY.txt_dim),
+                            jnp.float32)
+    z = qi.generate_latents(params, TINY, txt, ph=2, pw=2, num_steps=2)
+    pad = jnp.concatenate(
+        [txt, 7.0 * jnp.ones((1, 2, TINY.txt_dim), jnp.float32)], 1)
+    mask = jnp.asarray([[1.0, 1.0, 1.0, 0.0, 0.0]])
+    zp = qi.generate_latents(params, TINY, pad, ph=2, pw=2, num_steps=2,
+                             txt_mask=mask)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(zp), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_cfg_with_identical_prompts_matches_uncond():
+    """v_u + s*(v_c - v_u) == v when cond == uncond, any scale."""
+    params = qi.init_params(TINY, jax.random.PRNGKey(0), jnp.float32)
+    txt = jax.random.normal(jax.random.PRNGKey(1), (1, 3, TINY.txt_dim),
+                            jnp.float32)
+    z = qi.generate_latents(params, TINY, txt, ph=2, pw=2, num_steps=2)
+    zc = qi.generate_latents(params, TINY, txt, ph=2, pw=2, num_steps=2,
+                             neg_txt=txt, cfg_scale=4.0)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(zc), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_text_encoder_hf_parity():
+    """encode_hidden over the Qwen2.5-VL-style text stack (GQA + qkv bias)
+    matches transformers' Qwen2Model hidden states (reference
+    text_encoder.rs:1-4: the encoder IS the Qwen2 decoder stack run
+    causally, last_hidden_state)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config
+    from transformers.models.qwen2 import Qwen2Model
+
+    from ominix_mlx_tpu.models import base
+    from ominix_mlx_tpu.utils.loading import torch_to_jnp
+
+    d = dict(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             intermediate_size=48, rope_theta=1e6, rms_norm_eps=1e-6,
+             attention_bias=True, model_type="qwen2")
+    torch.manual_seed(0)
+    hf = Qwen2Model(Qwen2Config(**d)).eval()
+    cfg = base.TransformerConfig.from_hf(d)
+    flat = {f"model.{k}": torch_to_jnp(v).astype(jnp.float32)
+            for k, v in hf.state_dict().items()}
+    params = base.params_from_flat(flat, cfg)
+    toks = np.array([[5, 17, 42, 3, 9, 60]])
+    with torch.no_grad():
+        want = hf(torch.tensor(toks)).last_hidden_state.numpy()
+    got = base.encode_hidden(params, cfg, jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-3, atol=3e-3)
+
+
+class _FakeTok:
+    def encode(self, text):
+        return [ord(c) % 64 for c in text][:40]
+
+
+def test_image_generator_end_to_end():
+    """prompt string -> encoder -> MMDiT denoise -> 3D VAE -> [H, W, 3]."""
+    from ominix_mlx_tpu.models import base
+
+    tcfg = base.TransformerConfig(
+        vocab_size=64, hidden_size=TINY.txt_dim, num_layers=1, num_heads=2,
+        num_kv_heads=1, intermediate_size=32, head_dim=12,
+        attention_bias=True, tie_word_embeddings=True)
+    vcfg = vae3d.VAE3DConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                             z_channels=TINY.in_channels // 4,
+                             temporal_upsample=(False, False))
+    gen = qi.ImageGenerator(
+        params=qi.init_params(TINY, jax.random.PRNGKey(0), jnp.float32),
+        cfg=TINY,
+        vae_params=vae3d.init_decoder(vcfg, jax.random.PRNGKey(1)),
+        vae_cfg=vcfg,
+        text_params=base.init_params(tcfg, jax.random.PRNGKey(2),
+                                     jnp.float32),
+        text_cfg=tcfg, tokenizer=_FakeTok())
+    # vf = 8*patch would need height%16==0 but the tiny VAE upsamples 2x:
+    # drive generate_latents + decode through generate() at a matching size
+    img = gen.generate("a cat", height=16, width=16, num_steps=2)
+    # tiny VAE: 2x spatial upsample only -> (16/16 latents) ... just check
+    # rank/finite/range
+    assert img.ndim == 3 and img.shape[-1] == 3
+    assert np.isfinite(np.asarray(img)).all()
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
