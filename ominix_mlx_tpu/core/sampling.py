@@ -107,3 +107,91 @@ def apply_eos_steering(logits: jax.Array, eos_id: int, step: jax.Array,
                     0.0, 1.0) * boost
     delta = jnp.where(suppress, -jnp.inf, ramp)
     return logits.at[..., eos_id].add(delta)
+
+
+# -------------------------------------------------- dynamic (traced) form ----
+
+@dataclasses.dataclass
+class SamplerParams:
+    """Per-row sampler settings as ARRAYS — a jit operand, not a static
+    config. One compiled decode step serves every (temperature, top-k,
+    top-p, ...) combination and every per-slot mix in the continuous
+    batcher; changing a sampler setting never re-traces (the reference
+    rebuilds its sampler closure per request, mlx-rs-core/src/sampler.rs —
+    free on CPU, 30-90s per recompile through the TPU tunnel)."""
+    temperature: jax.Array       # [B] f32; <= 0 -> greedy
+    top_k: jax.Array             # [B] i32; 0 -> off
+    top_p: jax.Array             # [B] f32; 1.0 -> off
+    min_p: jax.Array             # [B] f32; 0.0 -> off
+    repetition_penalty: jax.Array  # [B] f32; 1.0 -> off
+
+    @staticmethod
+    def from_config(cfg: SamplerConfig, batch: int = 1) -> "SamplerParams":
+        f = lambda v: jnp.full((batch,), v, jnp.float32)
+        return SamplerParams(
+            temperature=f(cfg.temperature),
+            top_k=jnp.full((batch,), cfg.top_k, jnp.int32),
+            top_p=f(cfg.top_p), min_p=f(cfg.min_p),
+            repetition_penalty=f(cfg.repetition_penalty))
+
+    def set_row(self, b: int, cfg: SamplerConfig) -> "SamplerParams":
+        return SamplerParams(
+            temperature=self.temperature.at[b].set(cfg.temperature),
+            top_k=self.top_k.at[b].set(cfg.top_k),
+            top_p=self.top_p.at[b].set(cfg.top_p),
+            min_p=self.min_p.at[b].set(cfg.min_p),
+            repetition_penalty=self.repetition_penalty.at[b].set(
+                cfg.repetition_penalty))
+
+
+jax.tree_util.register_dataclass(
+    SamplerParams,
+    data_fields=["temperature", "top_k", "top_p", "min_p",
+                 "repetition_penalty"],
+    meta_fields=[])
+
+
+def sample_dynamic(logits: jax.Array, keys: jax.Array, sp: SamplerParams,
+                   recent_tokens: Optional[jax.Array] = None) -> jax.Array:
+    """logits: [B, V]; keys: [B, 2] per-row PRNG keys -> tokens [B].
+
+    Fully traced per-row equivalents of the static pipeline: every filter
+    is a data-dependent mask, so rows with different settings share one
+    compiled program."""
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+
+    if recent_tokens is not None:
+        pen = sp.repetition_penalty[:, None]
+        valid = recent_tokens >= 0
+        tok = jnp.where(valid, recent_tokens, 0)
+        onehot_any = jax.vmap(
+            lambda t, m: jnp.zeros((V,), jnp.bool_).at[t].max(m)
+        )(tok, valid)
+        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(onehot_any & (pen != 1.0), penalized, logits)
+
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    scaled = logits / jnp.maximum(sp.temperature, 1e-6)[:, None]
+    # top-k: kth-largest threshold via one sort; k<=0 -> keep all
+    sorted_desc = jnp.sort(scaled, -1)[:, ::-1]
+    k_eff = jnp.clip(jnp.where(sp.top_k <= 0, V, sp.top_k) - 1, 0, V - 1)
+    thresh_k = jnp.take_along_axis(sorted_desc, k_eff[:, None], -1)
+    scaled = jnp.where(scaled < thresh_k, -jnp.inf, scaled)
+    # top-p over the survivors
+    sorted_desc = jnp.sort(scaled, -1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_desc, -1)
+    cum = jnp.cumsum(probs, -1)
+    keep = cum - probs < sp.top_p[:, None]
+    thresh_p = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), -1,
+                       keepdims=True)
+    scaled = jnp.where(scaled < thresh_p, -jnp.inf, scaled)
+    # min-p
+    probs = jax.nn.softmax(scaled, -1)
+    top = jnp.max(probs, -1, keepdims=True)
+    scaled = jnp.where(probs < sp.min_p[:, None] * top, -jnp.inf, scaled)
+
+    drawn = jax.vmap(lambda k, l: jax.random.categorical(k, l))(
+        keys, scaled).astype(jnp.int32)
+    return jnp.where(sp.temperature <= 0.0, greedy, drawn)

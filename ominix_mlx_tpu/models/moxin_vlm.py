@@ -51,6 +51,7 @@ class MoxinVLM:
     projector: dict
     lm_params: dict
     lm_cfg: base.TransformerConfig
+    tokenizer: Optional[object] = None
 
     def encode_image(self, image01: jax.Array) -> jax.Array:
         """[B, H, W, 3] in [0,1] -> LLM-space patch embeddings [B, N, D]."""
@@ -86,6 +87,35 @@ class MoxinVLM:
                 self.lm_params, cache, tok, jax.random.PRNGKey(0),
                 jnp.full((1, 64), -1, jnp.int32), sampler=engine.sampler)
         return out
+
+    # ------------------------------------------------- server/CLI facade ----
+
+    def chat(self, prompt: str, image01=None, max_tokens: int = 256) -> str:
+        """Image-chat contract for /v1/chat/completions content arrays:
+        Prismatic "Pure" prompt format "In: {}\nOut:" (reference
+        examples/generate.rs:85), image patches spliced before the text."""
+        text = f"In: {prompt}\nOut:"
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(text)
+            stops = tuple({self.tokenizer.eos_token_id} - {None})
+        else:
+            ids = [1] + [ord(c) % self.lm_cfg.vocab_size for c in text][:32]
+            stops = ()
+        if image01 is None:
+            image01 = jnp.zeros(
+                (1, self.dino_cfg.image_size, self.dino_cfg.image_size, 3),
+                jnp.float32)
+        elif hasattr(image01, "ndim") and image01.ndim == 3:
+            image01 = image01[None]
+        size = self.dino_cfg.image_size
+        if image01.shape[1] != size or image01.shape[2] != size:
+            image01 = jax.image.resize(
+                jnp.asarray(image01, jnp.float32),
+                (image01.shape[0], size, size, 3), "bilinear")
+        out = self.generate(jnp.asarray(image01, jnp.float32), ids,
+                            max_tokens=max_tokens, stop_tokens=stops)
+        return (self.tokenizer.decode(out) if self.tokenizer
+                else " ".join(map(str, out)))
 
 
 def init_tiny(key) -> MoxinVLM:
@@ -138,6 +168,11 @@ def load_model(model_dir: str) -> MoxinVLM:
                **({"b": proj_flat[f"{name}.bias"]}
                   if f"{name}.bias" in proj_flat else {})}
         for name in ("fc1", "fc2", "fc3")}
+    import os
+    tok = None
+    if os.path.exists(os.path.join(model_dir, "tokenizer.json")):
+        from ominix_mlx_tpu.utils.tokenizer import Tokenizer
+        tok = Tokenizer(model_dir)
     return MoxinVLM(
         dino_params=vit.params_from_hf_dinov2(sub("dino."), dcfg),
         dino_cfg=dcfg,
@@ -145,4 +180,4 @@ def load_model(model_dir: str) -> MoxinVLM:
         siglip_cfg=scfg,
         projector=projector,
         lm_params=base.params_from_flat(sub("llm."), lm_cfg),
-        lm_cfg=lm_cfg)
+        lm_cfg=lm_cfg, tokenizer=tok)

@@ -45,6 +45,11 @@ PIPELINE_TYPES = {
     "step_audio2": ("ominix_mlx_tpu.models.step_audio2", "speech2speech"),
     "flux_klein": ("ominix_mlx_tpu.models.flux_klein", "image"),
     "qwen_image": ("ominix_mlx_tpu.models.qwen_image", "image"),
+    "zimage": ("ominix_mlx_tpu.models.zimage", "image"),
+    "deepseek_ocr2": ("ominix_mlx_tpu.models.deepseek_ocr2", "ocr"),
+    "deepseek_vl_v2": ("ominix_mlx_tpu.models.deepseek_ocr2", "ocr"),
+    "moxin_vlm": ("ominix_mlx_tpu.models.moxin_vlm", "vlm"),
+    "prismatic": ("ominix_mlx_tpu.models.moxin_vlm", "vlm"),
 }
 
 

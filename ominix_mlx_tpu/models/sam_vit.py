@@ -34,6 +34,9 @@ class SamViTConfig:
     global_attn_indexes: tuple = (2, 5, 8, 11)
     out_chans: int = 256
     use_rel_pos: bool = True
+    # OCR adapter output dim (vision.rs net_3: 512 -> 896); None keeps the
+    # legacy out_chans*4 used by small tests
+    adapter_chans: int = None
 
     @property
     def grid(self) -> int:
@@ -195,7 +198,8 @@ def init_params(cfg: SamViTConfig, key, dtype=jnp.float32) -> dict:
             next(ks), (cfg.out_chans, 3, 3, cfg.out_chans), dtype) * 0.02},
         "neck_ln1": nrm(cfg.out_chans),
         "net2": c2(cfg.out_chans, cfg.out_chans * 2, 3),
-        "net3": c2(cfg.out_chans * 2, cfg.out_chans * 4, 3),
+        "net3": c2(cfg.out_chans * 2,
+                   cfg.adapter_chans or cfg.out_chans * 4, 3),
     }
 
 

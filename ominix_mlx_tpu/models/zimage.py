@@ -24,7 +24,8 @@ from ominix_mlx_tpu.models.dit import vae as vae_mod
 from ominix_mlx_tpu.models.dit.common import (denoise,
                                               shifted_linear_schedule,
                                               timestep_embedding)
-from ominix_mlx_tpu.nn.layers import init_linear, linear, rms_norm
+from ominix_mlx_tpu.nn.layers import (init_linear, layer_norm, linear,
+                                      rms_norm)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,10 +157,10 @@ def forward(params: dict, cfg: ZImageConfig, x: jax.Array, t: jax.Array,
     for bp in params["layers"]:
         u = block(bp, cfg, u, ucos, usin, temb)
     img = u[:, :Sx]
-    # final adaLN layer
-    sc, sh = jnp.split(linear(params["final_ada"], jax.nn.silu(temb)), 2, -1)
-    img = rms_norm(params["final_norm"], img, cfg.norm_eps) \
-        * (1 + sc[:, None]) + sh[:, None]
+    # FinalLayer: non-affine LayerNorm, SCALE-only adaLN from the 256-d
+    # temb (zimage_model.rs:587-624)
+    sc = linear(params["final_ada"], jax.nn.silu(temb))
+    img = layer_norm({"w": None, "b": None}, img, 1e-6) * (1 + sc[:, None])
     return linear(params["final_linear"], img)
 
 
@@ -203,8 +204,7 @@ def init_params(cfg: ZImageConfig, key, dtype=jnp.bfloat16) -> dict:
         "noise_refiner": [blk(True) for _ in range(cfg.n_refiner_layers)],
         "context_refiner": [blk(False) for _ in range(cfg.n_refiner_layers)],
         "layers": [blk(True) for _ in range(cfg.n_layers)],
-        "final_ada": init_linear(next(ks), cfg.t_embed_dim, 2 * d, True, dtype),
-        "final_norm": jnp.ones((d,), dtype),
+        "final_ada": init_linear(next(ks), cfg.t_embed_dim, d, True, dtype),
         "final_linear": init_linear(next(ks), d, cfg.patch_channels, True, dtype),
     }
 
@@ -254,3 +254,184 @@ def generate_image(params: dict, cfg: ZImageConfig, vae_params: dict,
         _RUN_CACHE[ck] = run
 
     return run(params, vae_params, z, cap_feats)
+
+
+# --------------------------------------------------------------- loading ----
+
+def config_from_hf(d: dict) -> ZImageConfig:
+    return ZImageConfig(**{k: tuple(v) if isinstance(v, list) else v
+                           for k, v in d.items()
+                           if k in ZImageConfig.__dataclass_fields__})
+
+
+def params_from_flat(flat: dict, cfg: ZImageConfig) -> dict:
+    """Diffusers Z-Image names -> param tree (reference
+    sanitize_zimage_weights, zimage_model.rs:884-931: t_embedder.mlp.{0,2},
+    cap_embedder.{0,1}, layers/noise_refiner/context_refiner.{i}.
+    {attention.{to_q,to_k,to_v,to_out.0,norm_q,norm_k}, feed_forward.
+    {w1,w2,w3}, attention_norm1/2, ffn_norm1/2, adaLN_modulation.0},
+    final_layer.{linear, adaLN_modulation.1})."""
+    def lin(prefix):
+        p = {"w": flat[f"{prefix}.weight"]}
+        if f"{prefix}.bias" in flat:
+            p["b"] = flat[f"{prefix}.bias"]
+        return p
+
+    def blk(prefix, mod: bool):
+        p = {
+            "attention": {
+                "wq": lin(f"{prefix}.attention.to_q"),
+                "wk": lin(f"{prefix}.attention.to_k"),
+                "wv": lin(f"{prefix}.attention.to_v"),
+                "wo": lin(f"{prefix}.attention.to_out.0"),
+                "q_norm": flat[f"{prefix}.attention.norm_q.weight"],
+                "k_norm": flat[f"{prefix}.attention.norm_k.weight"],
+            },
+            "feed_forward": {
+                "w1": lin(f"{prefix}.feed_forward.w1"),
+                "w2": lin(f"{prefix}.feed_forward.w2"),
+                "w3": lin(f"{prefix}.feed_forward.w3"),
+            },
+            "attention_norm1": flat[f"{prefix}.attention_norm1.weight"],
+            "attention_norm2": flat[f"{prefix}.attention_norm2.weight"],
+            "ffn_norm1": flat[f"{prefix}.ffn_norm1.weight"],
+            "ffn_norm2": flat[f"{prefix}.ffn_norm2.weight"],
+        }
+        if mod:
+            p["ada_ln"] = lin(f"{prefix}.adaLN_modulation.0")
+        return p
+
+    return {
+        "t_mlp1": lin("t_embedder.mlp.0"),
+        "t_mlp2": lin("t_embedder.mlp.2"),
+        "x_embedder": lin("x_embedder"),
+        "cap_norm": flat["cap_embedder.0.weight"],
+        "cap_linear": lin("cap_embedder.1"),
+        "noise_refiner": [blk(f"noise_refiner.{i}", True)
+                          for i in range(cfg.n_refiner_layers)],
+        "context_refiner": [blk(f"context_refiner.{i}", False)
+                            for i in range(cfg.n_refiner_layers)],
+        "layers": [blk(f"layers.{i}", True) for i in range(cfg.n_layers)],
+        "final_ada": lin("final_layer.adaLN_modulation.1"),
+        "final_linear": lin("final_layer.linear"),
+    }
+
+
+def flat_from_params(params: dict, cfg: ZImageConfig) -> dict:
+    """Inverse of ``params_from_flat`` (canonical save / tests)."""
+    flat = {}
+
+    def put(prefix, p):
+        flat[f"{prefix}.weight"] = p["w"]
+        if p.get("b") is not None:
+            flat[f"{prefix}.bias"] = p["b"]
+
+    def put_blk(prefix, bp):
+        a, f = bp["attention"], bp["feed_forward"]
+        put(f"{prefix}.attention.to_q", a["wq"])
+        put(f"{prefix}.attention.to_k", a["wk"])
+        put(f"{prefix}.attention.to_v", a["wv"])
+        put(f"{prefix}.attention.to_out.0", a["wo"])
+        flat[f"{prefix}.attention.norm_q.weight"] = a["q_norm"]
+        flat[f"{prefix}.attention.norm_k.weight"] = a["k_norm"]
+        for w in ("w1", "w2", "w3"):
+            put(f"{prefix}.feed_forward.{w}", f[w])
+        for nm in ("attention_norm1", "attention_norm2", "ffn_norm1",
+                   "ffn_norm2"):
+            flat[f"{prefix}.{nm}.weight"] = bp[nm]
+        if "ada_ln" in bp:
+            put(f"{prefix}.adaLN_modulation.0", bp["ada_ln"])
+
+    put("t_embedder.mlp.0", params["t_mlp1"])
+    put("t_embedder.mlp.2", params["t_mlp2"])
+    put("x_embedder", params["x_embedder"])
+    flat["cap_embedder.0.weight"] = params["cap_norm"]
+    put("cap_embedder.1", params["cap_linear"])
+    for i, bp in enumerate(params["noise_refiner"]):
+        put_blk(f"noise_refiner.{i}", bp)
+    for i, bp in enumerate(params["context_refiner"]):
+        put_blk(f"context_refiner.{i}", bp)
+    for i, bp in enumerate(params["layers"]):
+        put_blk(f"layers.{i}", bp)
+    put("final_layer.adaLN_modulation.1", params["final_ada"])
+    put("final_layer.linear", params["final_linear"])
+    return flat
+
+
+# ------------------------------------------------------------- serving ------
+
+# reference: examples/generate_zimage.rs:281 — Qwen3 chat template with an
+# empty think block; features from all-but-last layer, no final norm
+# (qwen3_quantized.rs:320-338)
+PROMPT_TEMPLATE = ("<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+                   "<think>\n\n</think>\n\n")
+
+
+def encode_prompt(text_params: dict, text_cfg, tokenizer, prompt: str):
+    from ominix_mlx_tpu.models import base
+    ids = tokenizer.encode(PROMPT_TEMPLATE.format(prompt))
+    return base.encode_hidden(text_params, text_cfg,
+                              jnp.asarray([ids], jnp.int32),
+                              num_layers=text_cfg.num_layers - 1,
+                              final_norm=False)
+
+
+@dataclasses.dataclass
+class ImageGenerator:
+    """generate(prompt) -> [H, W, 3] in [0,1] (server image contract)."""
+    params: dict
+    cfg: ZImageConfig
+    vae_params: dict
+    vae_cfg: object
+    text_params: dict = None
+    text_cfg: object = None
+    tokenizer: object = None
+
+    def generate(self, prompt: str, height: int = 1024, width: int = 1024,
+                 num_steps: int = 9, seed: int = 0) -> jax.Array:
+        assert self.text_params is not None, "text encoder not loaded"
+        cap = encode_prompt(self.text_params, self.text_cfg, self.tokenizer,
+                            prompt).astype(jnp.bfloat16)
+        img = generate_image(self.params, self.cfg, self.vae_params,
+                             self.vae_cfg, cap, height, width, num_steps,
+                             key=jax.random.PRNGKey(seed))
+        return img[0]
+
+
+def load_model(model_dir: str) -> ImageGenerator:
+    """Canonical single-dir save: flat names prefixed transformer./vae./
+    text_encoder. + config.json {model_type: zimage, transformer_config,
+    vae_config, text_config}. The VAE is the FLUX one, exactly as the
+    reference reuses flux-klein's Decoder (zimage-mlx/src/lib.rs:75,
+    examples/generate_zimage.rs:16)."""
+    import os
+
+    from ominix_mlx_tpu.models import base
+    from ominix_mlx_tpu.utils.loading import (load_config, load_safetensors,
+                                              unflatten_params)
+
+    raw = load_config(model_dir)
+    cfg = config_from_hf(raw.get("transformer_config", {}))
+    vcfg = vae_mod.VAEConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in raw.get("vae_config", {}).items()
+        if k in vae_mod.VAEConfig.__dataclass_fields__})
+    flat = load_safetensors(model_dir)
+    t_flat = {k[len("transformer."):]: v for k, v in flat.items()
+              if k.startswith("transformer.")}
+    e_flat = {k[len("text_encoder."):]: v for k, v in flat.items()
+              if k.startswith("text_encoder.")}
+    v_flat = {k[len("vae."):]: v for k, v in flat.items()
+              if k.startswith("vae.")}
+    text_cfg = (base.TransformerConfig.from_hf(raw["text_config"])
+                if "text_config" in raw else None)
+    tok = None
+    if os.path.exists(os.path.join(model_dir, "tokenizer.json")):
+        from ominix_mlx_tpu.utils.tokenizer import Tokenizer
+        tok = Tokenizer(model_dir)
+    return ImageGenerator(
+        params=params_from_flat(t_flat, cfg), cfg=cfg,
+        vae_params=unflatten_params(v_flat), vae_cfg=vcfg,
+        text_params=(base.params_from_flat(e_flat, text_cfg)
+                     if e_flat and text_cfg else None),
+        text_cfg=text_cfg, tokenizer=tok)

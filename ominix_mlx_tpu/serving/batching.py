@@ -26,6 +26,10 @@ import jax.numpy as jnp
 
 from ominix_mlx_tpu.core.cache import KVCache, ModelCache
 from ominix_mlx_tpu.core.generate import bucket_length
+from ominix_mlx_tpu.core.sampling import (SamplerConfig, SamplerParams,
+                                          sample_dynamic)
+
+REP_WINDOW = 64
 
 
 @dataclasses.dataclass
@@ -37,6 +41,8 @@ class _Request:
     stop: Optional[set] = None          # per-request stop ids (None -> global)
     emit: Optional[Callable] = None     # streaming sink: emit(tok) per token,
     #                                     emit(None) exactly once on finish
+    sampler: Optional[SamplerConfig] = None   # None -> greedy
+    seed: int = 0
 
 
 class ContinuousBatcher:
@@ -58,24 +64,35 @@ class ContinuousBatcher:
         self.active: List[Optional[_Request]] = [None] * slots
         self.off_host: List[int] = [0] * slots   # host mirror of offsets
         self.queue: deque = deque()
+        # per-slot sampling state: settings ride the jitted step as DATA
+        # (one compiled program serves any greedy/sampled slot mix)
+        self.sparams = SamplerParams.from_config(SamplerConfig(), slots)
+        self.keys = jnp.zeros((slots, 2), jnp.uint32)
+        self.recent = jnp.full((slots, REP_WINDOW), -1, jnp.int32)
 
-        def decode_step(params, layers, offsets, toks, active):
+        def decode_step(params, layers, offsets, toks, active, sp, keys,
+                        recent):
             cache = ModelCache(layers=layers, offset=offsets)
             logits, cache = self.fwd(params, toks[:, None], cache)
-            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            # per-row key folded with the ABSOLUTE position of the token
+            # being generated (offset+1; prefill folds the prompt length):
+            # deterministic under preemption/replay, no cross-step key state
+            subkeys = jax.vmap(jax.random.fold_in)(keys, offsets + 1)
+            nxt = sample_dynamic(logits[:, -1], subkeys, sp, recent)
+            recent = jnp.roll(recent, -1, 1).at[:, -1].set(nxt)
             # inactive slots: hold offset (their KV write lands on the same
             # slot every step and is overwritten on adoption)
             offsets = jnp.where(active, offsets + 1, offsets)
-            return cache.layers, offsets, nxt
+            return cache.layers, offsets, nxt, recent
 
         self._decode = jax.jit(decode_step, donate_argnums=(1,))
 
-        def prefill(params, tokens, real_len, layers1):
+        def prefill(params, tokens, real_len, layers1, sp1, key1):
             cache = ModelCache(layers=layers1, offset=jnp.zeros((), jnp.int32))
             logits, cache = self.fwd(params, tokens, cache)
             last = jax.lax.dynamic_index_in_dim(logits[0], real_len - 1, 0,
                                                 keepdims=False)
-            tok = jnp.argmax(last, -1).astype(jnp.int32)
+            tok = sample_dynamic(last[None], key1[None], sp1)[0]
             return cache.layers, tok
 
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
@@ -103,11 +120,14 @@ class ContinuousBatcher:
     # ------------------------------------------------------------ public ----
 
     def submit(self, rid, tokens: List[int], max_tokens: int = 128,
-               stop_tokens=None, emit: Optional[Callable] = None):
+               stop_tokens=None, emit: Optional[Callable] = None,
+               sampler: Optional[SamplerConfig] = None, seed: int = 0):
+        if sampler is not None and sampler.temperature <= 0.0:
+            sampler = None               # greedy is the default row state
         self.queue.append(_Request(
             rid, list(tokens), max_tokens,
             stop=set(stop_tokens) if stop_tokens is not None else None,
-            emit=emit))
+            emit=emit, sampler=sampler, seed=seed))
 
     def cancel(self, rid) -> bool:
         """Drop a queued or in-flight request (per-request cancellation,
@@ -186,9 +206,17 @@ class ContinuousBatcher:
             bucket = min(bucket_length(T), self.max_len)
             padded = jnp.zeros((1, bucket), jnp.int32).at[0, :T].set(
                 jnp.asarray(req.tokens, jnp.int32))
-            layers1, tok = self._prefill(self.params, padded, jnp.int32(T),
-                                         self._prefill_layers(bucket))
+            scfg = req.sampler or SamplerConfig()
+            key = jax.random.PRNGKey(req.seed)
+            layers1, tok = self._prefill(
+                self.params, padded, jnp.int32(T),
+                self._prefill_layers(bucket),
+                SamplerParams.from_config(scfg, 1),
+                jax.random.fold_in(key, T))
             self._adopt_request(b, layers1, T, tok)
+            self.sparams = self.sparams.set_row(b, scfg)
+            self.keys = self.keys.at[b].set(key)
+            self.recent = self.recent.at[b].set(-1).at[b, -1].set(tok)
             self.off_host[b] = T
             self.active[b] = req
 
@@ -203,9 +231,9 @@ class ContinuousBatcher:
         # current tokens are appended to outputs, then the step computes next
         cur = [int(t) for t in self.toks]
         finished = []
-        layers, self.offsets, nxt = self._decode(
+        layers, self.offsets, nxt, self.recent = self._decode(
             self.params, list(self.cache.layers), self.offsets, self.toks,
-            active_mask)
+            active_mask, self.sparams, self.keys, self.recent)
         self.cache = ModelCache(layers=layers, offset=self.offsets)
         for b, req in enumerate(self.active):
             if req is None:
@@ -361,15 +389,16 @@ class PagedContinuousBatcher(ContinuousBatcher):
     def _preempt(self, b: int):
         """Pool exhausted mid-decode: release this slot's pages and requeue
         the request as a continuation (prompt + tokens generated so far) so
-        it re-prefills once pages free up. Greedy decode makes the replayed
-        state exact; no token is lost or duplicated (the current pending
-        token is re-derived by the continuation prefill)."""
+        it re-prefills once pages free up. Replay is exact for greedy AND
+        sampled decode: the per-position fold_in key schedule re-derives
+        the same draw at the same absolute position."""
         req = self.active[b]
         self.active[b] = None
         self._release_slot(b)
         self.queue.append(_Request(req.rid, req.tokens + req.out,
                                    req.max_tokens, out=req.out,
-                                   stop=req.stop, emit=req.emit))
+                                   stop=req.stop, emit=req.emit,
+                                   sampler=req.sampler, seed=req.seed))
 
     def _pre_step(self):
         changed = False

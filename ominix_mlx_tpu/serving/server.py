@@ -52,6 +52,8 @@ class LoadedModel:
         # per-request construction would recompile on EVERY request.
         eng = self._engines.get(sampler)
         if eng is None:
+            if len(self._engines) >= 8:   # bound the per-config cache
+                self._engines.pop(next(iter(self._engines)))
             eng = self._engine_cls(
                 lambda p, t, c: self.module.forward(p, self.cfg, t, c),
                 self.params, sampler)
@@ -63,7 +65,8 @@ class BatchedChatRunner:
     """Cross-request continuous batching for chat (serving/batching.py):
     HTTP threads submit token lists, ONE dedicated thread steps the shared
     slot-decode, and tokens stream back through per-request queues. Greedy
-    decode only — sampled requests keep the per-request Engine path."""
+    and sampled requests share the one compiled step (per-slot
+    SamplerParams ride as jit data)."""
 
     def __init__(self, model, slots: int = 4, max_len: int = 2048,
                  dtype=jnp.bfloat16, paged: bool = False,
@@ -85,12 +88,14 @@ class BatchedChatRunner:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def submit(self, tokens, max_tokens: int, stop_tokens=()):
+    def submit(self, tokens, max_tokens: int, stop_tokens=(),
+               sampler=None, seed: int = 0):
         rid = uuid.uuid4().hex
         q: "queue.Queue" = queue.Queue()
         with self.lock:
             self.batcher.submit(rid, tokens, max_tokens,
-                                stop_tokens=stop_tokens, emit=q.put)
+                                stop_tokens=stop_tokens, emit=q.put,
+                                sampler=sampler, seed=seed)
         self.wake.set()
         return rid, q
 
@@ -216,6 +221,33 @@ class Server:
 
     # ---------------------------------------------------------- handlers ----
 
+    @staticmethod
+    def _parse_content_arrays(messages):
+        """Extract (text parts, decoded image [H,W,3] float) from OpenAI
+        content-array messages; (None, None) for plain-string chats."""
+        texts, image = [], None
+        seen_array = False
+        for msg in messages:
+            c = msg.get("content")
+            if not isinstance(c, list):
+                continue
+            seen_array = True
+            for part in c:
+                if part.get("type") == "text":
+                    texts.append(part.get("text", ""))
+                elif part.get("type") == "image_url":
+                    url = part.get("image_url", {}).get("url", "")
+                    if url.startswith("data:") and "base64," in url:
+                        import base64
+                        import io
+
+                        import numpy as np
+                        from PIL import Image
+                        raw = base64.b64decode(url.split("base64,", 1)[1])
+                        img = Image.open(io.BytesIO(raw)).convert("RGB")
+                        image = np.asarray(img, np.float32) / 255.0
+        return (texts if seen_array else None), image
+
     def chat_completion(self, body: dict, send_chunk=None) -> dict:
         from ominix_mlx_tpu.core.sampling import SamplerConfig
         from ominix_mlx_tpu.utils.tokenizer import chatml
@@ -224,6 +256,24 @@ class Server:
         if name not in self.models:
             raise KeyError(f"model {name!r} not loaded")
         m = self.models[name]
+        # OpenAI content arrays (image chat): [{"type": "text", ...},
+        # {"type": "image_url", "image_url": {"url": "data:...;base64,"}}]
+        # route to a VLM's chat(prompt, image01) (moxin_vlm — reference
+        # moxin-vlm-mlx examples/server.rs image+prompt contract)
+        texts, image = self._parse_content_arrays(body.get("messages", []))
+        if image is not None or (texts is not None and hasattr(m, "chat")
+                                 and hasattr(m, "encode_image")):
+            if not hasattr(m, "chat"):
+                raise KeyError(f"model {name!r} takes no image input")
+            text = m.chat(" ".join(texts or [""]), image,
+                          max_tokens=int(body.get("max_tokens",
+                                                  DEFAULT_MAX_TOKENS)))
+            rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+            return {"id": rid, "object": "chat.completion",
+                    "created": int(time.time()), "model": name,
+                    "choices": [{"index": 0, "message": {
+                        "role": "assistant", "content": text},
+                        "finish_reason": "stop"}]}
         prompt_text = (m.tokenizer.apply_chat_template(body["messages"])
                        if m.tokenizer else chatml(body["messages"]))
         tokens = m.tokenizer.encode(prompt_text)
@@ -237,14 +287,16 @@ class Server:
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         created = int(time.time())
 
-        # greedy requests ride the continuous batcher when one is enabled:
-        # concurrent requests share decode steps (slot refill, no lockstep)
+        # requests ride the continuous batcher when one is enabled —
+        # greedy AND sampled (per-slot SamplerParams are jit DATA, so any
+        # mix shares the one compiled decode step; no per-config recompile)
         batcher = self.batchers.get(name)
-        if batcher is not None and sampler.temperature == 0:
+        if batcher is not None:
             return self._chat_batched(
                 batcher, m, name, tokens, max_tokens, stops, send_chunk,
                 float(body.get("timeout_s", self.request_timeout_s)),
-                rid, created)
+                rid, created, sampler=sampler,
+                seed=int(body.get("seed", 0)))
 
         engine = m.engine(sampler)
         cache = m.module.init_cache(m.cfg, 1, len(tokens) + max_tokens + 8,
@@ -306,10 +358,12 @@ class Server:
         }
 
     def _chat_batched(self, batcher, m, name, tokens, max_tokens, stops,
-                      send_chunk, timeout_s, rid, created) -> dict:
+                      send_chunk, timeout_s, rid, created, sampler=None,
+                      seed: int = 0) -> dict:
         """Drain one request's token queue from the shared batcher thread;
         streams deltas as tokens land, cancels the slot on timeout."""
-        brid, q = batcher.submit(tokens, max_tokens, stop_tokens=stops)
+        brid, q = batcher.submit(tokens, max_tokens, stop_tokens=stops,
+                                 sampler=sampler, seed=seed)
         deadline = time.time() + timeout_s
         out_ids, text = [], ""
         while True:
@@ -422,6 +476,32 @@ class Server:
         return {"created": int(time.time()), "data": [
             {"b64_json": base64.b64encode(buf.getvalue()).decode()}]}
 
+    def ocr(self, body: dict) -> dict:
+        """POST /v1/ocr {"image": b64-png | "pdf": b64, "prompt"?} ->
+        {"text": ...} / {"pages": [...]}. The model must expose
+        ocr(image01, prompt) / ocr_pdf(bytes, prompt) (deepseek_ocr2 —
+        reference README OCR surface, deepseek-ocr2-mlx lib.rs)."""
+        import base64
+        import io
+
+        import numpy as np
+
+        name = body.get("model") or next(
+            (n for n, m in self.models.items() if hasattr(m, "ocr")), "")
+        if name not in self.models or not hasattr(self.models[name], "ocr"):
+            raise KeyError(f"model {name!r} has no OCR capability")
+        m = self.models[name]
+        prompt = body.get("prompt", "Free OCR.")
+        max_tokens = int(body.get("max_tokens", 512))
+        if "pdf" in body:
+            pages = m.ocr_pdf(base64.b64decode(body["pdf"]), prompt,
+                              max_tokens=max_tokens)
+            return {"pages": pages, "text": "\n\n".join(pages)}
+        from PIL import Image
+        img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
+        arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+        return {"text": m.ocr(arr, prompt, max_tokens=max_tokens)}
+
     def list_models(self) -> dict:
         return {"object": "list", "data": [
             {"id": name, "object": "model", "owned_by": "ominix",
@@ -497,6 +577,13 @@ class Server:
                 if self.path == "/v1/images/generations":
                     try:
                         return self._json(200, server.image_generation(body))
+                    except KeyError as e:
+                        return self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        return self._json(500, {"error": str(e)})
+                if self.path == "/v1/ocr":
+                    try:
+                        return self._json(200, server.ocr(body))
                     except KeyError as e:
                         return self._json(404, {"error": str(e)})
                     except Exception as e:

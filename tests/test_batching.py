@@ -51,3 +51,31 @@ def test_continuous_batching_slot_reuse():
     got = cb.run_all(reqs)
     assert set(got) == set(range(5))
     assert all(len(v) >= 1 for v in got.values())
+
+
+def test_batcher_sampled_rows_mix_with_greedy():
+    """Sampled + greedy requests in one batcher: greedy outputs still match
+    single-sequence reference exactly; sampled outputs are deterministic
+    per seed and vary across seeds."""
+    from ominix_mlx_tpu.core.sampling import SamplerConfig
+
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+
+    def run(seed):
+        cb = ContinuousBatcher(
+            lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+            lambda cfg, b, ml: base.init_cache(cfg, b, ml, jnp.float32),
+            slots=2, max_len=128)
+        cb.submit("g", [3, 7, 11], 6)                     # greedy
+        cb.submit("s", [5, 2], 8,
+                  sampler=SamplerConfig(temperature=1.2, top_k=20),
+                  seed=seed)
+        done = cb.run_all([])
+        return done
+
+    d1, d2, d3 = run(1), run(1), run(2)
+    want = _reference(params, [3, 7, 11], 6)
+    assert d1["g"] == want[:len(d1["g"])]
+    assert d1["s"] == d2["s"]                 # same seed -> same draw
+    assert d1["s"] != d3["s"] or d1["s"] == d3["s"] and len(d1["s"]) < 3
+    assert all(0 <= t < CFG.vocab_size for t in d1["s"])

@@ -255,3 +255,102 @@ def test_funasr_nano_transcribe_facade():
     long_text = m.transcribe_long(np.tile(samples, 6), 16000,
                                   chunk_secs=1.5, max_tokens=2, sep=" | ")
     assert isinstance(long_text, str) and " | " in long_text
+
+
+def test_visual_flow_mask_semantics():
+    """Image tokens bidirectional; queries see all images + causal among
+    queries; images never see queries (qwen2_encoder.rs mask builder)."""
+    m = np.asarray(deepseek_ocr2.visual_flow_mask(3, 2))
+    assert (m[:3, :3] == 0).all()            # img <-> img
+    assert (m[:3, 3:] < -1e8).all()          # img -/-> query
+    assert (m[3:, :3] == 0).all()            # query -> img
+    assert m[3, 3] == 0 and m[3, 4] < -1e8   # causal among queries
+    assert m[4, 3] == 0 and m[4, 4] == 0
+
+
+def test_visual_flow_encode_compresses():
+    """SAM-grid features -> n_query compressed features; query bank picked
+    by grid size; image-token content influences the output."""
+    fcfg = deepseek_ocr2.visual_flow_config(hidden=32, layers=2)
+    params = {
+        "layers": [base.init_params(fcfg, jax.random.PRNGKey(i),
+                                    jnp.float32)["layers"][0]
+                   for i in range(2)],
+        "norm": jnp.ones((32,)),
+        "query_768": jax.random.normal(jax.random.PRNGKey(7), (4, 32)) * 0.1,
+        "query_1024": jax.random.normal(jax.random.PRNGKey(8), (6, 32)) * 0.1,
+    }
+    feats = jax.random.normal(jax.random.PRNGKey(9), (1, 3, 3, 32)) * 0.1
+    out = deepseek_ocr2.visual_flow_encode(params, fcfg, feats)
+    assert out.shape == (1, 4, 32)           # 9 <= 144 -> query_768 bank
+    out2 = deepseek_ocr2.visual_flow_encode(params, fcfg, feats * 3.0)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    big = jax.random.normal(jax.random.PRNGKey(10), (1, 200, 32)) * 0.1
+    assert deepseek_ocr2.visual_flow_encode(params, fcfg, big).shape \
+        == (1, 6, 32)
+
+
+class _CharTok:
+    eos_token_id = 1
+
+    def encode(self, text, add_special_tokens=True):
+        return [2 + (ord(c) % 60) for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(map(str, ids))
+
+
+def test_deepseek_ocr2_ocr_facade():
+    """ocr(image, prompt) -> str end-to-end: tokenize_prompt builds the
+    <|User|> conversation with IMAGE_TOKEN slots, embeddings overwrite the
+    slots (+ view separator), MoE decode runs (lib.rs:522, :791-869)."""
+    vcfg = vit.ViTConfig(image_size=28, patch_size=14, hidden_size=16,
+                         num_layers=1, num_heads=2, mlp_dim=24,
+                         has_cls_token=False)
+    lm_cfg = base.TransformerConfig(
+        vocab_size=deepseek_ocr2.IMAGE_TOKEN_ID + 2, hidden_size=32,
+        num_layers=1, num_heads=2, num_kv_heads=1, head_dim=16,
+        intermediate_size=48, tie_word_embeddings=True,
+        moe=moe.MoEConfig(num_experts=2, top_k=1, moe_intermediate_size=16))
+    lm_params = qwen3_moe.init_params(lm_cfg, jax.random.PRNGKey(0),
+                                      jnp.float32)
+    m = deepseek_ocr2.DeepSeekOCR2(
+        vision_params=vit.init_params(vcfg, jax.random.PRNGKey(1)),
+        vision_cfg=vcfg,
+        projector={"w": jax.random.normal(jax.random.PRNGKey(2),
+                                          (32, 16)) * 0.1},
+        lm_params=lm_params, lm_cfg=lm_cfg,
+        view_separator=jax.random.normal(jax.random.PRNGKey(3), (32,)) * 0.1,
+        tokenizer=_CharTok())
+    # vit 28/14 -> 2x2=4 patches; n_image_tokens property assumes SAM
+    # geometry, so drive via ocr_tokens through tokenize_prompt directly
+    ids = deepseek_ocr2.tokenize_prompt(_CharTok(), "Free OCR.", 4)
+    assert ids.count(deepseek_ocr2.IMAGE_TOKEN_ID) == 5
+    assert ids[0] == deepseek_ocr2.BOS_TOKEN_ID
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 28, 28, 3)),
+                      jnp.float32)
+    toks = m.ocr_tokens(img, ids, max_tokens=4,
+                        stop_tokens=(deepseek_ocr2.EOS_TOKEN_ID,))
+    assert len(toks) <= 4 and all(0 <= t < lm_cfg.vocab_size for t in toks)
+
+
+def test_deepseek_ocr2_loader_shapes():
+    """load_model name map: build a flat dict with the HF names and check
+    the trees assemble (lib.rs:946-1070 layout) without a checkpoint."""
+    fcfg = deepseek_ocr2.visual_flow_config(hidden=32, layers=1)
+    lp = base.init_params(fcfg, jax.random.PRNGKey(0), jnp.float32)
+    flat = {}
+    l0 = lp["layers"][0]
+    pre = "model.qwen2_model.model.model.layers.0"
+    flat[f"{pre}.input_layernorm.weight"] = l0["input_layernorm"]
+    flat[f"{pre}.post_attention_layernorm.weight"] = \
+        l0["post_attention_layernorm"]
+    for n in ("q_proj", "k_proj", "v_proj", "o_proj",
+              "gate_proj", "up_proj", "down_proj"):
+        flat[f"{pre}.self_attn.{n}.weight" if "proj" in n and n[0] in "qkvo"
+             else f"{pre}.mlp.{n}.weight"] = l0[n]["w"]
+    flat["model.qwen2_model.model.model.norm.weight"] = jnp.ones((32,))
+    flat["model.qwen2_model.query_768.weight"] = jnp.zeros((4, 32))
+    flat["model.qwen2_model.query_1024.weight"] = jnp.zeros((6, 32))
+    fp = deepseek_ocr2.flow_params_from_flat(flat)
+    assert len(fp["layers"]) == 1 and fp["query_768"].shape == (4, 32)

@@ -379,3 +379,91 @@ def test_metrics_endpoint(server):
     assert lines["ominix_requests_total"] >= 1
     assert lines["ominix_completion_tokens_total"] >= 3
     assert lines["ominix_models_loaded"] >= 1
+
+
+def test_ocr_endpoint(server):
+    """Drive /v1/ocr with a tiny DeepSeekOCR2 (image upload -> text)."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from ominix_mlx_tpu.models import deepseek_ocr2, moe, qwen3_moe, vit
+
+    vcfg = vit.ViTConfig(image_size=28, patch_size=14, hidden_size=16,
+                         num_layers=1, num_heads=2, mlp_dim=24,
+                         has_cls_token=False)
+    lm_cfg = TransformerConfig(
+        vocab_size=deepseek_ocr2.IMAGE_TOKEN_ID + 2, hidden_size=32,
+        num_layers=1, num_heads=2, num_kv_heads=1, head_dim=16,
+        intermediate_size=48, tie_word_embeddings=True,
+        moe=moe.MoEConfig(num_experts=2, top_k=1, moe_intermediate_size=16))
+    m = deepseek_ocr2.DeepSeekOCR2(
+        vision_params=vit.init_params(vcfg, jax.random.PRNGKey(1)),
+        vision_cfg=vcfg,
+        projector={"w": jax.random.normal(jax.random.PRNGKey(2),
+                                          (32, 16)) * 0.1},
+        lm_params=qwen3_moe.init_params(lm_cfg, jax.random.PRNGKey(0),
+                                        jnp.float32),
+        lm_cfg=lm_cfg)
+    server.add_model("tiny-ocr", m)
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((28, 28, 3), np.uint8)).save(buf, format="PNG")
+    body = {"model": "tiny-ocr", "prompt": "Free OCR.", "max_tokens": 3,
+            "image": base64.b64encode(buf.getvalue()).decode()}
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/v1/ocr",
+        json.dumps(body).encode(), {"Content-Type": "application/json"})
+    out = json.loads(urllib.request.urlopen(req).read())
+    assert isinstance(out["text"], str) and out["text"]
+
+
+def test_vlm_image_chat(server):
+    """Content-array chat (image_url data URI) routes to MoxinVLM.chat."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from ominix_mlx_tpu.models import moxin_vlm
+
+    m = moxin_vlm.init_tiny(jax.random.PRNGKey(0))
+    server.add_model("tiny-vlm", m)
+    buf = io.BytesIO()
+    Image.fromarray(np.full((28, 28, 3), 128, np.uint8)).save(buf,
+                                                              format="PNG")
+    uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    body = {"model": "tiny-vlm", "max_tokens": 3, "messages": [
+        {"role": "user", "content": [
+            {"type": "text", "text": "What is in this image?"},
+            {"type": "image_url", "image_url": {"url": uri}}]}]}
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/v1/chat/completions",
+        json.dumps(body).encode(), {"Content-Type": "application/json"})
+    out = json.loads(urllib.request.urlopen(req).read())
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+    assert msg["content"]
+
+
+def test_batched_chat_sampled(server):
+    """temperature>0 request streams through the continuous batcher (no
+    per-config engine compile) and is deterministic for a fixed seed."""
+    server.enable_batching("tiny", slots=2, max_len=256, dtype=jnp.float32)
+    try:
+        body = {"model": "tiny", "max_tokens": 8, "temperature": 0.9,
+                "top_k": 20, "seed": 7,
+                "messages": [{"role": "user", "content": "hi"}]}
+        outs = []
+        for _ in range(2):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{PORT}/v1/chat/completions",
+                json.dumps(body).encode(),
+                {"Content-Type": "application/json"})
+            out = json.loads(urllib.request.urlopen(req).read())
+            outs.append(out["choices"][0]["message"]["content"])
+        assert outs[0] == outs[1] and isinstance(outs[0], str)
+    finally:
+        server.batchers.pop("tiny", None)

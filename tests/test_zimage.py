@@ -42,3 +42,36 @@ def test_generate_image_tiny():
     assert img.shape == (1, 16, 16, 3)
     a = np.asarray(img)
     assert np.isfinite(a).all() and 0.0 <= a.min() and a.max() <= 1.0
+
+
+def test_params_from_flat_roundtrip():
+    p0 = zi.init_params(TINY, jax.random.PRNGKey(0), jnp.float32)
+    p1 = zi.params_from_flat(zi.flat_from_params(p0, TINY), TINY)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p0, p1)
+
+
+class _FakeTok:
+    def encode(self, text):
+        return [ord(c) % 32 for c in text][:24]
+
+
+def test_image_generator_end_to_end():
+    """prompt -> Qwen3 layer-(n-1) features -> refiners+joint -> flux VAE."""
+    from ominix_mlx_tpu.models import base
+
+    tcfg = base.TransformerConfig(
+        vocab_size=32, hidden_size=TINY.cap_feat_dim, num_layers=2,
+        num_heads=2, num_kv_heads=1, intermediate_size=48, head_dim=8,
+        use_qk_norm=True, tie_word_embeddings=True)
+    gen = zi.ImageGenerator(
+        params=zi.init_params(TINY, jax.random.PRNGKey(0), jnp.float32),
+        cfg=TINY,
+        vae_params=vae.init_decoder(TINY_VAE, jax.random.PRNGKey(1)),
+        vae_cfg=TINY_VAE,
+        text_params=base.init_params(tcfg, jax.random.PRNGKey(2),
+                                     jnp.float32),
+        text_cfg=tcfg, tokenizer=_FakeTok())
+    img = gen.generate("a red square", height=16, width=16, num_steps=2)
+    assert img.ndim == 3 and img.shape[-1] == 3
+    assert np.isfinite(np.asarray(img)).all()
