@@ -157,6 +157,7 @@ class Server:
         self.host, self.port = host, port
         self.models: dict = {}
         self.batchers: dict = {}
+        self.spec: dict = {}        # name -> (SpeculativeEngine, nd)
         self.worker = InferenceWorker()
         self.request_timeout_s = request_timeout_s
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -218,6 +219,37 @@ class Server:
         self.batchers[name] = BatchedChatRunner(
             self.models[name], slots=slots, max_len=max_len, dtype=dtype,
             paged=paged, num_pages=num_pages, page_size=page_size)
+
+    def enable_speculative(self, name: str, draft_dir: str = None,
+                           draft_layers: int = None,
+                           num_draft_tokens: int = 4):
+        """Speculative decoding for greedy chat on ``name`` (reference
+        --draft-model surface, speculative.rs): either a separate draft
+        checkpoint (``draft_dir``) or self-speculation on the first
+        ``draft_layers`` layers of the same weights (minicpm-sala style).
+        Output is token-for-token identical to plain greedy decode."""
+        import dataclasses as _dc
+
+        from ominix_mlx_tpu.core.speculative import SpeculativeEngine
+        from ominix_mlx_tpu.models import base as _base
+
+        m = self.models[name]
+        if draft_dir is not None:
+            from ominix_mlx_tpu.models import registry
+            dmod, dparams, dcfg = registry.load_model(draft_dir)
+            dfwd = lambda p, t, c: dmod.forward(p, dcfg, t, c)
+            d_init = lambda b, ml, dt: dmod.init_cache(dcfg, b, ml, dt)
+        else:
+            n = draft_layers or max(1, m.cfg.num_layers // 4)
+            dcfg = _dc.replace(m.cfg, num_layers=n)
+            dparams = dict(m.params)
+            dparams["layers"] = m.params["layers"][:n]
+            dfwd = lambda p, t, c: m.module.forward(p, dcfg, t, c)
+            d_init = lambda b, ml, dt: m.module.init_cache(dcfg, b, ml, dt)
+        eng = SpeculativeEngine(
+            lambda p, t, c: m.module.forward(p, m.cfg, t, c), m.params,
+            dfwd, dparams, num_draft_tokens=num_draft_tokens)
+        self.spec[name] = (eng, d_init, num_draft_tokens)
 
     # ---------------------------------------------------------- handlers ----
 
@@ -298,9 +330,14 @@ class Server:
                 rid, created, sampler=sampler,
                 seed=int(body.get("seed", 0)))
 
-        engine = m.engine(sampler)
-        cache = m.module.init_cache(m.cfg, 1, len(tokens) + max_tokens + 8,
-                                    jnp.bfloat16)
+        # speculative path: greedy requests on a spec-enabled model decode
+        # draft-then-verify, token-for-token equal to plain greedy
+        spec = self.spec.get(name) if sampler.temperature == 0 else None
+
+        engine = None if spec else m.engine(sampler)
+        cap = len(tokens) + max_tokens + \
+            (2 * spec[2] + 8 if spec else 8)
+        cache = m.module.init_cache(m.cfg, 1, cap, jnp.bfloat16)
 
         # per-request timeout + cooperative cancellation (reference:
         # synthesis timeout + cancellation tokens, voice_clone.rs:198-206;
@@ -314,9 +351,18 @@ class Server:
         def run():
             try:
                 out_ids = []
-                for tok in engine.generate(jnp.asarray(tokens), cache,
-                                           max_tokens=max_tokens,
-                                           stop_tokens=tuple(stops)):
+                if spec is not None:
+                    eng, d_init, nd = spec
+                    d_cache = d_init(1, cap, jnp.bfloat16)
+                    toks, _ = eng.generate_scan(
+                        jnp.asarray(tokens), cache, d_cache,
+                        max_tokens=max_tokens, stop_tokens=tuple(stops))
+                    gen = iter(toks)
+                else:
+                    gen = engine.generate(jnp.asarray(tokens), cache,
+                                          max_tokens=max_tokens,
+                                          stop_tokens=tuple(stops))
+                for tok in gen:
                     if cancel.is_set():
                         break
                     out_ids.append(tok)
@@ -664,6 +710,13 @@ def main():
                     help="continuous-batching slots for chat models "
                          "(0 = per-request decode)")
     ap.add_argument("--batch-max-len", type=int, default=4096)
+    ap.add_argument("--draft-model", default=None,
+                    help="draft checkpoint for speculative greedy decode "
+                         "(applies to the first chat model)")
+    ap.add_argument("--draft-layers", type=int, default=None,
+                    help="self-speculation on the first N layers instead "
+                         "of a separate draft checkpoint")
+    ap.add_argument("--draft-tokens", type=int, default=4)
     args = ap.parse_args()
     srv = Server(args.host, args.port)
     for spec in args.model:
@@ -673,6 +726,12 @@ def main():
         if args.batch_slots and isinstance(srv.models[name], LoadedModel):
             srv.enable_batching(name, slots=args.batch_slots,
                                 max_len=args.batch_max_len)
+        elif (args.draft_model or args.draft_layers) \
+                and isinstance(srv.models[name], LoadedModel) \
+                and not srv.spec:
+            srv.enable_speculative(name, draft_dir=args.draft_model,
+                                   draft_layers=args.draft_layers,
+                                   num_draft_tokens=args.draft_tokens)
     print(f"serving on http://{args.host}:{args.port}")
     srv.serve_forever()
 

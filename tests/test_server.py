@@ -467,3 +467,24 @@ def test_batched_chat_sampled(server):
         assert outs[0] == outs[1] and isinstance(outs[0], str)
     finally:
         server.batchers.pop("tiny", None)
+
+
+def test_speculative_chat_matches_greedy(server):
+    """enable_speculative (self-spec on the first layers): chat output is
+    token-for-token identical to plain greedy chat."""
+    body = {"model": "tiny", "max_tokens": 12,
+            "messages": [{"role": "user", "content": "count to ten"}]}
+
+    def ask():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{PORT}/v1/chat/completions",
+            json.dumps(body).encode(), {"Content-Type": "application/json"})
+        return json.loads(urllib.request.urlopen(req).read())
+
+    plain = ask()["choices"][0]["message"]["content"]
+    server.enable_speculative("tiny", draft_layers=1, num_draft_tokens=3)
+    try:
+        spec = ask()["choices"][0]["message"]["content"]
+    finally:
+        server.spec.pop("tiny", None)
+    assert spec == plain
