@@ -125,7 +125,9 @@ def prefill_tps(cfg: TransformerConfig, prompt_len: int = 8192,
     engine = Engine(
         lambda p, t, c: base.forward(p, cfg, t, c), params, SamplerConfig(),
         prefill_forward_fn=lambda p, t, c: base.forward(
-            p, cfg, t, c, fresh_prefill=True))
+            p, cfg, t, c, fresh_prefill=True),
+        chunk_forward_fn=lambda p, t, c, kl: base.forward(
+            p, cfg, t, c, kv_limit=kl))
     prompt = jnp.ones((1, prompt_len), jnp.int32)
 
     def run():
@@ -164,7 +166,9 @@ METRICS = {
 }
 
 HEADLINE = "qwen3_4b_w4a8_decode"
-PER_METRIC_TIMEOUT_S = 420
+# per-metric budget: ~2min tunnel HBM-release retry + 30-90s remote compile
+# + params init + timed runs (measured r3: bf16 4B needs >420s cold)
+PER_METRIC_TIMEOUT_S = 600
 
 
 def main():

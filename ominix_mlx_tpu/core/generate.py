@@ -71,18 +71,26 @@ class Engine:
 
     def __init__(self, forward_fn: Callable, params,
                  sampler: SamplerConfig = SamplerConfig(),
-                 prefill_forward_fn: Optional[Callable] = None):
+                 prefill_forward_fn: Optional[Callable] = None,
+                 chunk_forward_fn: Optional[Callable] = None):
         """prefill_forward_fn: variant used for the FIRST prefill on an empty
         cache (e.g. base.forward with fresh_prefill=True to enable the Pallas
-        flash-attention path). Defaults to forward_fn."""
+        flash-attention path). Defaults to forward_fn.
+
+        chunk_forward_fn(params, tokens, cache, kv_limit): variant for
+        CONTINUATION chunks of a long prefill that attends only the first
+        ``kv_limit`` cache slots (base.forward's kv_limit) — O(written)
+        instead of O(capacity) per chunk."""
         self.forward_fn = forward_fn
         self.prefill_forward_fn = prefill_forward_fn or forward_fn
+        self.chunk_forward_fn = chunk_forward_fn
         self.params = params
         self.sampler = sampler
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(2,),
                                     static_argnames=("fresh",))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,),
                                    static_argnames=("sampler",))
+        self._chunk_jits: dict = {}
 
     # --- jitted bodies ---------------------------------------------------
 
@@ -136,18 +144,51 @@ class Engine:
         return self._prefill_jit(self.params, padded, cache,
                                  jnp.int32(T), fresh=fresh)
 
+    def _chunk_jit(self, kv_limit: int):
+        fn = self._chunk_jits.get(kv_limit)
+        if fn is None:
+            def impl(params, tokens, cache, real_len):
+                start = cache.offset
+                logits, cache = self.chunk_forward_fn(params, tokens, cache,
+                                                      kv_limit)
+                cache = ModelCache(layers=cache.layers,
+                                   offset=start + real_len)
+                last = jax.vmap(lambda lg: jax.lax.dynamic_index_in_dim(
+                    lg, real_len - 1, axis=0, keepdims=False))(logits)
+                return last, cache
+
+            fn = jax.jit(impl, donate_argnums=(2,))
+            self._chunk_jits[kv_limit] = fn
+        return fn
+
     def prefill_chunked(self, tokens: jax.Array, cache: ModelCache,
                         chunk_size: int = 512):
         """Long-prompt prefill in fixed chunks: bounds per-step compile size
         and attention memory (SURVEY.md hard part (a)). Only the chunk
-        shapes (chunk_size + one tail bucket) ever compile."""
+        shapes (chunk_size + one tail bucket) ever compile.
+
+        The first chunk rides the flash path; continuation chunks attend a
+        STATIC kv_limit prefix of the cache (when the engine has a
+        chunk_forward_fn) so each chunk costs O(tokens written so far), not
+        O(cache capacity)."""
         B, T = tokens.shape
+        cap = _kv_capacity(cache)
         last = None
         pos = 0
         while pos < T:
             end = min(pos + chunk_size, T)
-            last, cache = self.prefill(tokens[:, pos:end], cache,
-                                       fresh=(pos == 0))
+            if pos == 0 or self.chunk_forward_fn is None:
+                last, cache = self.prefill(tokens[:, pos:end], cache,
+                                           fresh=(pos == 0))
+            else:
+                real = end - pos
+                padded = jnp.pad(tokens[:, pos:end],
+                                 ((0, 0), (0, chunk_size - real)))
+                kv_limit = pos + chunk_size
+                if cap is not None:
+                    kv_limit = min(kv_limit, cap)
+                last, cache = self._chunk_jit(kv_limit)(
+                    self.params, padded, cache, jnp.int32(real))
             pos = end
         return last, cache
 

@@ -54,9 +54,20 @@ class LoadedModel:
         if eng is None:
             if len(self._engines) >= 8:   # bound the per-config cache
                 self._engines.pop(next(iter(self._engines)))
+            import inspect
+            kw = {}
+            fwd_params = inspect.signature(self.module.forward).parameters
+            if "fresh_prefill" in fwd_params:
+                kw["prefill_forward_fn"] = \
+                    lambda p, t, c: self.module.forward(
+                        p, self.cfg, t, c, fresh_prefill=True)
+            if "kv_limit" in fwd_params:
+                kw["chunk_forward_fn"] = \
+                    lambda p, t, c, kl: self.module.forward(
+                        p, self.cfg, t, c, kv_limit=kl)
             eng = self._engine_cls(
                 lambda p, t, c: self.module.forward(p, self.cfg, t, c),
-                self.params, sampler)
+                self.params, sampler, **kw)
             self._engines[sampler] = eng
         return eng
 

@@ -159,3 +159,29 @@ def test_encode_hidden_as_text_encoder():
                             num_layers=1, final_norm=False)
     assert h2.shape == h.shape
     assert not np.allclose(np.asarray(h), np.asarray(h2))
+
+
+def test_prefill_chunked_kv_limit_matches_single_shot():
+    """chunk_forward_fn path (static kv_limit continuation chunks, the
+    O(written)-per-chunk long-prefill fix) must equal one-shot prefill."""
+    params = tiny_model()
+    engine = Engine(
+        lambda p, t, c: base.forward(p, TINY, t, c), params,
+        prefill_forward_fn=lambda p, t, c: base.forward(
+            p, TINY, t, c, fresh_prefill=True),
+        chunk_forward_fn=lambda p, t, c, kl: base.forward(
+            p, TINY, t, c, kv_limit=kl))
+    prompt = jnp.asarray([np.arange(1, 23) % 100])
+    c1 = base.init_cache(TINY, 1, 64, jnp.float32)
+    want, c1 = engine.prefill(prompt, c1)
+    c2 = base.init_cache(TINY, 1, 64, jnp.float32)
+    got, c2 = engine.prefill_chunked(prompt, c2, chunk_size=8)
+    assert int(c2.offset) == 22
+    assert set(engine._chunk_jits) == {16, 24}   # static kv_limits compiled
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # caches agree where written
+    for l1, l2 in zip(c1.layers, c2.layers):
+        np.testing.assert_allclose(np.asarray(l1.k[:, :, :22]),
+                                   np.asarray(l2.k[:, :, :22]),
+                                   rtol=2e-4, atol=2e-4)
