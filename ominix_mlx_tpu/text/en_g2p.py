@@ -13,10 +13,26 @@ import re
 from typing import Dict, List, Optional
 
 
+BUNDLED_DICT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "assets", "cmudict.txt.gz")
+
+
 class CMUDict:
+    """Bundled compact CMUdict 0.7b (assets/cmudict.txt.gz, built by
+    scripts/build_text_assets.py; BSD license in assets/CMUDICT_LICENSE),
+    optionally extended by a runtime cmudict-format file."""
+
     def __init__(self, path: Optional[str] = None,
-                 table: Optional[Dict[str, List[str]]] = None):
-        self.table: Dict[str, List[str]] = dict(table or {})
+                 table: Optional[Dict[str, List[str]]] = None,
+                 bundled: bool = True):
+        self.table: Dict[str, List[str]] = {}
+        if bundled and os.path.exists(BUNDLED_DICT):
+            import gzip
+            with gzip.open(BUNDLED_DICT, "rt", encoding="utf-8") as f:
+                for ln in f:
+                    w, _, pron = ln.rstrip("\n").partition("\t")
+                    if pron:
+                        self.table[w.upper()] = pron.split()
         if path and os.path.exists(path):
             with open(path, encoding="latin-1") as f:
                 for ln in f:
@@ -28,6 +44,7 @@ class CMUDict:
                         if "(" in w:      # alternate pronunciations
                             continue
                         self.table[w.upper()] = parts[1:]
+        self.table.update(table or {})
 
     def lookup(self, word: str) -> Optional[List[str]]:
         return self.table.get(word.upper())

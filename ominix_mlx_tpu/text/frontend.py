@@ -30,9 +30,12 @@ def segment_languages(text: str) -> List[Tuple[str, str]]:
 
 
 class TextFrontend:
-    """assets_dir may contain ``pinyin_dict.txt`` (word<TAB>pinyins) and
-    ``cmudict.rep`` — loaded at runtime like the reference's g2pw model
-    dir (g2pw.rs:81)."""
+    """Works OUT OF THE BOX from bundled assets (text/assets/: curated
+    pinyin table covering the top-1500 hanzi + polyphone/neutral-tone word
+    entries, full CMUdict 0.7b) — built by scripts/build_text_assets.py.
+    assets_dir may add/override ``pinyin_dict.txt`` (word<TAB>pinyins) and
+    ``cmudict.rep`` at runtime like the reference's g2pw model dir
+    (g2pw.rs:81)."""
 
     def __init__(self, assets_dir: Optional[str] = None,
                  pinyin_table=None, cmu_table=None):

@@ -22,19 +22,33 @@ _FINAL_FIX = {
 }
 
 
+BUNDLED_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "assets", "pinyin_base.txt")
+
+
 class PinyinDict:
-    """word/char -> pinyin list, loaded from a text asset:
-    each line ``word<TAB>py1 py2 ...`` with tone digits (ni3 hao3)."""
+    """word/char -> pinyin list: the BUNDLED hand-curated table
+    (assets/pinyin_base.txt: top-frequency chars + polyphone word entries
+    + neutral-tone words; see scripts/build_text_assets.py --coverage)
+    optionally extended/overridden by a runtime asset of the same format
+    (``word<TAB>py1 py2 ...`` with tone digits, ni3 hao3)."""
 
     def __init__(self, path: Optional[str] = None,
-                 table: Optional[Dict[str, List[str]]] = None):
-        self.table: Dict[str, List[str]] = dict(table or {})
-        if path and os.path.exists(path):
-            with open(path, encoding="utf-8") as f:
+                 table: Optional[Dict[str, List[str]]] = None,
+                 bundled: bool = True):
+        self.table: Dict[str, List[str]] = {}
+        paths = ([BUNDLED_TABLE] if bundled else []) + ([path] if path else [])
+        for pth in paths:
+            if not os.path.exists(pth):
+                continue
+            with open(pth, encoding="utf-8") as f:
                 for ln in f:
+                    if ln.startswith("#"):
+                        continue
                     parts = ln.rstrip("\n").split("\t")
                     if len(parts) == 2:
                         self.table[parts[0]] = parts[1].split()
+        self.table.update(table or {})
 
     def lookup(self, word: str) -> Optional[List[str]]:
         if word in self.table:
@@ -84,9 +98,13 @@ def tone_sandhi(words: List[Tuple[str, List[str]]]
                 ) -> List[Tuple[str, List[str]]]:
     """Apply Mandarin tone sandhi per segmented word (reference:
     tone_sandhi.rs; rules are the standard published ones):
-      - third-tone sandhi: 3 3 -> 2 3 inside a word
-      - 不 (bu4): -> bu2 before tone 4
-      - 一 (yi1): -> yi4 before tones 1/2/3, yi2 before tone 4
+      - third-tone sandhi: 3 3 -> 2 3 inside a word AND across adjacent
+        words (last syllable of word i before a 3-initial word i+1)
+      - 不 (bu4): -> bu2 before tone 4; NEUTRAL (bu5) inside X不X
+        reduplication (好不好) and V一V-style tags
+      - 一 (yi1): -> yi4 before tones 1/2/3, yi2 before tone 4; NEUTRAL
+        (yi5) inside V一V reduplication (看一看); yi1 kept for
+        ordinals/counting (第一, 一九九七)
     """
     out = []
     flat: List[str] = [py for _, pys in words for py in pys]
@@ -95,16 +113,22 @@ def tone_sandhi(words: List[Tuple[str, List[str]]]
     for w, pys in words:
         pys = list(pys)
         for i, ch in enumerate(w):
-            nxt = flat[gi + i + 1] if gi + i + 1 < len(flat) else None
+            g = gi + i
+            nxt = flat[g + 1] if g + 1 < len(flat) else None
+            prev_ch = flat_chars[g - 1] if g > 0 else ""
+            nxt_ch = flat_chars[g + 1] if g + 1 < len(flat_chars) else ""
             if ch == "不":
-                if nxt is not None and _tone(nxt) == "4":
+                if prev_ch and prev_ch == nxt_ch:
+                    pys[i] = _with_tone(pys[i], "5")   # 好不好 / 是不是
+                elif nxt is not None and _tone(nxt) == "4":
                     pys[i] = _with_tone(pys[i], "2")
             elif ch == "一":
-                prev_ch = flat_chars[gi + i - 1] if gi + i > 0 else ""
-                nxt_ch = (flat_chars[gi + i + 1]
-                          if gi + i + 1 < len(flat_chars) else "")
-                if prev_ch.isdigit() or nxt_ch.isdigit():
+                if prev_ch.isdigit() or nxt_ch.isdigit() \
+                        or prev_ch == "第" or prev_ch == "一" \
+                        or nxt_ch == "一":
                     pass                      # ordinal/counting: keep yi1
+                elif prev_ch and prev_ch == nxt_ch:
+                    pys[i] = _with_tone(pys[i], "5")   # 看一看 / 等一等
                 elif nxt is not None and _tone(nxt) == "4":
                     pys[i] = _with_tone(pys[i], "2")
                 elif nxt is not None and _tone(nxt) in ("1", "2", "3"):
@@ -115,6 +139,11 @@ def tone_sandhi(words: List[Tuple[str, List[str]]]
                 pys[i] = _with_tone(pys[i], "2")
         out.append((w, pys))
         gi += len(w)
+    # cross-word third-tone sandhi: ... w_i[-1]=3 | w_{i+1}[0]=3 ...
+    for i in range(len(out) - 1):
+        a, b = out[i][1], out[i + 1][1]
+        if a and b and _tone(a[-1]) == "3" and _tone(b[0]) == "3":
+            a[-1] = _with_tone(a[-1], "2")
     return out
 
 

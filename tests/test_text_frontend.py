@@ -104,3 +104,57 @@ def test_mixed_numbers_in_zh():
                                       "三": ["san1"], "有": ["you3"]})
     phones, _ = f.g2p("我有3个")
     assert "s" in phones and "an1" in phones          # 3 -> 三 -> san1
+
+
+# ---------------- bundled-asset golden tests (no external assets) -----------
+
+def test_bundled_assets_load():
+    """The frontend must work OUT OF THE BOX: bundled pinyin table covers
+    the top-1000 hanzi (scripts/build_text_assets.py --coverage) and the
+    bundled CMUdict has >100k entries."""
+    f = fe.TextFrontend()
+    assert len(f.pinyin.table) > 1500
+    assert len(f.cmu.table) > 100_000
+
+
+def test_zh_golden_sentences():
+    """Real sentences through the bundled table: exact phoneme strings
+    (initial/final+tone), sandhi applied."""
+    f = fe.TextFrontend()
+
+    def flat(text):
+        return " ".join(f.g2p(text)[0])
+
+    assert flat("你好") == "n i2 h ao3"                       # 3-3 sandhi
+    assert flat("我们是朋友") == "w o3 m en5 sh iii4 p eng2 y ou5"
+    assert flat("中国人民") == "zh ong1 g uo2 r en2 m in2"
+    assert flat("不对") == "b u2 d uei4"                      # 不 + tone4
+    assert flat("一样") == "y i2 y ang4"                      # 一 + tone4
+    assert flat("一天") == "y i4 t ian1"                      # 一 + tone1
+    assert flat("第一") == "d i4 y i1"                        # ordinal
+    assert flat("好不好") == "h ao3 b u5 h ao3"               # reduplication
+    assert flat("看一看") == "k an4 y i5 k an4"
+    assert flat("我在银行工作") == \
+        "w o3 z ai4 y in2 h ang2 g ong1 z uo4"                # polyphone
+    assert flat("他的头发很长") == \
+        "t a1 d e5 t ou2 f a5 h en3 ch ang2"                  # 头发 neutral
+    assert flat("谢谢妈妈") == "x ie4 x ie5 m a1 m a5"        # neutral tone
+    assert flat("我很好") == "w o2 h en2 h ao3"               # chained 3-3-3
+
+
+def test_en_golden_sentences():
+    f = fe.TextFrontend()
+    phones = f.g2p("hello world", lang="en")[0]
+    assert phones == ["HH", "AH0", "L", "OW1", "W", "ER1", "L", "D"]
+    # real CMUdict pronunciations, not letter fallback
+    phones = f.g2p("the quick brown fox", lang="en")[0]
+    assert "K" in phones and "F" in phones and len(phones) >= 11
+
+
+def test_mixed_language_sentence():
+    f = fe.TextFrontend()
+    phones, w2 = f.g2p("我爱TPU芯片")
+    # zh part resolves through the table; latin run letter-spells via
+    # CMUdict single letters
+    assert "ai4" in phones
+    assert any(p.isupper() for p in phones)
