@@ -177,6 +177,84 @@ def bench_qwen3_tts():
          35.0 / ms_per_frame)
 
 
+def bench_qwen3_tts_e2e():
+    """END-TO-END TTS real-time factor: text prefill + autoregressive frame
+    generation (talker + 16-group code predictor) + codec decode to a
+    24kHz waveform, divided by the audio seconds produced. Reference
+    headline is 2.3x real-time end-to-end (BASELINE.md per-stage table),
+    i.e. RTF 0.435."""
+    import functools
+
+    from ominix_mlx_tpu.models import base
+    from ominix_mlx_tpu.models import qwen3_tts as qt
+    from ominix_mlx_tpu.nn.layers import embedding
+
+    tcfg = qt.TalkerConfig(transformer=base.TransformerConfig(
+        vocab_size=3072, hidden_size=2048, num_layers=28, num_heads=16,
+        num_kv_heads=8, head_dim=128, intermediate_size=6144,
+        use_qk_norm=True))                 # Qwen3-TTS 1.7B talker body
+    tp = qt.init_params(tcfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    # production-geometry codec decoder: 12.5Hz frames -> 1920 samples
+    # (2 * 8*5*4*3) = 24kHz; 512-d core, 4 pre-transformer layers
+    dec, dcfg = qt.init_codec(jax.random.PRNGKey(1), frame_dim=512,
+                              n_transformer=4, num_heads=8,
+                              up_strides=(2,), dec_strides=(8, 5, 4, 3),
+                              codec_vocab=2048, dtype=jnp.bfloat16)
+
+    N_FRAMES = 60                           # 4.8 s of audio
+    PREFILL = 32                            # text prompt tokens
+    text_tok = jnp.asarray([tcfg.tts_pad_token_id % 3072], jnp.int32)
+
+    @jax.jit
+    def prefill(tp, cache):
+        emb = qt.text_projection(
+            tp["text_projection"],
+            embedding(tp["text_embedding"],
+                      jnp.ones((1, PREFILL), jnp.int32)))
+        _, _, cache = qt.talker_step(tp, tcfg, emb, cache)
+        return cache
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def frames(tp, cache, codes0, n):
+        def step(carry, _):
+            codes, cache = carry
+            te = embedding(tp["text_embedding"], text_tok[:, None])
+            te = qt.text_projection(tp["text_projection"], te)
+            c0 = embedding(tp["codec_embedding"], codes[:, :1])
+            rest = sum(tp["code_predictor"]["codec_embeddings"][g]
+                       [codes[:, g + 1]][:, None]
+                       for g in range(tcfg.num_code_groups - 1))
+            emb = te + c0 + rest.astype(te.dtype)
+            logits, hidden, cache = qt.talker_step(tp, tcfg, emb, cache)
+            code0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            c0e = embedding(tp["codec_embedding"], code0[:, None])
+            codes_rest = qt.predict_codes(tp["code_predictor"], tcfg,
+                                          hidden[:, -1:], c0e)
+            codes = jnp.concatenate([code0[:, None], codes_rest], 1)
+            return (codes, cache), codes
+        (_, _), cs = jax.lax.scan(step, (codes0, cache), length=n)
+        return cs[:, 0]                     # [n, 16]
+
+    decode = jax.jit(lambda dec, codes: qt.codec_decode(dec, codes, dcfg))
+
+    def e2e():
+        cache = base.init_cache(tcfg.transformer, 1,
+                                PREFILL + N_FRAMES + 8, jnp.bfloat16)
+        codes0 = jnp.full((1, tcfg.num_code_groups), 5, jnp.int32)
+        t0 = time.perf_counter()
+        cache = prefill(tp, cache)
+        codes = frames(tp, cache, codes0, N_FRAMES) % 2048
+        wav = decode(dec, codes.astype(jnp.int32))
+        float(wav[-1])
+        return time.perf_counter() - t0
+
+    e2e()                                   # compile
+    t = _timeit(e2e, 3)
+    audio_s = N_FRAMES * 1920 / 24000.0
+    rtf = t / audio_s
+    emit("qwen3_tts_e2e_rtf", rtf, "rtf(lower=better)", (1 / 2.3) / rtf)
+
+
 def bench_flux_klein():
     from ominix_mlx_tpu.models import flux_klein as fk
     from ominix_mlx_tpu.models.dit import vae
@@ -402,7 +480,8 @@ def bench_zimage():
 
 BENCHES = {"paraformer": bench_paraformer, "asr": bench_qwen3_asr,
            "asr17": lambda: bench_qwen3_asr("1.7b"),
-           "tts": bench_qwen3_tts, "flux": bench_flux_klein,
+           "tts": bench_qwen3_tts, "tts_e2e": bench_qwen3_tts_e2e,
+           "flux": bench_flux_klein,
            "sovits": bench_sovits, "sala8": bench_sala_w8,
            "moxin": bench_moxin_decoder, "zimage": bench_zimage}
 
@@ -415,7 +494,8 @@ def main():
     import subprocess
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="paraformer,asr,tts,flux,sovits,sala8")
+    ap.add_argument("--only",
+                    default="paraformer,asr,tts,tts_e2e,flux,sovits,sala8")
     ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 

@@ -274,7 +274,10 @@ class Engine:
         stops = jnp.asarray(list(stop_tokens) or [-1], jnp.int32)
         sampler = self.sampler
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        # NOTE: no cache donation here — the final cache is not returned,
+        # so a donated input would have no aliasing target (XLA warns
+        # "donated buffers were not usable")
+        @jax.jit
         def run(params, cache, tok, key):
             def step(carry, _):
                 cache, tok, done, key = carry

@@ -138,7 +138,7 @@ def quantized_matmul(x: jax.Array, qt: QuantizedTensor, dtype=jnp.bfloat16) -> j
 
 
 def quantize_tree(params, group_size: int = 64, bits: int = 4,
-                  pack: bool = True, min_dim: int = 256):
+                  pack: bool = True, min_dim: int = 256, batched: bool = False):
     """Generic post-hoc quantizer for ANY param tree: every dict holding a
     2D "w" whose shapes satisfy the kernel constraints (rows/cols 128-
     aligned, K divisible by the group size, both dims >= min_dim) gets its
@@ -166,7 +166,7 @@ def quantize_tree(params, group_size: int = 64, bits: int = 4,
                 if k == "w" and eligible(v):
                     qt = quantize_tensor(jnp.asarray(v, jnp.float32),
                                          group_size, bits)
-                    out[k] = prepare(qt) if pack else qt
+                    out[k] = prepare(qt, batched=batched) if pack else qt
                 else:
                     out[k] = walk(v)
             return out

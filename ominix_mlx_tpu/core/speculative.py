@@ -191,10 +191,14 @@ class SpeculativeEngine:
 
         take([int(last[0])])
         total_rounds = 0
+        first_rounds = -(-max_tokens // (self.nd + 1)) + 1
         while not stopped:
-            # optimistic round count for the remainder; every extra chunk
-            # only happens when acceptance fell short
-            rounds = -(-(max_tokens - len(out)) // (self.nd + 1)) + 1
+            # FIXED chunk sizes (first chunk sized for acceptance=1, then a
+            # constant catch-up chunk): each distinct round count is its own
+            # jit compile, so sizing chunks by the exact remainder would
+            # compile a fresh program per chunk (30-90s each on the TPU)
+            rounds = first_rounds if total_rounds == 0 \
+                else max(2, first_rounds // 4)
             if cap is not None:
                 # keep every transient verify write (offset + nd + 1) inside
                 # the cache; offset tracks T + len(out) exactly

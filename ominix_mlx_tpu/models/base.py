@@ -300,12 +300,22 @@ def _stack_weights(ws: list):
             biases=jnp.concatenate([w.biases for w in ws], 0),
             group_size=w0.group_size, bits=w0.bits)
     if isinstance(w0, PackedQuantizedTensor):
+        bt = None
+        if all(w.data_bt is not None for w in ws):
+            tns = {w.data_bt.shape[2] for w in ws}
+            if len(tns) == 1:
+                # panel-axis concat keeps every panel contiguous
+                bt = jnp.concatenate([w.data_bt for w in ws], 0)
+            else:          # mixed panel widths: re-tile the fused rows
+                from ominix_mlx_tpu.ops.quant_matmul import make_bt
+                bt = make_bt(jnp.concatenate([w.data for w in ws], 0))
         return PackedQuantizedTensor(
             data=jnp.concatenate([w.data for w in ws], 0),
             scales=jnp.concatenate([w.scales for w in ws], 0),
             biases=jnp.concatenate([w.biases for w in ws], 0),
             group_size=w0.group_size, bits=w0.bits,
-            in_features=w0.in_features, act_bits=w0.act_bits)
+            in_features=w0.in_features, act_bits=w0.act_bits,
+            data_bt=bt)
     return jnp.concatenate(ws, 0)
 
 
@@ -335,7 +345,7 @@ def fuse_layer_projections(params: dict) -> dict:
 
 def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
                     pack: bool = True, quantize_embed: bool = True,
-                    consume: bool = True) -> dict:
+                    consume: bool = True, batched: bool = False) -> dict:
     """Group-quantize all linear projection weights (post-hoc, like the
     reference's on-the-fly ``QuantizedLinear::try_from_linear`` path).
 
@@ -352,7 +362,7 @@ def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
         qt = jax.block_until_ready(qt)
         if consume:
             holder[key] = None  # drop the dense weight before the next one
-        return prepare(qt) if pack else qt
+        return prepare(qt, batched=batched) if pack else qt
 
     out = dict(params)
     out["layers"] = []
@@ -374,7 +384,8 @@ def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
 
 
 def init_quantized_params(cfg: TransformerConfig, key, group_size: int = 64,
-                          bits: int = 4, pack: bool = True) -> dict:
+                          bits: int = 4, pack: bool = True,
+                          batched: bool = False) -> dict:
     """Random-init a quantized param tree directly (benchmarks/tests) —
     never materializes the dense bf16 weights."""
     from ominix_mlx_tpu.core.quant import QuantizedTensor
@@ -391,7 +402,7 @@ def init_quantized_params(cfg: TransformerConfig, key, group_size: int = 64,
                             (in_f ** -0.5) / lim, jnp.bfloat16),
             biases=jnp.zeros((out_f, in_f // group_size), jnp.bfloat16),
             group_size=group_size, bits=bits)
-        return prepare(qt) if pack else qt
+        return prepare(qt, batched=batched) if pack else qt
 
     keys = iter(jax.random.split(key, 9 * cfg.num_layers + 4))
     layers = []

@@ -147,6 +147,7 @@ def test_quantized_checkpoint_roundtrip(checkpoint_dir):
     assert corr > 0.99, corr
 
 
+@pytest.mark.slow
 def test_generate_cli_end_to_end(checkpoint_dir):
     """Drive examples/generate.py exactly as a user would (subprocess)."""
     import subprocess
@@ -164,6 +165,7 @@ def test_generate_cli_end_to_end(checkpoint_dir):
     assert re.search(r"decode \d+ tok", r.stderr), r.stderr[-800:]
 
 
+@pytest.mark.slow
 def test_generate_cli_speculative(checkpoint_dir):
     """--draft-model path: self-draft speculative decode via the CLI."""
     import subprocess

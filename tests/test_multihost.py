@@ -27,6 +27,7 @@ def _loss(out: str) -> float:
     return float(m.group(1))
 
 
+@pytest.mark.slow
 def test_dcn_two_process_matches_single():
     port = _free_port()
     env = {"PYTHONPATH": REPO}

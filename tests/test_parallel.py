@@ -54,6 +54,7 @@ def test_ep_moe_matches_unsharded():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

@@ -2,6 +2,7 @@
 upsampling, dual-track frame generation end-to-end (tiny random weights)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,6 +60,7 @@ def test_codec_decode_shapes():
     assert np.abs(np.asarray(wav)).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_dual_track_generation():
     params = tts.init_params(TINY, jax.random.PRNGKey(0))
     synth = tts.Synthesizer(params, TINY)
@@ -88,6 +90,7 @@ def test_streaming_session_chunks():
         assert total % 8 == 0  # upsample factor 8 per frame
 
 
+@pytest.mark.slow
 def test_speaker_encoder_xvector_shape_and_padding_invariance():
     from ominix_mlx_tpu.models import speaker_encoder as se
     cfg = se.SpeakerEncoderConfig(

@@ -32,6 +32,7 @@ def test_causal_conv3d_is_temporally_causal():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vae3d_decode_shapes():
     cfg = vae3d.VAE3DConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
                             z_channels=4, temporal_upsample=(False, True))

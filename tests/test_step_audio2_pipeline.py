@@ -3,6 +3,7 @@ codes), understanding (encoder -> adaptor -> LLM respond), think/tool
 postprocessing, and speech out (flow mel -> HiFiGAN wav)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,7 @@ def _pipeline():
         mode="with_think")
 
 
+@pytest.mark.slow
 def test_full_speech_to_speech_path():
     pipe = _pipeline()
     ecfg = pipe.asr.enc_cfg

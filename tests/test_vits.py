@@ -2,6 +2,7 @@
 arithmetic, end-to-end decode shape, weight-norm folding."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +17,7 @@ SMALL = vits.VITSConfig(
     flow_layers=2, wn_layers=2, wn_kernel=5)
 
 
+@pytest.mark.slow
 def test_flow_is_invertible():
     p = vits.init_params(SMALL, jax.random.PRNGKey(0))
     # non-zero post weights so the coupling actually does something
@@ -65,6 +67,7 @@ def test_fold_weight_norm():
     assert "other.weight" in out and "dec.ups.0.weight_v" not in out
 
 
+@pytest.mark.slow
 def test_text_encoder_and_style_encoder_shapes():
     p = vits.init_params(SMALL, jax.random.PRNGKey(0))
     spec = jax.random.normal(jax.random.PRNGKey(1), (2, 15, SMALL.spec_channels))

@@ -52,8 +52,10 @@ def test_codes_fn_wiring(tmp_path):
     assert calls and b["codes"].max() < 7 and b["codes"].shape == (1, 12)
 
 
+@pytest.mark.slow
 def test_trainer_step_from_loader(tmp_path):
     import jax
+import pytest
     import jax.numpy as jnp
 
     from ominix_mlx_tpu.models import vits

@@ -5,6 +5,7 @@ parameter sets, and checkpoint-round-trip."""
 import functools
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,7 @@ def test_slice_segments():
     np.testing.assert_array_equal(np.asarray(out[1, :, 0]), [16, 17, 18, 19])
 
 
+@pytest.mark.slow
 def test_training_forward_shapes_and_kl():
     params = vits.init_params(SMALL, jax.random.PRNGKey(0))
     wav_fake, wav_real, aux = vits_training_forward(
@@ -56,6 +58,7 @@ def test_training_forward_shapes_and_kl():
     assert np.isfinite(float(aux["kl"]))
 
 
+@pytest.mark.slow
 def test_gan_trainer_steps_and_checkpoint(tmp_path):
     gen_params = vits.init_params(SMALL, jax.random.PRNGKey(0))
     disc_params = gan.init_combined(

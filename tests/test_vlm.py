@@ -50,6 +50,7 @@ def test_sam_vit_window_partition_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_sam_vit_encode_shapes():
     """SAM ViT-B structure at toy size: windowed + global blocks + neck +
     OCR downsample (reference vision.rs:1-611)."""

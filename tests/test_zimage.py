@@ -1,6 +1,7 @@
 """Z-Image DiT tests: 3-axis RoPE properties, tiny end-to-end generation."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,7 @@ class _FakeTok:
         return [ord(c) % 32 for c in text][:24]
 
 
+@pytest.mark.slow
 def test_image_generator_end_to_end():
     """prompt -> Qwen3 layer-(n-1) features -> refiners+joint -> flux VAE."""
     from ominix_mlx_tpu.models import base
