@@ -39,6 +39,11 @@ def make_variant(name, key, K, N, M):
         wd = w.astype(jnp.bfloat16)
         fn = lambda x: jnp.dot(x, wd.T, preferred_element_type=jnp.bfloat16)
         nbytes = N * K * 2
+    elif name.endswith("dq"):             # batched dq kernel (w4dq/w8dq)
+        bits = 8 if name.startswith("w8") else 4
+        pqt = qm.prepare(quantize_tensor(w, 64, bits), batched=True)
+        fn = lambda x: qm.quantized_matmul(x, pqt)
+        nbytes = N * K * bits // 8 + 2 * N * (K // 64) * 2
     else:
         bits = 8 if name.startswith("w8") else 4
         act = None if name.endswith("a16") else 8

@@ -300,22 +300,13 @@ def _stack_weights(ws: list):
             biases=jnp.concatenate([w.biases for w in ws], 0),
             group_size=w0.group_size, bits=w0.bits)
     if isinstance(w0, PackedQuantizedTensor):
-        bt = None
-        if all(w.data_bt is not None for w in ws):
-            tns = {w.data_bt.shape[2] for w in ws}
-            if len(tns) == 1:
-                # panel-axis concat keeps every panel contiguous
-                bt = jnp.concatenate([w.data_bt for w in ws], 0)
-            else:          # mixed panel widths: re-tile the fused rows
-                from ominix_mlx_tpu.ops.quant_matmul import make_bt
-                bt = make_bt(jnp.concatenate([w.data for w in ws], 0))
         return PackedQuantizedTensor(
             data=jnp.concatenate([w.data for w in ws], 0),
             scales=jnp.concatenate([w.scales for w in ws], 0),
             biases=jnp.concatenate([w.biases for w in ws], 0),
             group_size=w0.group_size, bits=w0.bits,
             in_features=w0.in_features, act_bits=w0.act_bits,
-            data_bt=bt)
+            batched=all(w.batched for w in ws))
     return jnp.concatenate(ws, 0)
 
 

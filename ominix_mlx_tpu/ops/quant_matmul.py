@@ -62,9 +62,10 @@ class PackedQuantizedTensor:
     # row (out-feature) zero-padding so huge-N weights (lm_head) get a
     # 2048-row panel size instead of whatever tiny divisor N happens to have
     n_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
-    # optional batched-decode layout: contiguous TRANSPOSED panels
-    # [NCH, Kd, TN] for the bt kernel (prepare(..., batched=True))
-    data_bt: jax.Array | None = None
+    # route decode M>1 through the dense-dequant dq kernel (serving at
+    # batch > 1; prepare(..., batched=True))
+    batched: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=False)
 
     @property
     def shape(self):
@@ -104,24 +105,10 @@ def prepare(qt: QuantizedTensor, act_bits: int | None = 8,
         data = jnp.pad(data, ((0, n_pad), (0, 0)))
         scales = jnp.pad(scales, ((0, n_pad), (0, 0)))
         biases = jnp.pad(biases, ((0, n_pad), (0, 0)))
-    data_bt = (make_bt(data)
-               if batched and data.shape[0] <= _SB_VMEM_MAX_N else None)
     return PackedQuantizedTensor(
         data=data, scales=scales, biases=biases,
         group_size=gs, bits=bits, in_features=K, act_bits=act_bits,
-        g_pad=g_pad, n_pad=n_pad, data_bt=data_bt)
-
-
-def make_bt(data: jax.Array):
-    """Row-major codes [N, Kd] -> contiguous transposed panels
-    [NCH, Kd, TN] (bt-kernel layout), or None if N has no panel divisor."""
-    Np, Kd = data.shape
-    TN = _pick_tn(Np, Kd)
-    if Np % TN:
-        return None
-    bt = jnp.transpose(data).reshape(Kd, Np // TN, TN)
-    # device_put of the transposed view materializes it contiguous
-    return jax.device_put(jnp.transpose(bt, (1, 0, 2)))
+        g_pad=g_pad, n_pad=n_pad, batched=batched)
 
 
 def unpack(pqt: PackedQuantizedTensor) -> QuantizedTensor:
@@ -521,31 +508,33 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
     return out.astype(out_dtype)
 
 
-# -------------------------- bt kernel (batched decode, M > 1) ---------------
+# -------------------------- dq kernel (batched decode, M > 1) ---------------
 #
 # The P-kernel's MXU work scales with G*M output lanes, so it loses to bf16
-# past M~2-4. The bt kernel instead DEQUANTIZES each weight panel in-kernel
-# and runs a DENSE bf16 matmul: MXU cost is G lanes ONCE (scale expansion
-# via a 0/1 one-hot matmul — Mosaic cannot broadcast along lanes) plus an
-# M-row dense pass, both M-independent in panel count. Weights stream from
-# the TRANSPOSED pre-tiled layout [NCH, Kd, TN] (prepare(batched=True)) so
-# every panel DMA is contiguous. Activations stay exact bf16 (w4a16/w8a16).
+# past M~2-4. The dq kernel instead DEQUANTIZES each weight panel in-kernel
+# and runs a DENSE bf16 matmul: per-panel cost is one scale-expansion
+# matmul (s_panel [TN, G] @ one-hot [G, K] — Mosaic cannot broadcast along
+# lanes) plus an M-column dense pass, both M-independent in panel count.
+# Same row-major [N, Kd] panels and hand-rolled DMA pipeline as the
+# P-kernel; every matmul is standard-orientation (contraction = lhs lanes
+# x rhs sublanes); the output is [N, M] and transposed XLA-side.
+# Activations stay exact bf16 (w4a16/w8a16 — no a8 approximation).
 
 
-def _bt_kernel(x_lo, x_hi, xg, scales, biases, R, data, out_ref, dbuf, sems,
-               *, bits: int, gs: int, K: int, Gp: int, M: int, TN: int,
-               NCH: int):
+def _dq_kernel(xT, xgT, scales, biases, R_lo, R_hi, data, out_ref, dbuf,
+               sems, *, bits: int, gs: int, K: int, Gp: int, M: int,
+               TN: int, NCH: int):
     Kc = K // 2
 
     def dma(slot, i):
-        return pltpu.make_async_copy(data.at[i], dbuf.at[slot], sems.at[slot])
+        return pltpu.make_async_copy(
+            data.at[pl.ds(i * TN, TN)], dbuf.at[slot], sems.at[slot])
 
     for j in range(min(_NBUF - 1, NCH)):
         dma(j, j).start()
 
-    xl = x_lo[:].astype(jnp.bfloat16)
-    xh = x_hi[:].astype(jnp.bfloat16)
-    Rv = R[:]
+    xT_lo = xT[:Kc].astype(jnp.bfloat16)      # [Kc, M]
+    xT_hi = xT[Kc:].astype(jnp.bfloat16)
 
     def body(i, _):
         slot = jax.lax.rem(i, _NBUF)
@@ -557,83 +546,82 @@ def _bt_kernel(x_lo, x_hi, xg, scales, biases, R, data, out_ref, dbuf, sems,
         dma(slot, i).wait()
         s_panel = scales[pl.ds(i * TN, TN), :]            # [TN, Gp]
 
-        def expand(R_half):
-            # group scales -> per-k rows via one-hot MXU matmul [Kc, TN];
-            # halves keep the f32 intermediate at Kc*TN (down-proj K=9728
-            # would otherwise hold a 20MB f32 tile live)
+        def S(R_half):                                    # -> [TN, Kc] bf16
             return jax.lax.dot_general(
-                R_half, s_panel, (((1,), (1,)), ((), ())),
+                s_panel, R_half[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-        blk = dbuf[slot]                                  # [Kd, TN] int8
+        blk = dbuf[slot]                                  # [TN, Kd] int8
         if bits == 4:
             b32 = blk.astype(jnp.int32)
-            lo = ((b32 & 15) - 8).astype(jnp.bfloat16)    # k in [0, Kc)
+            lo = ((b32 & 15) - 8).astype(jnp.bfloat16)    # cols 0..Kc-1
             hi = (((b32 >> 4) & 15) - 8).astype(jnp.bfloat16)
-            Y = jax.lax.dot_general(
-                xl, lo * expand(Rv[:Kc]), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            Y = Y + jax.lax.dot_general(
-                xh, hi * expand(Rv[Kc:]), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
         else:
-            Y = jax.lax.dot_general(
-                xl, blk[:Kc].astype(jnp.bfloat16) * expand(Rv[:Kc]),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            Y = Y + jax.lax.dot_general(
-                xh, blk[Kc:].astype(jnp.bfloat16) * expand(Rv[Kc:]),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            lo = blk[:, :Kc].astype(jnp.bfloat16)
+            hi = blk[:, Kc:].astype(jnp.bfloat16)
+        Y = jax.lax.dot_general(
+            lo * S(R_lo), xT_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TN, M]
+        Y = Y + jax.lax.dot_general(
+            hi * S(R_hi), xT_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         b_panel = biases[pl.ds(i * TN, TN), :]            # [TN, Gp]
         Y = Y + jax.lax.dot_general(
-            xg[:], b_panel, (((1,), (1,)), ((), ())),
+            b_panel.astype(jnp.bfloat16), xgT[:],
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[:, pl.ds(i * TN, TN)] = Y
+        out_ref[pl.ds(i * TN, TN), :] = Y
         return ()
 
     jax.lax.fori_loop(0, NCH, body, ())
 
 
-def _qmm_bt(x, w: "PackedQuantizedTensor", out_dtype):
-    """Batched decode x [M, K] @ W^T -> [M, N] via the bt kernel.
-
-    Exact bf16 activations (no a8 quantization); M is padded to 8 rows."""
-    M, K = x.shape
-    gs = w.group_size
+def _qmm_dq(x, data, scales, biases, gs: int, K: int, bits: int, out_dtype):
+    """Batched decode x [M, K] @ W^T -> [M, N] via the dq kernel (exact
+    bf16 activations; M padded to 8)."""
+    M = x.shape[0]
+    N = data.shape[0]
     G = K // gs
-    Gp = w.scales.shape[1]
-    NCH, Kd, TN = w.data_bt.shape
-    N = NCH * TN
+    Gp = scales.shape[1]
+    Kc = K // 2
     Mp = max(8, -(-M // 8) * 8)
     xf = x.astype(jnp.float32)
     if Mp > M:
         xf = jnp.pad(xf, ((0, Mp - M), (0, 0)))
-    xg = jnp.sum(xf.reshape(Mp, G, gs), -1).astype(jnp.bfloat16)
+    xg = jnp.sum(xf.reshape(Mp, G, gs), -1)
     if Gp > G:
         xg = jnp.pad(xg, ((0, 0), (0, Gp - G)))
-    xb = xf.astype(jnp.bfloat16)
-    Kc = K // 2
-    R = (jax.lax.broadcasted_iota(jnp.int32, (K, Gp), 0) // gs
-         == jax.lax.broadcasted_iota(jnp.int32, (K, Gp), 1)
-         ).astype(jnp.bfloat16)
+    if bits == 4:
+        # stored as q+8 unsigned, kernel subtracts 8 after unpack -> bias
+        # applies unchanged; 8-bit codes are already centered
+        pass
+    # one-hot expansion matrices for the two column halves: R_lo[g, k] = 1
+    # iff column k of the LO half belongs to group g (k in [0, Kc))
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (Gp, Kc), 0)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (Gp, Kc), 1)
+    R_lo = (gidx == kcol // gs).astype(jnp.bfloat16)
+    R_hi = (gidx == (kcol + Kc) // gs).astype(jnp.bfloat16)
+    TN = _pick_tn(N, data.shape[1])
+    NCH = N // TN
     kern = functools.partial(
-        _bt_kernel, bits=w.bits, gs=gs, K=K, Gp=Gp, M=Mp, TN=TN, NCH=NCH)
+        _dq_kernel, bits=bits, gs=gs, K=K, Gp=Gp, M=Mp, TN=TN, NCH=NCH)
     out = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_NBUF, Kd, TN), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((N, Mp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_NBUF, TN, data.shape[1]), jnp.int8),
                         pltpu.SemaphoreType.DMA((_NBUF,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * K * (G + Mp), bytes_accessed=N * Kd + Mp * N * 4,
+            flops=2 * N * K * (G + Mp),
+            bytes_accessed=N * data.shape[1] + Mp * N * 4,
             transcendentals=0),
-    )(xb[:, :Kc], xb[:, Kc:], xg, w.scales, w.biases, R, w.data_bt)
-    return out[:M].astype(out_dtype)
+    )(xf.astype(jnp.bfloat16).T, xg.astype(jnp.bfloat16).T, scales, biases,
+      R_lo, R_hi, data)
+    return out.T[:M].astype(out_dtype)
 
 
 def _pick_tn(N: int, Kd: int = 0) -> int:
@@ -761,11 +749,12 @@ def quantized_matmul(x: jax.Array, w) -> jax.Array:
     if isinstance(w, PackedQuantizedTensor) and supported(w):
         N = w.data.shape[0]
         p_ok = _p_shape_ok(N, K, w.group_size)
-        if w.data_bt is not None and 1 < M <= DECODE_M_MAX \
-                and N <= _SB_VMEM_MAX_N:
-            # batched decode: dense-dequant bt kernel (M-independent MXU
+        if 1 < M <= DECODE_M_MAX and N <= _SB_VMEM_MAX_N \
+                and w.n_pad == 0 and K % 2 == 0 and w.batched:
+            # batched decode: dense-dequant dq kernel (M-independent MXU
             # cost; the P-kernel's G*M lanes lose past M~2)
-            y = _qmm_bt(x2, w, x.dtype)
+            y = _qmm_dq(x2, w.data, w.scales, w.biases, w.group_size, K,
+                        w.bits, x.dtype)
         elif w.bits == 8 and M <= DECODE_M_MAX and p_ok:
             y = _qmm_p8(x2, w.data, w.scales, w.biases, w.group_size, K,
                         w.act_bits == 8, x.dtype)

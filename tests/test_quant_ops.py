@@ -146,24 +146,9 @@ def test_quantize_tree_generic_hybrid():
     assert np.allclose(np.asarray(got), np.asarray(want), rtol=0.2, atol=0.5)
 
 
-def test_make_bt_layout_roundtrip():
-    """bt layout [NCH, Kd, TN]: panel c, row k, lane t == data[c*TN+t, k]."""
-    import numpy as np
-
-    data = jnp.arange(1024 * 64, dtype=jnp.int32).astype(jnp.int8)
-    data = data.reshape(1024, 64)
-    bt = qm.make_bt(data)
-    NCH, Kd, TN = bt.shape
-    assert NCH * TN == 1024 and Kd == 64
-    d, b = np.asarray(data), np.asarray(bt)
-    for c in (0, NCH - 1):
-        assert (b[c, :, 0] == d[c * TN, :]).all()
-        assert (b[c, 5, :] == d[c * TN:(c + 1) * TN, 5]).all()
-
-
 def test_prepare_batched_cpu_fallback_exact():
-    """On CPU the bt-prepared tensor routes through the dequant fallback
-    and must match the dense reference exactly."""
+    """On CPU the batched-prepared tensor routes through the dequant
+    fallback and must match the dense reference."""
     import numpy as np
 
     from ominix_mlx_tpu.core.quant import quantize_tensor
@@ -171,7 +156,7 @@ def test_prepare_batched_cpu_fallback_exact():
     w = jax.random.normal(jax.random.PRNGKey(0), (256, 128), jnp.float32)
     qt = quantize_tensor(w, group_size=64, bits=4)
     pq = qm.prepare(qt, act_bits=8, batched=True)
-    assert pq.data_bt is not None
+    assert pq.batched
     x = jax.random.normal(jax.random.PRNGKey(1), (8, 128), jnp.float32)
     got = qm.quantized_matmul(x, pq)
     want = x @ dequantize(qt, jnp.float32).T
@@ -180,15 +165,14 @@ def test_prepare_batched_cpu_fallback_exact():
                                rtol=2e-2, atol=2e-1)
 
 
-def test_fused_projection_carries_bt():
+def test_fused_projection_carries_batched_flag():
     from ominix_mlx_tpu.core.quant import quantize_tensor
 
     ws = []
-    for i, n in enumerate((512, 256, 256)):     # mixed panel widths
+    for i, n in enumerate((512, 256, 256)):
         qt = quantize_tensor(
             jax.random.normal(jax.random.PRNGKey(i), (n, 128), jnp.float32),
             group_size=64, bits=4)
         ws.append(qm.prepare(qt, act_bits=8, batched=True))
     fused = base._stack_weights(ws)
-    assert fused.data_bt is not None
-    assert fused.data_bt.shape[0] * fused.data_bt.shape[2] == 1024
+    assert fused.batched and fused.data.shape[0] == 1024
