@@ -349,6 +349,8 @@ def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
 
     def q(holder, key):
         w = holder[key]
+        if w.shape[-1] % group_size:   # ineligible (tiny dims): keep dense
+            return w
         qt = quantize_tensor(jnp.asarray(w, jnp.float32), group_size, bits)
         qt = jax.block_until_ready(qt)
         if consume:

@@ -81,19 +81,28 @@ class BatchedChatRunner:
 
     def __init__(self, model, slots: int = 4, max_len: int = 2048,
                  dtype=jnp.bfloat16, paged: bool = False,
-                 num_pages=None, page_size: int = 64):
+                 num_pages=None, page_size: int = 64,
+                 quantize_bits=None):
         from ominix_mlx_tpu.serving.batching import (ContinuousBatcher,
                                                      PagedContinuousBatcher)
         self.lock = threading.Lock()
         self.wake = threading.Event()
+        params = model.params
+        if quantize_bits:
+            # batched quantized decode: prepare(batched=True) routes the
+            # slot-decode through the dq kernel (M-independent MXU cost)
+            from ominix_mlx_tpu.models import base as _base
+            params = _base.quantize_params(
+                dict(model.params), bits=quantize_bits, consume=False,
+                batched=True)
         fwd = lambda p, t, c: model.module.forward(p, model.cfg, t, c)
         if paged:
             self.batcher = PagedContinuousBatcher(
-                fwd, model.params, model.cfg, slots=slots, max_len=max_len,
+                fwd, params, model.cfg, slots=slots, max_len=max_len,
                 num_pages=num_pages, page_size=page_size, dtype=dtype)
         else:
             self.batcher = ContinuousBatcher(
-                fwd, model.params, model.cfg,
+                fwd, params, model.cfg,
                 lambda cfg, b, ml: model.module.init_cache(cfg, b, ml, dtype),
                 slots=slots, max_len=max_len)
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -222,14 +231,16 @@ class Server:
 
     def enable_batching(self, name: str, slots: int = 4, max_len: int = 2048,
                         dtype=jnp.bfloat16, paged: bool = False,
-                        num_pages=None, page_size: int = 64):
+                        num_pages=None, page_size: int = 64,
+                        quantize_bits=None):
         """Turn on continuous batching for a loaded chat model: concurrent
         greedy requests share one slot-decode step instead of serializing
         on the inference thread. ``paged=True`` backs the slots with a
         shared paged KV pool (core/paged_cache.py) sized ``num_pages``."""
         self.batchers[name] = BatchedChatRunner(
             self.models[name], slots=slots, max_len=max_len, dtype=dtype,
-            paged=paged, num_pages=num_pages, page_size=page_size)
+            paged=paged, num_pages=num_pages, page_size=page_size,
+            quantize_bits=quantize_bits)
 
     def enable_speculative(self, name: str, draft_dir: str = None,
                            draft_layers: int = None,
@@ -721,6 +732,9 @@ def main():
                     help="continuous-batching slots for chat models "
                          "(0 = per-request decode)")
     ap.add_argument("--batch-max-len", type=int, default=4096)
+    ap.add_argument("--batch-quantize-bits", type=int, default=None,
+                    help="serve the continuous batcher with 4/8-bit "
+                         "weights (dq batched decode kernel)")
     ap.add_argument("--draft-model", default=None,
                     help="draft checkpoint for speculative greedy decode "
                          "(applies to the first chat model)")
@@ -736,7 +750,8 @@ def main():
         srv.load_model(name, path)
         if args.batch_slots and isinstance(srv.models[name], LoadedModel):
             srv.enable_batching(name, slots=args.batch_slots,
-                                max_len=args.batch_max_len)
+                                max_len=args.batch_max_len,
+                                quantize_bits=args.batch_quantize_bits)
         elif (args.draft_model or args.draft_layers) \
                 and isinstance(srv.models[name], LoadedModel) \
                 and not srv.spec:

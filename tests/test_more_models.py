@@ -354,3 +354,49 @@ def test_deepseek_ocr2_loader_shapes():
     flat["model.qwen2_model.query_1024.weight"] = jnp.zeros((6, 32))
     fp = deepseek_ocr2.flow_params_from_flat(flat)
     assert len(fp["layers"]) == 1 and fp["query_768"].shape == (4, 32)
+
+
+def test_deepseek_ocr2_lm_loader_and_forward():
+    """lm_params_from_flat assembles the deepseek-MoE decoder from HF
+    names (dense first-k layer + routed/shared experts) and it runs."""
+    cfg = deepseek_ocr2.config_from_hf(dict(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2,
+        intermediate_size=48, n_routed_experts=4, num_experts_per_tok=2,
+        n_shared_experts=1, moe_intermediate_size=16,
+        first_k_dense_replace=1))
+    rng = np.random.default_rng(0)
+
+    def lin(shape):
+        return jnp.asarray(rng.normal(0, 0.05, shape), jnp.float32)
+
+    flat = {"model.embed_tokens.weight": lin((64, 32)),
+            "model.norm.weight": jnp.ones((32,))}
+    for i in range(2):
+        p = f"model.layers.{i}"
+        flat[f"{p}.input_layernorm.weight"] = jnp.ones((32,))
+        flat[f"{p}.post_attention_layernorm.weight"] = jnp.ones((32,))
+        hd = 16
+        flat[f"{p}.self_attn.q_proj.weight"] = lin((2 * hd, 32))
+        flat[f"{p}.self_attn.k_proj.weight"] = lin((2 * hd, 32))
+        flat[f"{p}.self_attn.v_proj.weight"] = lin((2 * hd, 32))
+        flat[f"{p}.self_attn.o_proj.weight"] = lin((32, 2 * hd))
+        if i == 0:                                   # dense first layer
+            for n, sh in (("gate_proj", (48, 32)), ("up_proj", (48, 32)),
+                          ("down_proj", (32, 48))):
+                flat[f"{p}.mlp.{n}.weight"] = lin(sh)
+        else:
+            flat[f"{p}.mlp.gate.weight"] = lin((4, 32))
+            for e in range(4):
+                for n, sh in (("gate_proj", (16, 32)), ("up_proj", (16, 32)),
+                              ("down_proj", (32, 16))):
+                    flat[f"{p}.mlp.experts.{e}.{n}.weight"] = lin(sh)
+            for n, sh in (("gate_proj", (16, 32)), ("up_proj", (16, 32)),
+                          ("down_proj", (32, 16))):
+                flat[f"{p}.mlp.shared_experts.{n}.weight"] = lin(sh)
+    params = deepseek_ocr2.lm_params_from_flat(flat, cfg, first_k_dense=1)
+    assert "moe" in params["layers"][1] and "moe" not in params["layers"][0]
+    cache = base.init_cache(cfg, 1, 16, jnp.float32)
+    logits, _ = base.forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache)
+    assert logits.shape == (1, 3, 64)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -488,3 +488,21 @@ def test_speculative_chat_matches_greedy(server):
     finally:
         server.spec.pop("tiny", None)
     assert spec == plain
+
+
+def test_batched_chat_quantized_weights(server):
+    """enable_batching(quantize_bits=8): the batcher serves quantized
+    weights (dq/dequant path) and still streams sane greedy tokens."""
+    server.enable_batching("tiny", slots=2, max_len=256, dtype=jnp.float32,
+                           quantize_bits=8)
+    try:
+        body = {"model": "tiny", "max_tokens": 6,
+                "messages": [{"role": "user", "content": "hello"}]}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{PORT}/v1/chat/completions",
+            json.dumps(body).encode(), {"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req).read())
+        msg = out["choices"][0]["message"]["content"]
+        assert isinstance(msg, str) and msg
+    finally:
+        server.batchers.pop("tiny", None)
