@@ -1,5 +1,7 @@
 """Qwen-Image MMDiT + 3D-causal VAE tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np

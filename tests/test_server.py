@@ -292,6 +292,47 @@ def test_image_generation_endpoint(server):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_image_generation_endpoint_zimage(server):
+    """Same route, Z-Image backend: the endpoint duck-types any model with
+    generate(prompt, height, width, ...) so zimage serves identically."""
+    import base64
+
+    from ominix_mlx_tpu.models import zimage as zi
+    from ominix_mlx_tpu.models.dit import vae
+
+    tiny = zi.ZImageConfig(dim=48, n_heads=4, n_layers=1, n_refiner_layers=1,
+                           in_channels=4, cap_feat_dim=32, axes_dims=(4, 4, 4),
+                           rope_theta=256.0, patch_size=2)
+    tiny_vae = vae.VAEConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                             z_channels=4)
+    tcfg = TransformerConfig(
+        vocab_size=64, hidden_size=tiny.cap_feat_dim, num_layers=2,
+        num_heads=2, num_kv_heads=1, head_dim=8, intermediate_size=48,
+        use_qk_norm=True, tie_word_embeddings=True)
+
+    class Tok:
+        def encode(self, text):
+            return [ord(c) % 64 for c in text][:24]
+
+    gen = zi.ImageGenerator(
+        params=zi.init_params(tiny, jax.random.PRNGKey(0), jnp.float32),
+        cfg=tiny,
+        vae_params=vae.init_decoder(tiny_vae, jax.random.PRNGKey(1)),
+        vae_cfg=tiny_vae,
+        text_params=base.init_params(tcfg, jax.random.PRNGKey(2),
+                                     jnp.float32),
+        text_cfg=tcfg, tokenizer=Tok())
+    server.add_model("tiny-zimage", gen)
+    body = {"model": "tiny-zimage", "prompt": "a red square",
+            "size": "16x16", "steps": 2}
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/v1/images/generations",
+        json.dumps(body).encode(), {"Content-Type": "application/json"})
+    out = json.loads(urllib.request.urlopen(req).read())
+    png = base64.b64decode(out["data"][0]["b64_json"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_batched_chat_matches_unbatched(server):
     """Continuous-batching route: concurrent greedy requests through the
     shared batcher must return exactly the per-request engine outputs."""

@@ -1,6 +1,8 @@
 """VITS dataset loader: .list parsing, fixed-crop static batches, and a
 real trainer step straight off the loader's output."""
 
+import pytest
+
 import numpy as np
 
 from ominix_mlx_tpu.training.dataset import DatasetConfig, VITSDataset
@@ -55,7 +57,6 @@ def test_codes_fn_wiring(tmp_path):
 @pytest.mark.slow
 def test_trainer_step_from_loader(tmp_path):
     import jax
-import pytest
     import jax.numpy as jnp
 
     from ominix_mlx_tpu.models import vits
