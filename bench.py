@@ -77,10 +77,10 @@ def _retry_alloc(fn, budget_s: float = 180.0, poll_s: float = 10.0):
             time.sleep(poll_s)
 
 
-def _build_params(cfg, quant_bits):
+def _build_params(cfg, quant_bits, batched=False):
     if quant_bits:
         params = base.init_quantized_params(cfg, jax.random.PRNGKey(0), 64,
-                                            quant_bits)
+                                            quant_bits, batched=batched)
     else:
         params = base.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     params = base.fuse_layer_projections(params)
@@ -95,8 +95,10 @@ def decode_tps(cfg: TransformerConfig, quant_bits=None, batch: int = 1,
                prompt_len: int = 128, cache_len: int = 1024) -> float:
     """Marginal decode tok/s via the difference-quotient methodology:
     prefill and dispatch overheads cancel between the two loop lengths.
-    batch>1 reports AGGREGATE tok/s across the batch."""
-    params = _retry_alloc(lambda: _build_params(cfg, quant_bits))
+    batch>1 reports AGGREGATE tok/s across the batch (quantized weights
+    then ride the dq batched-decode kernel)."""
+    params = _retry_alloc(
+        lambda: _build_params(cfg, quant_bits, batched=batch > 1))
     engine = Engine(
         lambda p, t, c: base.forward(p, cfg, t, c), params, SamplerConfig(),
         prefill_forward_fn=lambda p, t, c: base.forward(
@@ -167,8 +169,12 @@ METRICS = {
 
 HEADLINE = "qwen3_4b_w4a8_decode"
 # per-metric budget: ~2min tunnel HBM-release retry + 30-90s remote compile
-# + params init + timed runs (measured r3: bf16 4B needs >420s cold)
-PER_METRIC_TIMEOUT_S = 600
+# + params init + timed runs (measured r3: bf16 4B needs >420s cold; warm
+# server-side compile cache cuts this to ~2-3min)
+PER_METRIC_TIMEOUT_S = 900
+# overall budget: once spent, remaining metrics are skipped (not timed out)
+# so the run always ends cleanly with the headline re-printed last
+TOTAL_BUDGET_S = 3000
 
 
 def main():
@@ -177,7 +183,13 @@ def main():
     handles tunnel HBM-release lag itself by poll-retrying its first
     allocation, so the parent never sleeps."""
     results = {}
+    t_start = time.monotonic()
     for name in METRICS:
+        if name != HEADLINE and \
+                time.monotonic() - t_start > TOTAL_BUDGET_S:
+            print(json.dumps({"metric": name, "error": "skipped: budget"}),
+                  flush=True)
+            continue
         try:
             r = subprocess.run([sys.executable, __file__, "--metric", name],
                                capture_output=True, text=True,
