@@ -76,10 +76,11 @@ def prepare(qt: QuantizedTensor, act_bits: int | None = 8,
             batched: bool = False) -> PackedQuantizedTensor:
     """One-time load-side conversion QuantizedTensor -> kernel layout.
 
-    batched=True additionally lays the codes out as contiguous transposed
-    panels [NCH, Kd, TN] for the batched-decode bt kernel (each panel DMA
-    is then fully row-contiguous — the lane-strided slice of a [Kd, N]
-    array only streams at ~274 GB/s, measured round 2)."""
+    batched=True marks the tensor for the batched-decode dq kernel at
+    M>1 (a dispatch flag only — the data layout is identical row-major
+    [N, Kd] panels; an earlier transposed-panel layout lost to it because
+    the lane-strided slice of a [Kd, N] array only streams at ~274 GB/s,
+    measured round 2)."""
     N, K = qt.q.shape
     gs, bits = qt.group_size, qt.bits
     if bits == 4:
