@@ -522,17 +522,37 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
 # Activations stay exact bf16 (w4a16/w8a16 — no a8 approximation).
 
 
-def _dq_kernel(xT, xgT, scales, biases, R_lo, R_hi, data, out_ref, dbuf,
-               sems, *, bits: int, gs: int, K: int, Gp: int, M: int,
-               TN: int, NCH: int):
+def _dq_kernel(xT, xgT, scales, biases, R_lo, R_hi, data, out_ref, *scratch,
+               bits: int, gs: int, K: int, Gp: int, M: int,
+               TN: int, NCH: int, stream_sb: bool):
     Kc = K // 2
+    scratch = list(scratch)
+    dbuf = scratch.pop(0)
+    sems = scratch.pop(0)
+    if stream_sb:
+        # huge-N weights (lm_head): scales/biases don't fit VMEM whole —
+        # stream their row panels alongside the data panel (same pattern
+        # as the P-kernel's stream_sb; Gp is 128-lane padded at prepare()
+        # so the DMA slices stay tile-aligned)
+        sbuf = scratch.pop(0)
+        bbuf = scratch.pop(0)
+        sbsems = scratch.pop(0)
 
     def dma(slot, i):
-        return pltpu.make_async_copy(
-            data.at[pl.ds(i * TN, TN)], dbuf.at[slot], sems.at[slot])
+        ops = [pltpu.make_async_copy(
+            data.at[pl.ds(i * TN, TN)], dbuf.at[slot], sems.at[slot])]
+        if stream_sb:
+            ops.append(pltpu.make_async_copy(
+                scales.at[pl.ds(i * TN, TN)], sbuf.at[slot],
+                sbsems.at[slot, 0]))
+            ops.append(pltpu.make_async_copy(
+                biases.at[pl.ds(i * TN, TN)], bbuf.at[slot],
+                sbsems.at[slot, 1]))
+        return ops
 
     for j in range(min(_NBUF - 1, NCH)):
-        dma(j, j).start()
+        for op in dma(j, j):
+            op.start()
 
     xT_lo = xT[:Kc].astype(jnp.bfloat16)      # [Kc, M]
     xT_hi = xT[Kc:].astype(jnp.bfloat16)
@@ -542,10 +562,13 @@ def _dq_kernel(xT, xgT, scales, biases, R_lo, R_hi, data, out_ref, dbuf,
 
         @pl.when(i + _NBUF - 1 < NCH)
         def _():
-            dma(jax.lax.rem(i + _NBUF - 1, _NBUF), i + _NBUF - 1).start()
+            for op in dma(jax.lax.rem(i + _NBUF - 1, _NBUF), i + _NBUF - 1):
+                op.start()
 
-        dma(slot, i).wait()
-        s_panel = scales[pl.ds(i * TN, TN), :]            # [TN, Gp]
+        for op in dma(slot, i):
+            op.wait()
+        s_panel = (sbuf[slot] if stream_sb
+                   else scales[pl.ds(i * TN, TN), :])     # [TN, Gp]
 
         def S(R_half):                                    # -> [TN, Kc] bf16
             return jax.lax.dot_general(
@@ -566,7 +589,8 @@ def _dq_kernel(xT, xgT, scales, biases, R_lo, R_hi, data, out_ref, dbuf,
         Y = Y + jax.lax.dot_general(
             hi * S(R_hi), xT_hi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        b_panel = biases[pl.ds(i * TN, TN), :]            # [TN, Gp]
+        b_panel = (bbuf[slot] if stream_sb
+                   else biases[pl.ds(i * TN, TN), :])     # [TN, Gp]
         Y = Y + jax.lax.dot_general(
             b_panel.astype(jnp.bfloat16), xgT[:],
             (((1,), (0,)), ((), ())),
@@ -604,16 +628,26 @@ def _qmm_dq(x, data, scales, biases, gs: int, K: int, bits: int, out_dtype):
     R_hi = (gidx == (kcol + Kc) // gs).astype(jnp.bfloat16)
     TN = _pick_tn(N, data.shape[1])
     NCH = N // TN
+    stream_sb = N > _SB_VMEM_MAX_N
     kern = functools.partial(
-        _dq_kernel, bits=bits, gs=gs, K=K, Gp=Gp, M=Mp, TN=TN, NCH=NCH)
+        _dq_kernel, bits=bits, gs=gs, K=K, Gp=Gp, M=Mp, TN=TN, NCH=NCH,
+        stream_sb=stream_sb)
+    sb_space = pl.ANY if stream_sb else pltpu.VMEM
+    scratch = [pltpu.VMEM((_NBUF, TN, data.shape[1]), jnp.int8),
+               pltpu.SemaphoreType.DMA((_NBUF,))]
+    if stream_sb:
+        scratch += [pltpu.VMEM((_NBUF, TN, Gp), jnp.bfloat16),
+                    pltpu.VMEM((_NBUF, TN, Gp), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((_NBUF, 2))]
     out = pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=sb_space)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Mp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_NBUF, TN, data.shape[1]), jnp.int8),
-                        pltpu.SemaphoreType.DMA((_NBUF,))],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -750,10 +784,12 @@ def quantized_matmul(x: jax.Array, w) -> jax.Array:
     if isinstance(w, PackedQuantizedTensor) and supported(w):
         N = w.data.shape[0]
         p_ok = _p_shape_ok(N, K, w.group_size)
-        if 1 < M <= DECODE_M_MAX and N <= _SB_VMEM_MAX_N \
-                and w.n_pad == 0 and K % 2 == 0 and w.batched:
+        if 1 < M <= DECODE_M_MAX and N % 128 == 0 and K % 2 == 0 \
+                and w.batched:
             # batched decode: dense-dequant dq kernel (M-independent MXU
-            # cost; the P-kernel's G*M lanes lose past M~2)
+            # cost; the P-kernel's G*M lanes lose past M~2). Huge-N
+            # weights (lm_head) stream scales/biases per panel; n_pad
+            # rows compute garbage that the [:N_out] slice drops.
             y = _qmm_dq(x2, w.data, w.scales, w.biases, w.group_size, K,
                         w.bits, x.dtype)
         elif w.bits == 8 and M <= DECODE_M_MAX and p_ok:

@@ -1,6 +1,7 @@
 """FLUX.2-klein DiT tests: pack/unpack roundtrip, schedule properties,
 axis-RoPE norm preservation, end-to-end tiny-model generate."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +55,7 @@ def test_axis_rope_preserves_norm():
         np.asarray(x0), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_forward_shapes():
     params = fk.init_params(TINY, jax.random.PRNGKey(0), jnp.float32)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, 16, TINY.in_channels))
@@ -66,6 +68,7 @@ def test_forward_shapes():
     assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_generate_image_tiny_end_to_end():
     params = fk.init_params(TINY, jax.random.PRNGKey(0), jnp.float32)
     vparams = vae.init_decoder(TINY_VAE, jax.random.PRNGKey(1))
@@ -79,6 +82,7 @@ def test_generate_image_tiny_end_to_end():
     assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_vae_encode_decode_shapes():
     enc = vae.init_encoder(TINY_VAE, jax.random.PRNGKey(0))
     dec = vae.init_decoder(TINY_VAE, jax.random.PRNGKey(1))

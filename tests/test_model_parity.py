@@ -28,6 +28,7 @@ def check_parity(fwd, params, cfg, hf, rtol=3e-3, atol=3e-3, n_kv=None):
     np.testing.assert_allclose(np.asarray(got), want, rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow
 def test_mixtral_parity():
     from transformers import MixtralConfig
     from transformers.models.mixtral import MixtralForCausalLM

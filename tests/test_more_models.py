@@ -5,6 +5,7 @@ DeepSeek-OCR2."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ominix_mlx_tpu.models import (deepseek_ocr2, funasr_nano, gpt_sovits,
                                    hifigan, moe, paraformer, step_audio2, vit)
@@ -17,6 +18,7 @@ LM = TransformerConfig(
     tie_word_embeddings=True)
 
 
+@pytest.mark.slow
 def test_funasr_nano_pipeline():
     enc_cfg = paraformer.ParaformerConfig(
         n_mels=8, lfr_m=2, encoder_dim=16, encoder_layers=2, encoder_heads=2,
@@ -38,6 +40,7 @@ def test_funasr_nano_pipeline():
     assert len(toks) == 4
 
 
+@pytest.mark.slow
 def test_hifigan_upsample_factor():
     cfg = hifigan.HiFiGANConfig(in_dim=8, upsample_initial_channel=16,
                                 upsample_rates=(2, 2),
@@ -80,6 +83,7 @@ def test_t2s_generation_and_eos():
     assert len(sem) <= 8 and all(0 <= s < 1024 for s in sem)
 
 
+@pytest.mark.slow
 def test_deepseek_ocr2_splice():
     vcfg = vit.ViTConfig(image_size=28, patch_size=14, hidden_size=16,
                          num_layers=1, num_heads=2, mlp_dim=24,
@@ -103,6 +107,7 @@ def test_deepseek_ocr2_splice():
     assert len(toks) == 4 and all(0 <= t < 64 for t in toks)
 
 
+@pytest.mark.slow
 def test_hubert_frontend_and_codes():
     from ominix_mlx_tpu.models import hubert
 
@@ -230,6 +235,7 @@ def test_long_audio_chunking_seams():
     assert len(r) == 1
 
 
+@pytest.mark.slow
 def test_funasr_nano_transcribe_facade():
     """CLI/server-contract methods (reference transcribe model.rs:377,
     transcribe_long model.rs:388-459): transcribe(samples, rate) and
@@ -268,6 +274,7 @@ def test_visual_flow_mask_semantics():
     assert m[4, 3] == 0 and m[4, 4] == 0
 
 
+@pytest.mark.slow
 def test_visual_flow_encode_compresses():
     """SAM-grid features -> n_query compressed features; query bank picked
     by grid size; image-token content influences the output."""

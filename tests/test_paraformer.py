@@ -1,6 +1,7 @@
 """Paraformer tests: CIF firing semantics vs a numpy reference of the
 reference's host loop (paraformer.rs:778-880), end-to-end NAR shapes."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,6 +65,7 @@ def test_cif_fires_expected_count():
     assert int(counts[0]) == 5
 
 
+@pytest.mark.slow
 def test_transcribe_shapes():
     params = pf.init_params(TINY, jax.random.PRNGKey(0))
     feats = jax.random.normal(jax.random.PRNGKey(1), (1, 24, TINY.input_dim))

@@ -93,6 +93,7 @@ def test_pipeline_parallel_matches_sequential():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_sharded_paged_decode_matches_unsharded():
     """Paged KV pool sharded heads-on-tp: decode step equals unsharded."""
     from ominix_mlx_tpu.core.cache import ModelCache

@@ -2,6 +2,7 @@
 fused projections. The Pallas kernels themselves are TPU-only; their
 correctness is pinned by the same dequantize() ground truth used here."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,6 +104,7 @@ def test_gather_qmm_fallback_matches_per_expert_dequant():
                                            rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_moe_block_quantized_matches_dense():
     from ominix_mlx_tpu.models.moe import (MoEConfig, init_moe_params,
                                            moe_block, quantize_experts_params)
@@ -120,6 +122,7 @@ def test_moe_block_quantized_matches_dense():
         assert corr > 0.995, (T, corr)
 
 
+@pytest.mark.slow
 def test_quantize_tree_generic_hybrid():
     """Generic tree quantizer: eligible 2D weights quantize, everything
     else stays dense, and the hybrid forward still runs."""

@@ -1,6 +1,7 @@
 """Qwen3-ASR encoder tests: conv-length formula, sinusoid layout, block
 mask windows, end-to-end encode shapes, and decoder splice smoke."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +30,7 @@ def test_sinusoid_layout():
     np.testing.assert_allclose(e[1, 0], np.sin(1.0), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_encode_shapes_full_and_partial_chunks():
     params = asr.init_encoder_params(TINY, jax.random.PRNGKey(0))
     for n_frames in (200, 250):
@@ -40,6 +42,7 @@ def test_encode_shapes_full_and_partial_chunks():
         assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_chunks_are_convolved_independently():
     """The conv stack must not leak across 100-frame chunk boundaries
     (the reference convolves each chunk separately, encoder.rs:304-370).
@@ -58,6 +61,7 @@ def test_chunks_are_convolved_independently():
     assert not np.allclose(np.asarray(a[tpw:]), np.asarray(b[tpw:]))
 
 
+@pytest.mark.slow
 def test_transcribe_embeds_smoke():
     lm_cfg = base.TransformerConfig(
         vocab_size=64, hidden_size=48, num_layers=2, num_heads=4,

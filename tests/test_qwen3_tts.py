@@ -77,6 +77,7 @@ def test_dual_track_generation():
         np.testing.assert_array_equal(res.codes, res2.codes)
 
 
+@pytest.mark.slow
 def test_streaming_session_chunks():
     params = tts.init_params(TINY, jax.random.PRNGKey(0))
     dec, ccfg = tts.init_codec(jax.random.PRNGKey(1), frame_dim=32,
@@ -121,6 +122,7 @@ def test_mrope_temporal_only_rotation():
     assert not np.allclose(np.asarray(y5[..., :8]), np.asarray(x[..., :8]))
 
 
+@pytest.mark.slow
 def test_speech_encoder_codes_shape():
     enc, ecfg = qt.init_speech_encoder(jax.random.PRNGKey(0), dim=16,
                                        enc_strides=(2, 2), codec_vocab=32)

@@ -116,6 +116,7 @@ class _FakeTok:
         return [ord(c) % 64 for c in text][:40]
 
 
+@pytest.mark.slow
 def test_image_generator_end_to_end():
     """prompt string -> encoder -> MMDiT denoise -> 3D VAE -> [H, W, 3]."""
     from ominix_mlx_tpu.models import base

@@ -256,6 +256,7 @@ def test_request_timeout_returns_504(server):
     assert raised
 
 
+@pytest.mark.slow
 def test_image_generation_endpoint(server):
     """Drive /v1/images/generations with a tiny ImageGenerator."""
     import base64
@@ -292,6 +293,7 @@ def test_image_generation_endpoint(server):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+@pytest.mark.slow
 def test_image_generation_endpoint_zimage(server):
     """Same route, Z-Image backend: the endpoint duck-types any model with
     generate(prompt, height, width, ...) so zimage serves identically."""

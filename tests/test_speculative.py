@@ -2,6 +2,7 @@
 (the acceptance rule guarantees it), and accept everything when the draft IS
 the target."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +60,7 @@ def test_self_draft_accepts_everything():
     assert stats.acceptance_rate == 1.0, stats
 
 
+@pytest.mark.slow
 def test_generate_scan_matches_host_loop():
     """The on-device round-scan must emit exactly the host loop's tokens."""
     tp = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)

@@ -3,6 +3,7 @@ roundtrip (the reference T2STrainer pattern), GAN loss sanity."""
 
 import tempfile
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +48,7 @@ def test_checkpoint_roundtrip():
         assert abs(l1 - l2) < 1e-5
 
 
+@pytest.mark.slow
 def test_gan_losses_and_mpd():
     mpd = gan.init_mpd(jax.random.PRNGKey(0))
     wav_r = jax.random.normal(jax.random.PRNGKey(1), (1, 1024))

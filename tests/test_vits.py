@@ -33,6 +33,7 @@ def test_flow_is_invertible():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_generator_length_arithmetic():
     p = vits.init_params(SMALL, jax.random.PRNGKey(0))
     z = jax.random.normal(jax.random.PRNGKey(1), (1, 12, SMALL.inter_channels))
@@ -80,6 +81,7 @@ def test_text_encoder_and_style_encoder_shapes():
     assert logs.shape == m.shape
 
 
+@pytest.mark.slow
 def test_voice_cloner_full_stack():
     """text -> frontend -> T2S -> VITS decode on random weights (the
     reference's e2e shape, voice_clone.rs:740)."""
