@@ -77,10 +77,11 @@ def _retry_alloc(fn, budget_s: float = 180.0, poll_s: float = 10.0):
             time.sleep(poll_s)
 
 
-def _build_params(cfg, quant_bits, batched=False):
+def _build_params(cfg, quant_bits, batched=False, scheme="group"):
     if quant_bits:
         params = base.init_quantized_params(cfg, jax.random.PRNGKey(0), 64,
-                                            quant_bits, batched=batched)
+                                            quant_bits, batched=batched,
+                                            scheme=scheme)
     else:
         params = base.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     params = base.fuse_layer_projections(params)
@@ -92,13 +93,16 @@ def _build_params(cfg, quant_bits, batched=False):
 
 
 def decode_tps(cfg: TransformerConfig, quant_bits=None, batch: int = 1,
-               prompt_len: int = 128, cache_len: int = 1024) -> float:
+               prompt_len: int = 128, cache_len: int = 1024,
+               scheme: str = "group") -> float:
     """Marginal decode tok/s via the difference-quotient methodology:
     prefill and dispatch overheads cancel between the two loop lengths.
-    batch>1 reports AGGREGATE tok/s across the batch (quantized weights
-    then ride the dq batched-decode kernel)."""
+    batch>1 reports AGGREGATE tok/s across the batch (scheme="channel8"
+    serves w8a8 via the XLA int8 MXU path — the batch-throughput scheme;
+    "group" rides the dq/P Pallas kernels)."""
     params = _retry_alloc(
-        lambda: _build_params(cfg, quant_bits, batched=batch > 1))
+        lambda: _build_params(cfg, quant_bits, batched=batch > 1,
+                              scheme=scheme))
     engine = Engine(
         lambda p, t, c: base.forward(p, cfg, t, c), params, SamplerConfig(),
         prefill_forward_fn=lambda p, t, c: base.forward(
@@ -165,6 +169,10 @@ METRICS = {
     # than decode per token, so >1.0 here is a floor, not an achievement —
     # the absolute tok/s is the number that matters)
     "qwen3_4b_bf16_prefill_8k": ("prefill", QWEN3_4B, None, 8192, 45.0),
+    # batched serving axis: channelwise w8a8 (XLA int8 MXU matmul) at B=8.
+    # baseline = 8 reference decode streams (8 x 45); bf16 B=8 measured
+    # 644-694 aggregate this round — w8a8 is the one that beats it.
+    "qwen3_4b_w8a8_b8_decode": ("decode_ch8", QWEN3_4B, 8, 8, 360.0),
 }
 
 HEADLINE = "qwen3_4b_w4a8_decode"
@@ -216,6 +224,9 @@ def run_one(name: str):
     if kind == "prefill":
         emit(name, prefill_tps(cfg, prompt_len=arg, quant_bits=bits),
              "tokens/sec", baseline)
+    elif kind == "decode_ch8":
+        emit(name, decode_tps(cfg, quant_bits=bits, batch=arg,
+                              scheme="channel8"), "tokens/sec", baseline)
     else:
         emit(name, decode_tps(cfg, quant_bits=bits, batch=arg),
              "tokens/sec", baseline)

@@ -307,6 +307,11 @@ def _stack_weights(ws: list):
             group_size=w0.group_size, bits=w0.bits,
             in_features=w0.in_features, act_bits=w0.act_bits,
             batched=all(w.batched for w in ws))
+    from ominix_mlx_tpu.ops.quant_matmul import ChannelQuantizedTensor
+    if isinstance(w0, ChannelQuantizedTensor):
+        return ChannelQuantizedTensor(
+            data=jnp.concatenate([w.data for w in ws], 0),
+            scale=jnp.concatenate([w.scale for w in ws], 0))
     return jnp.concatenate(ws, 0)
 
 
@@ -336,19 +341,30 @@ def fuse_layer_projections(params: dict) -> dict:
 
 def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
                     pack: bool = True, quantize_embed: bool = True,
-                    consume: bool = True, batched: bool = False) -> dict:
-    """Group-quantize all linear projection weights (post-hoc, like the
+                    consume: bool = True, batched: bool = False,
+                    scheme: str = "group") -> dict:
+    """Quantize all linear projection weights (post-hoc, like the
     reference's on-the-fly ``QuantizedLinear::try_from_linear`` path).
+
+    scheme="group": MLX-compatible group quantization (Pallas decode
+    kernels). scheme="channel8": per-output-channel symmetric int8 (w8a8)
+    — the batched-serving scheme; a pure XLA int8 MXU matmul, fastest at
+    decode M>1 (see ops/quant_matmul.py channelwise section).
 
     pack=True converts to the Pallas kernel layout (ops.quant_matmul.prepare)
     — use on TPU. consume=True deletes each original weight as it is
     quantized so peak memory stays ~1 weight above the quantized size.
     """
     from ominix_mlx_tpu.core.quant import quantize_tensor
-    from ominix_mlx_tpu.ops.quant_matmul import prepare
+    from ominix_mlx_tpu.ops.quant_matmul import channel_quantize, prepare
 
     def q(holder, key):
         w = holder[key]
+        if scheme == "channel8":
+            cq = jax.block_until_ready(channel_quantize(w))
+            if consume:
+                holder[key] = None
+            return cq
         if w.shape[-1] % group_size:   # ineligible (tiny dims): keep dense
             return w
         qt = quantize_tensor(jnp.asarray(w, jnp.float32), group_size, bits)
@@ -378,17 +394,25 @@ def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
 
 def init_quantized_params(cfg: TransformerConfig, key, group_size: int = 64,
                           bits: int = 4, pack: bool = True,
-                          batched: bool = False) -> dict:
+                          batched: bool = False,
+                          scheme: str = "group") -> dict:
     """Random-init a quantized param tree directly (benchmarks/tests) —
     never materializes the dense bf16 weights."""
     from ominix_mlx_tpu.core.quant import QuantizedTensor
-    from ominix_mlx_tpu.ops.quant_matmul import prepare
+    from ominix_mlx_tpu.ops.quant_matmul import (ChannelQuantizedTensor,
+                                                 prepare)
 
     hd = cfg.hd
     lim = 1 << (bits - 1)
 
     def qrand(k, out_f, in_f):
         k1, k2 = jax.random.split(k)
+        if scheme == "channel8":
+            return ChannelQuantizedTensor(
+                data=jax.random.randint(k1, (out_f, in_f), -127, 128,
+                                        jnp.int8),
+                scale=jnp.full((out_f,), (in_f ** -0.5) / 127.0,
+                               jnp.float32))
         qt = QuantizedTensor(
             q=jax.random.randint(k1, (out_f, in_f), -lim, lim, jnp.int8),
             scales=jnp.full((out_f, in_f // group_size),

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ominix_mlx_tpu.core.quant import (QuantizedTensor, dequantize,
                                        quantize_tensor)
-from ominix_mlx_tpu.ops.quant_matmul import (PackedQuantizedTensor,
+from ominix_mlx_tpu.ops.quant_matmul import (ChannelQuantizedTensor,
+                                             PackedQuantizedTensor,
                                              quantized_matmul)
 
 
@@ -29,7 +30,8 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     Equivalent of reference nn::Linear / nn::QuantizedLinear (mlx-rs/src/nn/).
     """
     w = params["w"]
-    if isinstance(w, (QuantizedTensor, PackedQuantizedTensor)):
+    if isinstance(w, (QuantizedTensor, PackedQuantizedTensor,
+                      ChannelQuantizedTensor)):
         y = quantized_matmul(x, w)
     else:
         y = jnp.dot(x, w.T, preferred_element_type=x.dtype)
@@ -93,6 +95,9 @@ def embedding(weight, tokens: jax.Array) -> jax.Array:
     if isinstance(weight, PackedQuantizedTensor):
         from ominix_mlx_tpu.ops.quant_matmul import gather_rows
         return gather_rows(weight, tokens)
+    if isinstance(weight, ChannelQuantizedTensor):
+        from ominix_mlx_tpu.ops.quant_matmul import channel_gather_rows
+        return channel_gather_rows(weight, tokens)
     if isinstance(weight, QuantizedTensor):
         gs = weight.group_size
         V, K = weight.q.shape
@@ -108,7 +113,8 @@ def embedding(weight, tokens: jax.Array) -> jax.Array:
 def embedding_as_linear(weight, x: jax.Array) -> jax.Array:
     """Tied lm_head: x @ E^T (reference: embed.as_linear,
     qwen3-mlx/src/model.rs:478-486)."""
-    if isinstance(weight, (QuantizedTensor, PackedQuantizedTensor)):
+    if isinstance(weight, (QuantizedTensor, PackedQuantizedTensor,
+                           ChannelQuantizedTensor)):
         return quantized_matmul(x, weight)
     return jnp.dot(x, weight.T, preferred_element_type=x.dtype)
 

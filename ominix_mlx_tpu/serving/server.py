@@ -89,12 +89,16 @@ class BatchedChatRunner:
         self.wake = threading.Event()
         params = model.params
         if quantize_bits:
-            # batched quantized decode: prepare(batched=True) routes the
-            # slot-decode through the dq kernel (M-independent MXU cost)
+            # batched quantized decode. bits=8 -> channelwise w8a8 (pure
+            # XLA int8 MXU matmul; beats bf16 at M>1 — the throughput
+            # scheme). bits=4 -> group w4 via the dq kernel (half the HBM
+            # again; the CAPACITY scheme for models whose bf16 weights
+            # don't fit at batch).
             from ominix_mlx_tpu.models import base as _base
             params = _base.quantize_params(
                 dict(model.params), bits=quantize_bits, consume=False,
-                batched=True)
+                batched=True,
+                scheme="channel8" if quantize_bits == 8 else "group")
         fwd = lambda p, t, c: model.module.forward(p, model.cfg, t, c)
         if paged:
             self.batcher = PagedContinuousBatcher(
@@ -733,8 +737,9 @@ def main():
                          "(0 = per-request decode)")
     ap.add_argument("--batch-max-len", type=int, default=4096)
     ap.add_argument("--batch-quantize-bits", type=int, default=None,
-                    help="serve the continuous batcher with 4/8-bit "
-                         "weights (dq batched decode kernel)")
+                    help="serve the continuous batcher quantized: 8 = "
+                         "channelwise w8a8 (fastest at batch), 4 = group "
+                         "w4 dq kernel (smallest memory)")
     ap.add_argument("--draft-model", default=None,
                     help="draft checkpoint for speculative greedy decode "
                          "(applies to the first chat model)")

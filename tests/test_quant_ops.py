@@ -179,3 +179,57 @@ def test_fused_projection_carries_batched_flag():
         ws.append(qm.prepare(qt, act_bits=8, batched=True))
     fused = base._stack_weights(ws)
     assert fused.batched and fused.data.shape[0] == 1024
+
+
+def test_channel_quantize_matmul_close_to_dense():
+    """Channelwise w8a8 (batched-serving scheme): int8 dot + rank-1
+    rescale must track the dense product within int8 error."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (384, 256), jnp.float32) * 0.02
+    cq = qm.channel_quantize(w)
+    assert cq.data.dtype == jnp.int8 and cq.scale.shape == (384,)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256), jnp.bfloat16)
+    got = qm.quantized_matmul(x, cq).astype(jnp.float32)
+    want = x.astype(jnp.float32) @ w.T
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.03, rel
+    # dequantize roundtrip
+    wd = qm.channel_dequantize(cq, jnp.float32)
+    assert float(jnp.max(jnp.abs(wd - w))) < float(jnp.max(cq.scale)) * 0.51
+
+
+def test_channel_scheme_model_forward_and_fusion():
+    """quantize_params(scheme='channel8') + fuse_layer_projections +
+    forward: logits must stay close to the dense model's."""
+    cfg = TransformerConfig(
+        vocab_size=512, hidden_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate_size=256,
+        use_qk_norm=True, tie_word_embeddings=True)
+    dense = base.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    ch = base.quantize_params(dict(dense), scheme="channel8", consume=False)
+    ch = base.fuse_layer_projections(ch)
+    densef = base.fuse_layer_projections(dense)
+    assert isinstance(ch["layers"][0]["qkv_proj"]["w"],
+                      qm.ChannelQuantizedTensor)
+    toks = jnp.arange(8)[None]
+    cache = base.init_cache(cfg, 1, 16, jnp.bfloat16)
+    cache2 = base.init_cache(cfg, 1, 16, jnp.bfloat16)
+    lq, _ = base.forward(ch, cfg, toks, cache)
+    ld, _ = base.forward(densef, cfg, toks, cache2)
+    lq, ld = lq.astype(jnp.float32), ld.astype(jnp.float32)
+    rel = float(jnp.linalg.norm(lq - ld) / jnp.linalg.norm(ld))
+    assert rel < 0.15, rel
+    # greedy next-token usually agrees on a random model; require most
+    # positions to match
+    agree = float(jnp.mean((jnp.argmax(lq, -1) == jnp.argmax(ld, -1))
+                           .astype(jnp.float32)))
+    assert agree >= 0.5, agree
+
+
+def test_channel_embedding_gather():
+    from ominix_mlx_tpu.nn.layers import embedding
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32), jnp.float32) * 0.1
+    cq = qm.channel_quantize(w)
+    toks = jnp.asarray([[1, 5, 63]])
+    got = embedding(cq, toks).astype(jnp.float32)
+    want = w[jnp.asarray([1, 5, 63])][None]
+    assert float(jnp.max(jnp.abs(got - want))) < 0.01

@@ -534,8 +534,8 @@ def test_speculative_chat_matches_greedy(server):
 
 
 def test_batched_chat_quantized_weights(server):
-    """enable_batching(quantize_bits=8): the batcher serves quantized
-    weights (dq/dequant path) and still streams sane greedy tokens."""
+    """enable_batching(quantize_bits=8): the batcher serves channelwise
+    w8a8 weights (int8 MXU path) and still streams sane greedy tokens."""
     server.enable_batching("tiny", slots=2, max_len=256, dtype=jnp.float32,
                            quantize_bits=8)
     try:
