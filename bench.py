@@ -162,6 +162,10 @@ def emit(metric, value, unit, baseline):
 METRICS = {
     "qwen3_4b_w4a8_decode": ("decode", QWEN3_4B, 4, 1, 45.0),
     "qwen3_4b_bf16_decode": ("decode", QWEN3_4B, None, 1, 45.0),
+    # batched serving axis: channelwise w8a8 (XLA int8 MXU matmul) at B=8.
+    # baseline = 8 reference decode streams (8 x 45); bf16 B=8 measured
+    # 644-694 aggregate this round — w8a8 beats it at 1122 (round-3 run).
+    "qwen3_4b_w8a8_b8_decode": ("decode_ch8", QWEN3_4B, 8, 8, 360.0),
     "mistral_7b_w4a8_decode": ("decode", MISTRAL_7B, 4, 1, 82.8),
     "glm4_9b_w4a8_decode": ("decode", GLM4_9B, 4, 1, 35.0),
     # prefill axis (round-3): no published reference prefill figure exists;
@@ -169,10 +173,6 @@ METRICS = {
     # than decode per token, so >1.0 here is a floor, not an achievement —
     # the absolute tok/s is the number that matters)
     "qwen3_4b_bf16_prefill_8k": ("prefill", QWEN3_4B, None, 8192, 45.0),
-    # batched serving axis: channelwise w8a8 (XLA int8 MXU matmul) at B=8.
-    # baseline = 8 reference decode streams (8 x 45); bf16 B=8 measured
-    # 644-694 aggregate this round — w8a8 is the one that beats it.
-    "qwen3_4b_w8a8_b8_decode": ("decode_ch8", QWEN3_4B, 8, 8, 360.0),
 }
 
 HEADLINE = "qwen3_4b_w4a8_decode"
