@@ -125,9 +125,12 @@ def decode_tps(cfg: TransformerConfig, quant_bits=None, batch: int = 1,
 
 
 def prefill_tps(cfg: TransformerConfig, prompt_len: int = 8192,
-                quant_bits=None) -> float:
-    """Long-prompt prefill throughput (flash-attention path), chunked."""
-    params = _retry_alloc(lambda: _build_params(cfg, quant_bits))
+                quant_bits=None, scheme: str = "group") -> float:
+    """Long-prompt prefill throughput (flash-attention path), chunked.
+    scheme="channel8" runs w8a8 prefill: the int8 MXU contracts at 2x the
+    bf16 rate, so compute-bound prefill can beat bf16 outright."""
+    params = _retry_alloc(
+        lambda: _build_params(cfg, quant_bits, scheme=scheme))
     engine = Engine(
         lambda p, t, c: base.forward(p, cfg, t, c), params, SamplerConfig(),
         prefill_forward_fn=lambda p, t, c: base.forward(
@@ -224,6 +227,9 @@ def run_one(name: str):
     if kind == "prefill":
         emit(name, prefill_tps(cfg, prompt_len=arg, quant_bits=bits),
              "tokens/sec", baseline)
+    elif kind == "prefill_ch8":
+        emit(name, prefill_tps(cfg, prompt_len=arg, quant_bits=bits,
+                               scheme="channel8"), "tokens/sec", baseline)
     elif kind == "decode_ch8":
         emit(name, decode_tps(cfg, quant_bits=bits, batch=arg,
                               scheme="channel8"), "tokens/sec", baseline)

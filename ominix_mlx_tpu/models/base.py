@@ -381,6 +381,23 @@ def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
             if name in nlp and not isinstance(nlp[name]["w"], dict):
                 w = q(nlp[name], "w")
                 nlp[name] = {**lp[name], "w": w}
+        if "moe" in nlp and isinstance(nlp["moe"], dict):
+            # stacked experts quantize by the same scheme (router gate is
+            # tiny [E, D] — left dense); shared experts are plain linears
+            from ominix_mlx_tpu.models.moe import quantize_experts_params
+            moe = quantize_experts_params(
+                nlp["moe"], group_size, bits, scheme=scheme)
+            for sname in ("shared_expert",):
+                if sname in moe and isinstance(moe[sname], dict):
+                    se = {}
+                    for pn, pv in moe[sname].items():
+                        if isinstance(pv, dict) and "w" in pv \
+                                and not isinstance(pv["w"], dict):
+                            se[pn] = {**pv, "w": q(dict(pv), "w")}
+                        else:
+                            se[pn] = pv
+                    moe[sname] = se
+            nlp["moe"] = moe
         out["layers"].append(nlp)
     if quantize_embed and isinstance(params.get("embed"), jax.Array):
         # tied lm_head reads the embedding as a linear; quantizing it also

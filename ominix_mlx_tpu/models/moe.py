@@ -98,9 +98,13 @@ def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
     optional "shared_expert": dense mlp params,
     optional "shared_expert_gate", "e_score_correction_bias"}.
     """
-    from ominix_mlx_tpu.ops.quant_matmul import (PackedQuantizedExperts,
+    from ominix_mlx_tpu.ops.quant_matmul import (ChannelQuantizedExperts,
+                                                 PackedQuantizedExperts,
+                                                 channel_expert_matmul_q,
+                                                 channel_gather_qmm,
                                                  dequantize_expert,
-                                                 gather_qmm)
+                                                 gather_qmm,
+                                                 quantize_act_channel)
 
     B, T, D = x.shape
     act = ACTIVATIONS[mcfg.hidden_act]
@@ -110,8 +114,19 @@ def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
     k = mcfg.top_k
     ex = lp["experts"]
     quant = isinstance(ex["gate_proj"], PackedQuantizedExperts)
+    chan = isinstance(ex["gate_proj"], ChannelQuantizedExperts)
 
-    if M <= 8 and quant:
+    if M <= 8 and chan:
+        # decode, channelwise-int8 experts (w8a8 batched serving): the int8
+        # gather streams half of bf16's bytes; int8 MXU dots are exact
+        g = channel_gather_qmm(xt, ex["gate_proj"], idx)  # f32 [M, k, I]
+        u = channel_gather_qmm(xt, ex["up_proj"], idx)
+        h = act(g) * u                                    # f32 [M, k, I]
+        I = h.shape[-1]
+        y = channel_gather_qmm(h.reshape(M * k, I), ex["down_proj"],
+                               idx.reshape(M * k, 1)).reshape(M, k, D)
+        y = jnp.einsum("mkd,mk->md", y, w.astype(jnp.float32))
+    elif M <= 8 and quant:
         # decode, quantized experts: stream ONLY the top-k experts' int4/8
         # slabs (reference gather_qmm, qwen3-mlx/src/qwen3_moe.rs:304-425)
         g = gather_qmm(xt, ex["gate_proj"], idx)         # [M, k, I]
@@ -136,7 +151,20 @@ def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
         comb = jnp.zeros((M, mcfg.num_experts), jnp.float32)
         comb = jax.vmap(lambda c, i, ww: c.at[i].add(ww))(comb, idx,
                                                           w.astype(jnp.float32))
-        if quant:
+        if chan:
+            # channelwise prefill: activations quantized ONCE, every expert
+            # contraction runs on the int8 MXU (2x bf16 rate)
+            xq, sx = quantize_act_channel(xt.astype(jnp.float32))
+
+            def step(acc, e):
+                g = channel_expert_matmul_q(xq, sx, ex["gate_proj"], e)
+                u = channel_expert_matmul_q(xq, sx, ex["up_proj"], e)
+                hq, sh = quantize_act_channel(act(g) * u)
+                ye = channel_expert_matmul_q(hq, sh, ex["down_proj"], e)
+                return acc + ye * comb[:, e][:, None], None
+            y, _ = jax.lax.scan(step, jnp.zeros((M, D), jnp.float32),
+                                jnp.arange(mcfg.num_experts))
+        elif quant:
             # scan over experts, dequantizing ONE slab at a time — bounds
             # peak memory to a single bf16 expert while staying MXU-dense
             def step(acc, e):
@@ -167,18 +195,25 @@ def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
 
 
 def quantize_experts_params(lp: dict, group_size: int = 64,
-                            bits: int = 4) -> dict:
+                            bits: int = 4, scheme: str = "group") -> dict:
     """Quantize a MoE layer's stacked expert weights in place-style (returns
     a new dict). This is what lets Mixtral-8x7B / Qwen3-30B-A3B-class MoE
     fit one chip (reference ships 3/4-bit MoE checkpoints; gather_qmm is the
-    decode path, qwen3-mlx/src/qwen3_moe.rs:304-425)."""
-    from ominix_mlx_tpu.ops.quant_matmul import quantize_experts
+    decode path, qwen3-mlx/src/qwen3_moe.rs:304-425).
+
+    scheme="channel8": per-(expert, output-channel) int8 (w8a8) — the
+    batched-serving scheme (pure XLA int8 MXU, no Pallas)."""
+    from ominix_mlx_tpu.ops.quant_matmul import (channel_quantize_experts,
+                                                 quantize_experts)
 
     out = dict(lp)
     ex = dict(lp["experts"])
     for name in ("gate_proj", "up_proj", "down_proj"):
         if name in ex and isinstance(ex[name], jax.Array):
-            ex[name] = quantize_experts(ex[name], group_size, bits)
+            if scheme == "channel8":
+                ex[name] = channel_quantize_experts(ex[name])
+            else:
+                ex[name] = quantize_experts(ex[name], group_size, bits)
     out["experts"] = ex
     return out
 

@@ -864,8 +864,7 @@ def channel_matmul(x: jax.Array, w: ChannelQuantizedTensor) -> jax.Array:
     lead = x.shape[:-1]
     K = x.shape[-1]
     xf = x.reshape(-1, K).astype(jnp.float32)
-    sx = jnp.max(jnp.abs(xf), axis=1) / 127.0 + 1e-12
-    xq = jnp.clip(jnp.round(xf / sx[:, None]), -127, 127).astype(jnp.int8)
+    xq, sx = quantize_act_channel(xf)
     acc = jax.lax.dot_general(xq, w.data, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)   # [M, N]
     y = acc.astype(jnp.float32) * sx[:, None] * w.scale[None, :]
@@ -877,6 +876,76 @@ def channel_gather_rows(w: ChannelQuantizedTensor,
     """Embedding lookup on a channel-quantized table."""
     rows = w.data[tokens].astype(jnp.float32)
     return (rows * w.scale[tokens][..., None]).astype(jnp.bfloat16)
+
+
+def quantize_act_channel(xf: jax.Array):
+    """Dynamic per-row symmetric int8 activation quantization.
+
+    xf [..., K] float32 -> (int8 codes [..., K], scale [...]). Shared by
+    channel_matmul and the MoE channelwise paths so activations are
+    quantized ONCE per layer invocation, not once per expert."""
+    sx = jnp.max(jnp.abs(xf), axis=-1) / 127.0 + 1e-12
+    xq = jnp.clip(jnp.round(xf / sx[..., None]), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ChannelQuantizedExperts:
+    """Stacked per-expert channelwise-int8 weights (w8a8 MoE). Same scheme
+    as ChannelQuantizedTensor, batched over the expert axis: w[e, n, k] ~
+    data[e, n, k] * scale[e, n]. The batched-serving quantization for MoE
+    models (reference ships group-quant MoE only — QuantizedSwitchLinear,
+    qwen3-mlx/src/qwen3_moe.rs:304-425; channelwise is the MXU-native
+    w8a8 serving variant, see the channelwise section header above)."""
+
+    data: jax.Array   # int8 [E, N, K]
+    scale: jax.Array  # f32 [E, N]
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+
+def channel_quantize_experts(w: jax.Array) -> ChannelQuantizedExperts:
+    """bf16/f32 stacked experts [E, N, K] -> per-(expert, row) int8."""
+    wf = jnp.asarray(w, jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=-1) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(wf / s[..., None]), -127, 127).astype(jnp.int8)
+    return ChannelQuantizedExperts(data=q, scale=s)
+
+
+def channel_dequantize_expert(w: ChannelQuantizedExperts, e,
+                              dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize ONE expert slab [N, K] (prefill scan path)."""
+    data = jax.lax.dynamic_index_in_dim(w.data, e, 0, keepdims=False)
+    s = jax.lax.dynamic_index_in_dim(w.scale, e, 0, keepdims=False)
+    return (data.astype(jnp.float32) * s[:, None]).astype(dtype)
+
+
+def channel_expert_matmul_q(xq: jax.Array, sx: jax.Array,
+                            w: ChannelQuantizedExperts, e) -> jax.Array:
+    """Pre-quantized activations against ONE expert: int8 MXU dot + rank-1
+    rescale. xq [M, K] int8, sx [M] -> f32 [M, N]. Used inside the prefill
+    all-expert scan (activations quantized once outside the scan)."""
+    data = jax.lax.dynamic_index_in_dim(w.data, e, 0, keepdims=False)
+    s = jax.lax.dynamic_index_in_dim(w.scale, e, 0, keepdims=False)
+    acc = jax.lax.dot_general(xq, data, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx[:, None] * s[None, :]
+
+
+def channel_gather_qmm(x: jax.Array, w: ChannelQuantizedExperts,
+                       ids: jax.Array) -> jax.Array:
+    """Decode-path expert-gathered w8a8 matmul: x [T, K], ids [T, k] ->
+    f32 [T, k, N]. The int8 gather IS the HBM traffic (half of bf16); the
+    contraction is a batched int8 MXU dot (reference gather_qmm semantics,
+    mlx-rs/src/ops/quantization.rs:186-226, at the channelwise scheme)."""
+    xq, sx = quantize_act_channel(x.astype(jnp.float32))
+    wq = w.data[ids]                                  # [T, k, N, K] int8
+    acc = jnp.einsum("td,tknd->tkn", xq, wq,
+                     preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx[:, None, None] * w.scale[ids]
 
 
 # ------------------------------------------ MoE expert weights (gather_qmm) --

@@ -96,9 +96,23 @@ def moe_param_specs(lp_moe: dict) -> dict:
     over "tp" (serving as the EP axis). In the dense all-expert prefill
     path the one-hot combine contracts the expert axis, so GSPMD lowers it
     to per-device expert compute + one psum — textbook EP without any
-    manual dispatch."""
+    manual dispatch.
+
+    Quantized expert stacks shard the same way: every side-band array
+    (scales/biases) leads with the expert axis, so axis 0 goes on the EP
+    axis and the rest replicate."""
+    from ominix_mlx_tpu.ops.quant_matmul import (ChannelQuantizedExperts,
+                                                 PackedQuantizedExperts)
+
+    def expert_spec(v):
+        if isinstance(v, (PackedQuantizedExperts, ChannelQuantizedExperts)):
+            return jax.tree.map(
+                lambda a: P(*(("tp",) + (None,) * (a.ndim - 1))), v)
+        return P("tp", None, None)
+
     specs = jax.tree.map(lambda _: P(None), lp_moe)
-    specs["experts"] = {k: P("tp", None, None) for k in lp_moe["experts"]}
+    specs["experts"] = {k: expert_spec(lp_moe["experts"][k])
+                        for k in lp_moe["experts"]}
     return specs
 
 

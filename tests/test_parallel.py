@@ -54,6 +54,27 @@ def test_ep_moe_matches_unsharded():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_ep_moe_channelwise_matches_unsharded():
+    """Channelwise-int8 experts shard over the EP axis (data + per-row
+    scale lead with the expert dim) and both decode (gather) and prefill
+    (scan) paths run under GSPMD equal to the single-device result."""
+    from ominix_mlx_tpu.models.moe import quantize_experts_params
+
+    mcfg = MoEConfig(num_experts=8, top_k=2, norm_topk_prob=True,
+                     moe_intermediate_size=32)
+    lp = init_moe_params(jax.random.PRNGKey(1), 64, mcfg, jnp.float32)
+    qlp = quantize_experts_params(lp, scheme="channel8")
+    m = pmesh.make_mesh(dp=2, tp=4, devices=jax.devices()[:8])
+    lps = pmesh.shard_tree(qlp, pmesh.moe_param_specs(qlp), m)
+    for T in (4, 16):   # gather path and scan path
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, T, 64))
+        want = moe_block(qlp, mcfg, x)
+        with jax.set_mesh(m):
+            got = jax.jit(lambda lp, x: moe_block(lp, mcfg, x))(lps, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g

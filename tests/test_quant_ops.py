@@ -122,6 +122,66 @@ def test_moe_block_quantized_matches_dense():
         assert corr > 0.995, (T, corr)
 
 
+def test_moe_block_channelwise_matches_dense():
+    """Channelwise-int8 experts (w8a8 batched serving): both the decode
+    gather path (M<=8) and the prefill int8-scan path must track dense."""
+    from ominix_mlx_tpu.models.moe import (MoEConfig, init_moe_params,
+                                           moe_block, quantize_experts_params)
+    mcfg = MoEConfig(num_experts=4, top_k=2, norm_topk_prob=True,
+                     moe_intermediate_size=64)
+    D = 96
+    lp = init_moe_params(jax.random.PRNGKey(0), D, mcfg, jnp.float32)
+    qlp = quantize_experts_params(lp, scheme="channel8")
+    assert isinstance(qlp["experts"]["gate_proj"], qm.ChannelQuantizedExperts)
+    for T in (2, 16):   # decode (gather path) and prefill (scan path)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, T, D), jnp.float32)
+        y_dense = moe_block(lp, mcfg, x)
+        y_quant = moe_block(qlp, mcfg, x)
+        corr = np.corrcoef(np.asarray(y_dense).ravel(),
+                           np.asarray(y_quant).ravel())[0, 1]
+        assert corr > 0.999, (T, corr)
+
+
+def test_channel_gather_qmm_matches_per_expert():
+    E, N, K, T, k = 4, 64, 128, 3, 2
+    w = jax.random.normal(jax.random.PRNGKey(0), (E, N, K), jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, K), jnp.float32)
+    ids = jnp.asarray([[0, 2], [1, 3], [2, 2]], jnp.int32)
+    cqe = qm.channel_quantize_experts(w)
+    got = qm.channel_gather_qmm(x, cqe, ids)             # [T, k, N]
+    for t in range(T):
+        for j in range(k):
+            want = x[t] @ np.asarray(w[ids[t, j]]).T
+            np.testing.assert_allclose(np.asarray(got[t, j]), want,
+                                       rtol=3e-2, atol=3e-2)
+
+
+def test_quantize_params_channel8_covers_moe_layers():
+    """quantize_params(scheme='channel8') on a MoE model quantizes the
+    stacked experts and shared-expert projections, and forward tracks."""
+    from ominix_mlx_tpu.models import qwen3_moe
+
+    cfg = qwen3_moe.config_from_hf({
+        "vocab_size": 256, "hidden_size": 64, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 16,
+        "intermediate_size": 128, "moe_intermediate_size": 64,
+        "num_experts": 4, "num_experts_per_tok": 2, "norm_topk_prob": True,
+        "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+        "tie_word_embeddings": True})
+    p = qwen3_moe.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qp = base.quantize_params(dict(p), scheme="channel8", consume=False,
+                              quantize_embed=False)
+    l0 = qp["layers"][0]["moe"]
+    assert isinstance(l0["experts"]["gate_proj"], qm.ChannelQuantizedExperts)
+    toks = jnp.arange(6)[None]
+    c1 = qwen3_moe.init_cache(cfg, 1, 16, jnp.float32)
+    c2 = qwen3_moe.init_cache(cfg, 1, 16, jnp.float32)
+    ld, _ = qwen3_moe.forward(p, cfg, toks, c1)
+    lq, _ = qwen3_moe.forward(qp, cfg, toks, c2)
+    corr = np.corrcoef(np.asarray(ld).ravel(), np.asarray(lq).ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
 @pytest.mark.slow
 def test_quantize_tree_generic_hybrid():
     """Generic tree quantizer: eligible 2D weights quantize, everything
