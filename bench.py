@@ -136,7 +136,9 @@ def prefill_tps(cfg: TransformerConfig, prompt_len: int = 8192,
         prefill_forward_fn=lambda p, t, c: base.forward(
             p, cfg, t, c, fresh_prefill=True),
         chunk_forward_fn=lambda p, t, c, kl: base.forward(
-            p, cfg, t, c, kv_limit=kl))
+            p, cfg, t, c, kv_limit=kl),
+        chunk_hidden_forward_fn=lambda p, t, c, kl: base.forward(
+            p, cfg, t, c, kv_limit=kl, skip_logits=True))
     prompt = jnp.ones((1, prompt_len), jnp.int32)
 
     def run():

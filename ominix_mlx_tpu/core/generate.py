@@ -72,7 +72,8 @@ class Engine:
     def __init__(self, forward_fn: Callable, params,
                  sampler: SamplerConfig = SamplerConfig(),
                  prefill_forward_fn: Optional[Callable] = None,
-                 chunk_forward_fn: Optional[Callable] = None):
+                 chunk_forward_fn: Optional[Callable] = None,
+                 chunk_hidden_forward_fn: Optional[Callable] = None):
         """prefill_forward_fn: variant used for the FIRST prefill on an empty
         cache (e.g. base.forward with fresh_prefill=True to enable the Pallas
         flash-attention path). Defaults to forward_fn.
@@ -80,10 +81,16 @@ class Engine:
         chunk_forward_fn(params, tokens, cache, kv_limit): variant for
         CONTINUATION chunks of a long prefill that attends only the first
         ``kv_limit`` cache slots (base.forward's kv_limit) — O(written)
-        instead of O(capacity) per chunk."""
+        instead of O(capacity) per chunk.
+
+        chunk_hidden_forward_fn: like chunk_forward_fn but its first return
+        value is ignored (e.g. base.forward with skip_logits=True). Used for
+        NON-FINAL chunks, whose logits are discarded — skips the lm_head
+        matmul and the [T, V] logits write per chunk."""
         self.forward_fn = forward_fn
         self.prefill_forward_fn = prefill_forward_fn or forward_fn
         self.chunk_forward_fn = chunk_forward_fn
+        self.chunk_hidden_forward_fn = chunk_hidden_forward_fn
         self.params = params
         self.sampler = sampler
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(2,),
@@ -144,21 +151,26 @@ class Engine:
         return self._prefill_jit(self.params, padded, cache,
                                  jnp.int32(T), fresh=fresh)
 
-    def _chunk_jit(self, kv_limit: int):
-        fn = self._chunk_jits.get(kv_limit)
+    def _chunk_jit(self, kv_limit: int, final: bool = True):
+        hidden_fn = self.chunk_hidden_forward_fn if not final else None
+        key = (kv_limit, hidden_fn is not None)
+        fn = self._chunk_jits.get(key)
         if fn is None:
             def impl(params, tokens, cache, real_len):
                 start = cache.offset
-                logits, cache = self.chunk_forward_fn(params, tokens, cache,
-                                                      kv_limit)
+                fwd = hidden_fn or self.chunk_forward_fn
+                logits, cache = fwd(params, tokens, cache, kv_limit)
                 cache = ModelCache(layers=cache.layers,
                                    offset=start + real_len)
+                if hidden_fn is not None:
+                    # non-final chunk: only the KV writes matter
+                    return None, cache
                 last = jax.vmap(lambda lg: jax.lax.dynamic_index_in_dim(
                     lg, real_len - 1, axis=0, keepdims=False))(logits)
                 return last, cache
 
             fn = jax.jit(impl, donate_argnums=(2,))
-            self._chunk_jits[kv_limit] = fn
+            self._chunk_jits[key] = fn
         return fn
 
     def prefill_chunked(self, tokens: jax.Array, cache: ModelCache,
@@ -181,14 +193,21 @@ class Engine:
                 last, cache = self.prefill(tokens[:, pos:end], cache,
                                            fresh=(pos == 0))
             else:
+                # pad to the chunk size, but never past capacity: a padded
+                # window overflowing the cache would make the KV write's
+                # dynamic_update_slice CLAMP its start index and silently
+                # overwrite real slots. Exact-fit padding also preserves
+                # the flash chunk contract kv_limit == chunk start + T.
+                width = chunk_size
+                if cap is not None:
+                    width = min(width, cap - pos)
                 real = end - pos
                 padded = jnp.pad(tokens[:, pos:end],
-                                 ((0, 0), (0, chunk_size - real)))
-                kv_limit = pos + chunk_size
-                if cap is not None:
-                    kv_limit = min(kv_limit, cap)
-                last, cache = self._chunk_jit(kv_limit)(
+                                 ((0, 0), (0, width - real)))
+                out, cache = self._chunk_jit(pos + width, final=end >= T)(
                     self.params, padded, cache, jnp.int32(real))
+                if out is not None:
+                    last = out
             pos = end
         return last, cache
 

@@ -182,10 +182,17 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
     elif kv_limit is not None:
         # continuation chunk of a long prefill: attend only the STATIC
         # prefix of the cache that can hold written keys (O(kv_limit), not
-        # O(capacity) — VERDICT r2 weak #2). The causal mask already hides
-        # slots beyond offset+T.
-        out = sdpa(q, cache.k[:, :, :kv_limit], cache.v[:, :, :kv_limit],
-                   scale=hd ** -0.5, mask=mask)
+        # O(capacity) — VERDICT r2 weak #2). Flash (prefix-unmasked +
+        # chunk-causal, LSE-merged) avoids materializing the f32 [T, S]
+        # scores that XLA spills past S~6k; dense masked SDPA otherwise.
+        pos = kv_limit - T
+        if fa.use_flash_chunk(T, pos, hd) and cfg.sliding_window is None:
+            out = fa.flash_chunk_prefill(
+                q, cache.k[:, :, :kv_limit], cache.v[:, :, :kv_limit],
+                pos, hd ** -0.5)
+        else:
+            out = sdpa(q, cache.k[:, :, :kv_limit], cache.v[:, :, :kv_limit],
+                       scale=hd ** -0.5, mask=mask)
     else:
         out = sdpa(q, cache.k, cache.v, scale=hd ** -0.5, mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.num_heads * hd)
@@ -233,19 +240,23 @@ def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
 
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
             cache: ModelCache, fresh_prefill: bool = False,
-            kv_limit: Optional[int] = None):
+            kv_limit: Optional[int] = None, skip_logits: bool = False):
     """tokens: [B, T] -> (logits [B, T, V], new ModelCache).
 
     fresh_prefill=True (static) asserts the cache is empty, enabling the
     Pallas flash-attention prefill path. kv_limit (static) bounds the
-    attended cache prefix during chunked prefill."""
+    attended cache prefix during chunked prefill. skip_logits=True
+    (static) returns the final hidden states instead of logits — non-final
+    chunks of a long prefill only need the KV writes, and the lm_head is
+    ~1.6 TFLOP + a [T, V] HBM write per 2k chunk on a 150k vocab."""
     return forward_embeds(params, cfg, embedding(params["embed"], tokens),
-                          cache, fresh_prefill, kv_limit)
+                          cache, fresh_prefill, kv_limit, skip_logits)
 
 
 def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
                    cache: ModelCache, fresh_prefill: bool = False,
-                   kv_limit: Optional[int] = None):
+                   kv_limit: Optional[int] = None,
+                   skip_logits: bool = False):
     """Like ``forward`` but takes input embeddings [B, T, D] directly —
     the splice point for multimodal prompts (audio features, image patches;
     reference: deepseek-ocr2 prepare_inputs lib.rs:522, qwen3-asr)."""
@@ -266,6 +277,8 @@ def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
                               fresh_prefill, kv_limit)
         new_layers.append(lc)
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    if skip_logits:
+        return x, cache.with_layers(new_layers).advance(T)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = embedding_as_linear(params["embed"], x)
     else:

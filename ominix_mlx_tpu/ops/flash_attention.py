@@ -64,3 +64,73 @@ def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
 def use_flash(T: int, head_dim: int) -> bool:
     return (supported() and T >= MIN_FLASH_LEN and T % 128 == 0
             and head_dim in (64, 128, 256))
+
+
+# --------------------- continuation chunks (long-prompt chunked prefill) ----
+#
+# A continuation chunk's queries (global positions pos..pos+T-1) attend the
+# whole written prefix 0..pos plus the chunk itself causally. The XLA dense
+# path materializes f32 [H, T, pos+T] scores — at 8k context that is >2GB
+# per layer and XLA starts spilling with compressed copies (measured v5e:
+# the softmax fusion degrades from 4.7ms at S=4096 to 188ms at S=8192 —
+# 91% of the whole prefill). Flash never materializes scores. The stock
+# kernel's causal flag is top-left aligned (q i <-> kv i), which is wrong
+# for a shifted chunk, so: TWO flash calls — prefix (unmasked) + chunk
+# (causal, equal lengths) — merged exactly in the LSE domain.
+
+
+def _merge_partials(o1, l1, m1, o2, l2, m2):
+    """Merge two softmax-normalized partial attentions over disjoint key
+    sets (flash residual convention: o normalized, l = sum exp(s-m), m =
+    row max; l/m broadcast along a trailing lane axis)."""
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m) * l1
+    a2 = jnp.exp(m2 - m) * l2
+    denom = a1 + a2
+    w1 = (a1 / denom)[..., :1]
+    w2 = (a2 / denom)[..., :1]
+    return o1.astype(jnp.float32) * w1 + o2.astype(jnp.float32) * w2
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "pos"))
+def _flash_chunk(q, k, v, scale: float, pos: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, _flash_attention_impl)
+
+    B, H, T, D = q.shape
+    qs = (q * scale).astype(q.dtype)
+
+    def call(kseg, vseg, causal):
+        S = kseg.shape[2]
+        bs = BlockSizes.get_default(batch_size=B, num_heads=H, q_seq_len=T,
+                                    kv_len=S, d_model=D)
+        return _flash_attention_impl(
+            qs, kseg, vseg, None, None, True, causal, 1.0,
+            bs.block_b, bs.block_q, bs.block_k_major, bs.block_k, False)
+
+    o1, l1, m1 = call(k[:, :, :pos], v[:, :, :pos], False)
+    o2, l2, m2 = call(k[:, :, pos:pos + T], v[:, :, pos:pos + T], True)
+    # impl strips the lane axis: l/m are [B, H, T] -> restore for the merge
+    return _merge_partials(o1, l1[..., None], m1[..., None],
+                           o2, l2[..., None], m2[..., None]).astype(q.dtype)
+
+
+def flash_chunk_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
+                        pos: int, scale: float) -> jax.Array:
+    """Attention for a continuation chunk of a long prefill.
+
+    q: [B, H, T, D] at global positions pos..pos+T-1; k/v: [B, Hkv, pos+T, D]
+    (the written cache prefix INCLUDING this chunk's keys). pos is static."""
+    B, H, T, D = q.shape
+    Hkv = k.shape[1]
+    if H != Hkv:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    return _flash_chunk(q, k.astype(q.dtype), v.astype(q.dtype), scale, pos)
+
+
+def use_flash_chunk(T: int, pos: int, head_dim: int) -> bool:
+    return (supported() and pos > 0 and pos % 128 == 0
+            and T >= MIN_FLASH_LEN and T % 128 == 0
+            and head_dim in (64, 128, 256))

@@ -65,6 +65,10 @@ class LoadedModel:
                 kw["chunk_forward_fn"] = \
                     lambda p, t, c, kl: self.module.forward(
                         p, self.cfg, t, c, kv_limit=kl)
+            if "skip_logits" in fwd_params and "kv_limit" in fwd_params:
+                kw["chunk_hidden_forward_fn"] = \
+                    lambda p, t, c, kl: self.module.forward(
+                        p, self.cfg, t, c, kv_limit=kl, skip_logits=True)
             eng = self._engine_cls(
                 lambda p, t, c: self.module.forward(p, self.cfg, t, c),
                 self.params, sampler, **kw)

@@ -151,6 +151,62 @@ def test_prefill_chunked_matches_single_shot():
     assert int(t1[0]) == int(t2[0])
 
 
+def test_flash_chunk_merge_partials_exact():
+    """LSE-merge of two disjoint-key partial attentions (the flash
+    continuation-chunk path, ops/flash_attention.py) equals dense softmax
+    attention over the concatenated keys."""
+    from ominix_mlx_tpu.ops.flash_attention import _merge_partials
+
+    B, H, T, D, S1, S2 = 1, 2, 4, 8, 6, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.random.normal(ks[0], (B, H, T, D))
+    k1 = jax.random.normal(ks[1], (B, H, S1, D))
+    v1 = jax.random.normal(ks[2], (B, H, S1, D))
+    k2 = jax.random.normal(ks[3], (B, H, S2, D))
+    v2 = jax.random.normal(ks[4], (B, H, S2, D))
+
+    def partial_attn(k, v):
+        s = jnp.einsum("bhtd,bhsd->bhts", q, k)
+        m = jnp.max(s, axis=-1, keepdims=True)          # [B,H,T,1]
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum("bhts,bhsd->bhtd", p / l, v)
+        # flash stores l/m broadcast along a 128-lane axis; 2 lanes suffice
+        rep = lambda x: jnp.repeat(x, 2, axis=-1)
+        return o, rep(l), rep(m)
+
+    got = _merge_partials(*partial_attn(k1, v1), *partial_attn(k2, v2))
+    s = jnp.einsum("bhtd,bhsd->bhts", q,
+                   jnp.concatenate([k1, k2], axis=2))
+    want = jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(s, axis=-1),
+                      jnp.concatenate([v1, v2], axis=2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_prefill_chunked_capacity_cap_fallback():
+    """A chunk whose padded window would exceed cache capacity routes
+    through plain prefill (the flash chunk contract kv_limit==pos+T cannot
+    hold there) and still equals single-shot prefill."""
+    params = tiny_model()
+    engine = Engine(
+        lambda p, t, c: base.forward(p, TINY, t, c), params,
+        prefill_forward_fn=lambda p, t, c: base.forward(
+            p, TINY, t, c, fresh_prefill=True),
+        chunk_forward_fn=lambda p, t, c, kl: base.forward(
+            p, TINY, t, c, kv_limit=kl))
+    prompt = jnp.asarray([np.arange(1, 29) % 100])      # 28 tokens, cap 30
+    c1 = base.init_cache(TINY, 1, 30, jnp.float32)
+    want, _ = engine.prefill(prompt, c1)
+    c2 = base.init_cache(TINY, 1, 30, jnp.float32)
+    got, c2 = engine.prefill_chunked(prompt, c2, chunk_size=8)
+    assert int(c2.offset) == 28
+    # last chunk (pos=24) pads only to capacity: kv_limit 30, never 32
+    assert all(kl <= 30 for kl, _ in engine._chunk_jits)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_encode_hidden_as_text_encoder():
     params = tiny_model()
     h = base.encode_hidden(params, TINY, jnp.asarray([[1, 2, 3, 4]]))
@@ -170,14 +226,18 @@ def test_prefill_chunked_kv_limit_matches_single_shot():
         prefill_forward_fn=lambda p, t, c: base.forward(
             p, TINY, t, c, fresh_prefill=True),
         chunk_forward_fn=lambda p, t, c, kl: base.forward(
-            p, TINY, t, c, kv_limit=kl))
+            p, TINY, t, c, kv_limit=kl),
+        chunk_hidden_forward_fn=lambda p, t, c, kl: base.forward(
+            p, TINY, t, c, kv_limit=kl, skip_logits=True))
     prompt = jnp.asarray([np.arange(1, 23) % 100])
     c1 = base.init_cache(TINY, 1, 64, jnp.float32)
     want, c1 = engine.prefill(prompt, c1)
     c2 = base.init_cache(TINY, 1, 64, jnp.float32)
     got, c2 = engine.prefill_chunked(prompt, c2, chunk_size=8)
     assert int(c2.offset) == 22
-    assert set(engine._chunk_jits) == {16, 24}   # static kv_limits compiled
+    # static kv_limits compiled; the non-final chunk used the lm-head-free
+    # hidden variant, the final one the logits variant
+    assert set(engine._chunk_jits) == {(16, True), (24, False)}
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
     # caches agree where written
