@@ -178,6 +178,10 @@ METRICS = {
     # than decode per token, so >1.0 here is a floor, not an achievement —
     # the absolute tok/s is the number that matters)
     "qwen3_4b_bf16_prefill_8k": ("prefill", QWEN3_4B, None, 8192, 45.0),
+    # 32k long-context prefill: flash continuation chunks end to end (the
+    # dense kv_limit path spilled f32 scores and could not reach this
+    # length); same floor-style baseline as the 8k row
+    "qwen3_4b_bf16_prefill_32k": ("prefill", QWEN3_4B, None, 32768, 45.0),
 }
 
 HEADLINE = "qwen3_4b_w4a8_decode"

@@ -147,6 +147,21 @@ class Engine:
             bucket = T
         else:
             bucket = min(bucket_length(T), cap)
+            from ominix_mlx_tpu.core.cache import RotatingKVCache
+            if not fresh and not any(isinstance(lc, RotatingKVCache)
+                                     for lc in cache.layers):
+                # resuming a partly-full cache: a padded bucket overflowing
+                # capacity would make the KV write's dynamic_update_slice
+                # CLAMP its start index and silently overwrite real slots
+                # (rotating caches wrap by design). offset is concrete here
+                # (prefill is host code), so exact-fit to the free tail.
+                free = cap - int(cache.offset)
+                if T > free:
+                    raise ValueError(
+                        f"prompt length {T} exceeds the cache's remaining "
+                        f"capacity {free} (offset {int(cache.offset)} of "
+                        f"{cap}); create the cache with a larger max_len")
+                bucket = min(bucket, free)
         padded = jnp.pad(tokens, ((0, 0), (0, bucket - T)))
         return self._prefill_jit(self.params, padded, cache,
                                  jnp.int32(T), fresh=fresh)

@@ -98,18 +98,35 @@ def _flash_chunk(q, k, v, scale: float, pos: int):
         BlockSizes, _flash_attention_impl)
 
     B, H, T, D = q.shape
+    Hkv = k.shape[1]
+    G = H // Hkv
     qs = (q * scale).astype(q.dtype)
 
-    def call(kseg, vseg, causal):
+    def call(qseg, kseg, vseg, causal):
         S = kseg.shape[2]
-        bs = BlockSizes.get_default(batch_size=B, num_heads=H, q_seq_len=T,
-                                    kv_len=S, d_model=D)
+        Tq = qseg.shape[2]
+        bs = BlockSizes.get_default(batch_size=B, num_heads=qseg.shape[1],
+                                    q_seq_len=Tq, kv_len=S, d_model=D)
         return _flash_attention_impl(
-            qs, kseg, vseg, None, None, True, causal, 1.0,
+            qseg, kseg, vseg, None, None, True, causal, 1.0,
             bs.block_b, bs.block_q, bs.block_k_major, bs.block_k, False)
 
-    o1, l1, m1 = call(k[:, :, :pos], v[:, :, :pos], False)
-    o2, l2, m2 = call(k[:, :, pos:pos + T], v[:, :, pos:pos + T], True)
+    # Prefix (non-causal): fold the GQA group into the QUERY axis instead
+    # of repeating K/V — a materialized [B, H, pos, D] repeat is hundreds
+    # of MB of pure HBM traffic per layer per chunk at 32k context, and
+    # unmasked attention is invariant to the query-row order. Head h = j*G+g
+    # lands at folded row g*T+t of kv head j.
+    qf = qs.reshape(B, Hkv, G * T, D)
+    o1, l1, m1 = call(qf, k[:, :, :pos], v[:, :, :pos], False)
+    o1 = o1.reshape(B, H, T, D)
+    l1 = l1.reshape(B, H, T)
+    m1 = m1.reshape(B, H, T)
+    # Chunk (causal, equal lengths): repeat only the chunk's K/V (small)
+    kc, vc = k[:, :, pos:pos + T], v[:, :, pos:pos + T]
+    if G > 1:
+        kc = jnp.repeat(kc, G, axis=1)
+        vc = jnp.repeat(vc, G, axis=1)
+    o2, l2, m2 = call(qs, kc, vc, True)
     # impl strips the lane axis: l/m are [B, H, T] -> restore for the merge
     return _merge_partials(o1, l1[..., None], m1[..., None],
                            o2, l2[..., None], m2[..., None]).astype(q.dtype)
@@ -121,12 +138,6 @@ def flash_chunk_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
 
     q: [B, H, T, D] at global positions pos..pos+T-1; k/v: [B, Hkv, pos+T, D]
     (the written cache prefix INCLUDING this chunk's keys). pos is static."""
-    B, H, T, D = q.shape
-    Hkv = k.shape[1]
-    if H != Hkv:
-        rep = H // Hkv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
     return _flash_chunk(q, k.astype(q.dtype), v.astype(q.dtype), scale, pos)
 
 

@@ -51,8 +51,13 @@ class ContinuousBatcher:
 
     def __init__(self, forward_fn: Callable, params, cfg, init_cache_fn,
                  slots: int = 4, max_len: int = 2048,
-                 stop_tokens: Tuple[int, ...] = ()):
+                 stop_tokens: Tuple[int, ...] = (),
+                 prefill_forward_fn: Optional[Callable] = None):
+        """prefill_forward_fn: variant used for the (always-fresh) adoption
+        prefill — e.g. base.forward with fresh_prefill=True, which rides the
+        Pallas flash kernel instead of dense O(T * capacity) masked SDPA."""
         self.fwd = forward_fn
+        self.prefill_fwd = prefill_forward_fn or forward_fn
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -89,7 +94,7 @@ class ContinuousBatcher:
 
         def prefill(params, tokens, real_len, layers1, sp1, key1):
             cache = ModelCache(layers=layers1, offset=jnp.zeros((), jnp.int32))
-            logits, cache = self.fwd(params, tokens, cache)
+            logits, cache = self.prefill_fwd(params, tokens, cache)
             last = jax.lax.dynamic_index_in_dim(logits[0], real_len - 1, 0,
                                                 keepdims=False)
             tok = sample_dynamic(last[None], key1[None], sp1)[0]
@@ -283,7 +288,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
     def __init__(self, forward_fn: Callable, params, cfg,
                  slots: int = 4, max_len: int = 2048,
                  num_pages: Optional[int] = None, page_size: int = 64,
-                 stop_tokens: Tuple[int, ...] = (), dtype=jnp.bfloat16):
+                 stop_tokens: Tuple[int, ...] = (), dtype=jnp.bfloat16,
+                 prefill_forward_fn: Optional[Callable] = None):
         from ominix_mlx_tpu.core.paged_cache import (PageAllocator,
                                                      PagedKVCache)
         assert max_len % page_size == 0, (max_len, page_size)
@@ -309,7 +315,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 offset=jnp.zeros((slots_,), jnp.int32))
 
         super().__init__(forward_fn, params, cfg, make_cache, slots=slots,
-                         max_len=max_len, stop_tokens=stop_tokens)
+                         max_len=max_len, stop_tokens=stop_tokens,
+                         prefill_forward_fn=prefill_forward_fn)
 
         def paged_adopt(pools, k1s, v1s, page_row, offsets, toks, slot,
                         off_new, tok_new):

@@ -104,15 +104,24 @@ class BatchedChatRunner:
                 batched=True,
                 scheme="channel8" if quantize_bits == 8 else "group")
         fwd = lambda p, t, c: model.module.forward(p, model.cfg, t, c)
+        import inspect
+        pfwd = None
+        if "fresh_prefill" in inspect.signature(
+                model.module.forward).parameters:
+            # adoption prefills are always fresh: ride the Pallas flash
+            # kernel instead of dense O(T * capacity) masked SDPA
+            pfwd = lambda p, t, c: model.module.forward(
+                p, model.cfg, t, c, fresh_prefill=True)
         if paged:
             self.batcher = PagedContinuousBatcher(
                 fwd, params, model.cfg, slots=slots, max_len=max_len,
-                num_pages=num_pages, page_size=page_size, dtype=dtype)
+                num_pages=num_pages, page_size=page_size, dtype=dtype,
+                prefill_forward_fn=pfwd)
         else:
             self.batcher = ContinuousBatcher(
                 fwd, params, model.cfg,
                 lambda cfg, b, ml: model.module.init_cache(cfg, b, ml, dtype),
-                slots=slots, max_len=max_len)
+                slots=slots, max_len=max_len, prefill_forward_fn=pfwd)
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 

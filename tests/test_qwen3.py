@@ -207,6 +207,27 @@ def test_prefill_chunked_capacity_cap_fallback():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_multiturn_prefill_near_capacity_exact_fit():
+    """Resuming prefill on a partly-full cache: the padded bucket must not
+    overflow capacity (dynamic_update_slice would clamp and overwrite real
+    slots), and an over-long continuation raises instead of corrupting."""
+    params = tiny_model()
+    engine = Engine(lambda p, t, c: base.forward(p, TINY, t, c), params)
+    full = jnp.asarray([np.arange(1, 29) % 100])        # 28 tokens, cap 30
+    c1 = base.init_cache(TINY, 1, 30, jnp.float32)
+    want, _ = engine.prefill(full, c1)
+    # turn 1: 22 tokens; turn 2: 6 more (bucket would be 8 > free 8? free=8
+    # so exact-fit trims padding to the free tail)
+    c2 = base.init_cache(TINY, 1, 30, jnp.float32)
+    _, c2 = engine.prefill(full[:, :22], c2)
+    got, c2 = engine.prefill(full[:, 22:], c2, fresh=False)
+    assert int(c2.offset) == 28
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError, match="remaining capacity"):
+        engine.prefill(full[:, :8], c2, fresh=False)    # 8 > free 2
+
+
 def test_encode_hidden_as_text_encoder():
     params = tiny_model()
     h = base.encode_hidden(params, TINY, jnp.asarray([[1, 2, 3, 4]]))
