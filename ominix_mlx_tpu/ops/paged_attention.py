@@ -1,0 +1,205 @@
+"""Fused paged decode attention — hand-pipelined Pallas kernel.
+
+Why a kernel at decode: XLA lowers sdpa-over-the-gathered-view as separate
+QK / softmax / AV fusions, each re-streaming K or V (measured v5e: 285us
+per layer at B=8, S=2048 — 3.5x the 82us HBM roofline; the page-table
+gather itself is free, XLA fuses it). The stock
+jax.experimental.pallas.ops.tpu.paged_attention kernel was measured
+SLOWER than XLA here (365-448us across its block sizes) — consistent with
+the round-2 finding that Mosaic's auto grid pipelining does not overlap
+panel DMAs on this target. So, as with ops/quant_matmul.py, the kernel
+hand-rolls the pipeline: grid=(), one flat fori_loop over (row, chunk)
+pairs, double-buffered per-page DMAs, online softmax carried in VMEM, and
+every dot_general in standard orientation (lhs lanes x rhs sublanes —
+non-standard orientations stall the remote Mosaic service).
+
+Layout contract (core/paged_cache.py): k pages stored TRANSPOSED
+[n_kv, P, D, ps] so the QK dot reads kT panels [D, ps] contiguously and
+the per-page DMA destination is a 128-lane-aligned slice (requires
+page_size == 128); v pages natural [n_kv, P, ps, D] for the AV dot.
+
+The query side arrives BLOCK-DIAGONAL (``_block_diag_q``): one
+[H, n_kv*D] @ [n_kv*D, CHUNK] dot computes every head's scores against
+its own kv head in a single MXU op instead of n_kv small ones.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
+_CP = 4          # pages per chunk (CHUNK = _CP * page_size tokens)
+
+
+def supported() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def use_paged_kernel(n_kv: int, page_size: int, max_pages: int,
+                     head_dim: int) -> bool:
+    cp = min(_CP, max_pages)
+    return (supported() and page_size == 128 and head_dim % 128 == 0
+            and max_pages % cp == 0)
+
+
+def _pa_kernel(table_ref, len_ref, qbd_ref, k_hbm, v_hbm, out_ref,
+               kbuf, vbuf, m_s, l_s, acc_s, ksems, vsems, *,
+               B: int, NKV: int, G: int, D: int, PS: int, CP: int,
+               NCH: int):
+    H = NKV * G
+    CHUNK = CP * PS
+
+    def valid(t):
+        b = jax.lax.div(t, NCH)
+        c = jax.lax.rem(t, NCH)
+        return c * CHUNK < len_ref[b, 0]
+
+    def dmas(slot, t):
+        b = jax.lax.div(t, NCH)
+        c = jax.lax.rem(t, NCH)
+        ops = []
+        for p in range(CP):
+            pid = table_ref[b, c * CP + p]
+            ops.append(pltpu.make_async_copy(
+                k_hbm.at[:, pid],                       # [NKV, D, PS]
+                kbuf.at[slot, :, :, pl.ds(p * PS, PS)],
+                ksems.at[slot, p]))
+            ops.append(pltpu.make_async_copy(
+                v_hbm.at[:, pid],                       # [NKV, PS, D]
+                vbuf.at[slot, :, pl.ds(p * PS, PS), :],
+                vsems.at[slot, p]))
+        return ops
+
+    @pl.when(valid(0))
+    def _():
+        for op in dmas(0, 0):
+            op.start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        b = jax.lax.div(t, NCH)
+        c = jax.lax.rem(t, NCH)
+
+        @pl.when((t + 1 < B * NCH) & valid(t + 1))
+        def _():
+            for op in dmas(jax.lax.rem(t + 1, 2), t + 1):
+                op.start()
+
+        @pl.when(c == 0)
+        def _():
+            m_s[...] = jnp.full((H, 128), _NEG, jnp.float32)
+            l_s[...] = jnp.zeros((H, 128), jnp.float32)
+            acc_s[...] = jnp.zeros((H, D), jnp.float32)
+
+        @pl.when(valid(t))
+        def _():
+            for op in dmas(slot, t):
+                op.wait()
+            kT = kbuf[slot].reshape(NKV * D, CHUNK)
+            s = jax.lax.dot_general(
+                qbd_ref[b], kT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [H, CHUNK]
+            rem = len_ref[b, 0] - c * CHUNK
+            lane = jax.lax.broadcasted_iota(jnp.int32, (H, CHUNK), 1)
+            s = jnp.where(lane < rem, s, _NEG)
+            m_prev = m_s[:, :1]
+            m_curr = jnp.max(s, axis=1, keepdims=True)   # [H, 1]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)             # [H, 1]
+            p = jnp.exp(s - m_next)                      # [H, CHUNK] f32
+            l_next = alpha * l_s[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+            m_s[...] = jnp.broadcast_to(m_next, (H, 128))
+            l_s[...] = jnp.broadcast_to(l_next, (H, 128))
+            pb = p.astype(jnp.bfloat16)
+            for j in range(NKV):
+                acc_s[j * G:(j + 1) * G, :] = (
+                    acc_s[j * G:(j + 1) * G, :] * alpha[j * G:(j + 1) * G]
+                    + jax.lax.dot_general(
+                        pb[j * G:(j + 1) * G], vbuf[slot, j],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+
+        @pl.when(c == NCH - 1)
+        def _():
+            linv = 1.0 / jnp.maximum(l_s[:, :1], 1e-30)
+            out_ref[b] = (acc_s[...] * linv).astype(out_ref.dtype)
+
+        return ()
+
+    jax.lax.fori_loop(0, B * NCH, body, ())
+
+
+def _block_diag_q(q: jax.Array, n_kv: int, scale: float) -> jax.Array:
+    """q [B, H, D] -> block-diagonal [B, H, n_kv*D]: row j*G+g holds
+    q[b, j*G+g] * scale in lane block j*D..(j+1)*D, zeros elsewhere."""
+    B, H, D = q.shape
+    G = H // n_kv
+    qg = (q * scale).reshape(B, n_kv, G, D)
+    eye = jnp.eye(n_kv, dtype=q.dtype)
+    qbd = jnp.einsum("bjgd,je->bjged", qg.astype(q.dtype), eye)
+    return qbd.reshape(B, H, n_kv * D)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
+                       interpret: bool = False):
+    NKV, P, D, PS = k_pool.shape
+    B, H, _ = qbd.shape
+    G = H // NKV
+    MP = table.shape[1]
+    CP = min(_CP, MP)
+    NCH = MP // CP
+    CHUNK = CP * PS
+    lens2 = lengths.reshape(B, 1).astype(jnp.int32)
+    kern = functools.partial(_pa_kernel, B=B, NKV=NKV, G=G, D=D, PS=PS,
+                             CP=CP, NCH=NCH)
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # table [B, MP]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lengths [B, 1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qbd [B, H, NKV*D]
+            pl.BlockSpec(memory_space=pl.ANY),       # k_pool
+            pl.BlockSpec(memory_space=pl.ANY),       # v_pool
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, NKV, D, CHUNK), k_pool.dtype),
+            pltpu.VMEM((2, NKV, CHUNK, D), v_pool.dtype),
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, CP)),
+            pltpu.SemaphoreType.DMA((2, CP)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * MP * PS * D * 2,
+            bytes_accessed=2 * B * NKV * MP * PS * D * 2,
+            transcendentals=B * H * MP * PS),
+        interpret=interpret,
+    )(table.astype(jnp.int32), lens2, qbd, k_pool, v_pool)
+
+
+def paged_decode_attention(q: jax.Array, k_pool: jax.Array,
+                           v_pool: jax.Array, page_table: jax.Array,
+                           lengths: jax.Array, scale: float,
+                           interpret: bool = False) -> jax.Array:
+    """q: [B, H, D] (one decode step); k_pool [n_kv, P, D, ps] (transposed
+    pages), v_pool [n_kv, P, ps, D]; page_table [B, max_pages]; lengths [B]
+    valid tokens per row (INCLUDING the token written this step).
+    Returns [B, H, D]. Only streams the pages the table maps, one fused
+    pass over K and V. interpret=True runs the kernel in the Pallas
+    interpreter (CPU tests)."""
+    NKV = k_pool.shape[0]
+    qbd = _block_diag_q(q.astype(jnp.bfloat16), NKV, scale)
+    out = _paged_decode_call(qbd, k_pool, v_pool, page_table, lengths,
+                             scale, interpret=interpret)
+    return out.astype(q.dtype)

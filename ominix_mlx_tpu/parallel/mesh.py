@@ -163,8 +163,8 @@ def cache_specs(cache) -> object:
 
     def layer_spec(lc):
         if isinstance(lc, PagedKVCache):
-            # pool [P, page, n_kv, D]: KV heads on tp; page table replicated
-            pool = P(None, None, "tp", None)
+            # pool [n_kv, P, page, D]: KV heads on tp; page table replicated
+            pool = P("tp", None, None, None)
             return PagedKVCache(k_pool=pool, v_pool=pool,
                                 page_table=P(None, None))
         if isinstance(lc, (KVCache, RotatingKVCache, SparseKVCache)):

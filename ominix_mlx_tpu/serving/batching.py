@@ -326,13 +326,15 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 bucket = k1.shape[2]
                 n = -(-bucket // ps)
                 pad = n * ps - bucket
-                def vals(a):
-                    x = jnp.transpose(a[0], (1, 0, 2))       # [bucket,n_kv,D]
+                def vals(a, transposed):
+                    x = a[0]                                  # [n_kv,bucket,D]
                     if pad:
-                        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-                    return x.reshape(n, ps, self.n_kv, self.hd)
-                kp = kp.at[page_row].set(vals(k1).astype(kp.dtype))
-                vp = vp.at[page_row].set(vals(v1).astype(vp.dtype))
+                        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                    x = x.reshape(self.n_kv, n, ps, self.hd)
+                    # k pages are stored transposed ([n_kv, P, D, ps])
+                    return jnp.transpose(x, (0, 1, 3, 2)) if transposed else x
+                kp = kp.at[:, page_row].set(vals(k1, True).astype(kp.dtype))
+                vp = vp.at[:, page_row].set(vals(v1, False).astype(vp.dtype))
                 new_pools.append((kp, vp))
             offsets = offsets.at[slot].set(off_new)
             toks = toks.at[slot].set(tok_new)

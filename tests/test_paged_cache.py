@@ -142,3 +142,38 @@ def test_paged_batcher_rejects_never_fitting_request():
     done = cb.run_all([])
     assert big == [None]
     assert "small" in done and len(done["small"]) >= 1
+
+
+def test_paged_decode_attention_kernel_interpret_matches_sdpa():
+    """The hand-rolled paged decode-attention kernel (Pallas interpreter on
+    CPU) equals masked sdpa over the gathered dense view, across ragged
+    per-row lengths including page-boundary cases."""
+    import numpy as np
+
+    from ominix_mlx_tpu.core.attention import NEG_INF, sdpa
+    from ominix_mlx_tpu.core.paged_cache import PagedKVCache
+    from ominix_mlx_tpu.ops.paged_attention import paged_decode_attention
+
+    B, H, NKV, D, PS, MP = 4, 8, 2, 128, 128, 4
+    S = MP * PS
+    num_pages = B * MP + 1
+    pc = PagedKVCache(
+        k_pool=jax.random.normal(jax.random.PRNGKey(0),
+                                 (NKV, num_pages, D, PS), jnp.float32),
+        v_pool=jax.random.normal(jax.random.PRNGKey(1),
+                                 (NKV, num_pages, PS, D), jnp.float32),
+        page_table=jax.random.permutation(
+            jax.random.PRNGKey(2),
+            jnp.arange(1, num_pages, dtype=jnp.int32)).reshape(B, MP))
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, H, D), jnp.float32)
+    lengths = jnp.asarray([1, 128, 129, 512], jnp.int32)
+
+    got = paged_decode_attention(q, pc.k_pool, pc.v_pool, pc.page_table,
+                                 lengths, D ** -0.5, interpret=True)
+    mask = jnp.where(jnp.arange(S)[None, None, :] < lengths[:, None, None],
+                     0.0, NEG_INF).astype(jnp.float32)
+    want = sdpa(q[:, :, None, :], pc.k, pc.v, scale=D ** -0.5,
+                mask=mask)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
