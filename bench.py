@@ -94,12 +94,14 @@ def _build_params(cfg, quant_bits, batched=False, scheme="group"):
 
 def decode_tps(cfg: TransformerConfig, quant_bits=None, batch: int = 1,
                prompt_len: int = 128, cache_len: int = 1024,
-               scheme: str = "group") -> float:
+               scheme: str = "group", paged: bool = False) -> float:
     """Marginal decode tok/s via the difference-quotient methodology:
     prefill and dispatch overheads cancel between the two loop lengths.
     batch>1 reports AGGREGATE tok/s across the batch (scheme="channel8"
     serves w8a8 via the XLA int8 MXU path — the batch-throughput scheme;
-    "group" rides the dq/P Pallas kernels)."""
+    "group" rides the dq/P Pallas kernels). paged=True runs decode over
+    the paged KV pool: attention rides the fused Pallas decode kernel and
+    streams only written pages instead of full capacity."""
     params = _retry_alloc(
         lambda: _build_params(cfg, quant_bits, batched=batch > 1,
                               scheme=scheme))
@@ -110,7 +112,11 @@ def decode_tps(cfg: TransformerConfig, quant_bits=None, batch: int = 1,
     prompt = jnp.ones((batch, prompt_len), jnp.int32)
 
     def run(n):
-        cache = base.init_cache(cfg, batch, cache_len, jnp.bfloat16)
+        if paged:
+            cache = base.init_paged_cache(cfg, batch, cache_len,
+                                          dtype=jnp.bfloat16)
+        else:
+            cache = base.init_cache(cfg, batch, cache_len, jnp.bfloat16)
         t0 = time.perf_counter()
         toks, _ = engine.generate_scan(prompt, cache, max_tokens=n)
         int(toks[0, -1])  # force a value fetch (block_until_ready is
@@ -171,6 +177,11 @@ METRICS = {
     # baseline = 8 reference decode streams (8 x 45); bf16 B=8 measured
     # 644-694 aggregate this round — w8a8 beats it at 1122 (round-3 run).
     "qwen3_4b_w8a8_b8_decode": ("decode_ch8", QWEN3_4B, 8, 8, 360.0),
+    # same serving config over the PAGED pool + fused Pallas decode
+    # attention (ops/paged_attention.py): attention streams only written
+    # pages, one pass over K/V
+    "qwen3_4b_w8a8_b8_paged_decode": ("decode_ch8_paged", QWEN3_4B, 8, 8,
+                                      360.0),
     "mistral_7b_w4a8_decode": ("decode", MISTRAL_7B, 4, 1, 82.8),
     "glm4_9b_w4a8_decode": ("decode", GLM4_9B, 4, 1, 35.0),
     # prefill axis (round-3): no published reference prefill figure exists;
@@ -239,6 +250,10 @@ def run_one(name: str):
     elif kind == "decode_ch8":
         emit(name, decode_tps(cfg, quant_bits=bits, batch=arg,
                               scheme="channel8"), "tokens/sec", baseline)
+    elif kind == "decode_ch8_paged":
+        emit(name, decode_tps(cfg, quant_bits=bits, batch=arg,
+                              scheme="channel8", paged=True),
+             "tokens/sec", baseline)
     else:
         emit(name, decode_tps(cfg, quant_bits=bits, batch=arg),
              "tokens/sec", baseline)

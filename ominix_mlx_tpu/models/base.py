@@ -309,6 +309,27 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int,
                                  max_len, cfg.hd, dtype)
 
 
+def init_paged_cache(cfg: TransformerConfig, batch: int, max_len: int,
+                     page_size: int = 128, dtype=jnp.bfloat16) -> ModelCache:
+    """Fully-backed paged cache with per-row contiguous page tables (page 0
+    is the null page). Same capacity semantics as ``init_cache``; decode
+    attention rides the fused Pallas kernel (ops/paged_attention.py) and
+    streams only the pages written so far instead of full capacity."""
+    from ominix_mlx_tpu.core.paged_cache import PagedKVCache
+
+    assert max_len % page_size == 0, (max_len, page_size)
+    mp = max_len // page_size
+    num_pages = batch * mp + 1
+    # each layer gets its OWN table buffer: jits donate the whole cache,
+    # and a shared buffer would be donated twice in one call
+    layers = [PagedKVCache.init(
+        batch, cfg.num_kv_heads, num_pages, page_size, cfg.hd, mp, dtype,
+        page_table=(jnp.arange(batch * mp, dtype=jnp.int32)
+                    .reshape(batch, mp) + 1))
+              for _ in range(cfg.num_layers)]
+    return ModelCache(layers=layers, offset=jnp.zeros((), jnp.int32))
+
+
 PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
               "gate_proj", "up_proj", "down_proj",
               "qkv_proj", "gate_up_proj")

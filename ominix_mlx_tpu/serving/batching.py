@@ -287,7 +287,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     def __init__(self, forward_fn: Callable, params, cfg,
                  slots: int = 4, max_len: int = 2048,
-                 num_pages: Optional[int] = None, page_size: int = 64,
+                 num_pages: Optional[int] = None, page_size: int = 128,
                  stop_tokens: Tuple[int, ...] = (), dtype=jnp.bfloat16,
                  prefill_forward_fn: Optional[Callable] = None):
         from ominix_mlx_tpu.core.paged_cache import (PageAllocator,

@@ -85,7 +85,7 @@ class BatchedChatRunner:
 
     def __init__(self, model, slots: int = 4, max_len: int = 2048,
                  dtype=jnp.bfloat16, paged: bool = False,
-                 num_pages=None, page_size: int = 64,
+                 num_pages=None, page_size: int = 128,
                  quantize_bits=None):
         from ominix_mlx_tpu.serving.batching import (ContinuousBatcher,
                                                      PagedContinuousBatcher)
@@ -248,7 +248,7 @@ class Server:
 
     def enable_batching(self, name: str, slots: int = 4, max_len: int = 2048,
                         dtype=jnp.bfloat16, paged: bool = False,
-                        num_pages=None, page_size: int = 64,
+                        num_pages=None, page_size: int = 128,
                         quantize_bits=None):
         """Turn on continuous batching for a loaded chat model: concurrent
         greedy requests share one slot-decode step instead of serializing

@@ -177,3 +177,23 @@ def test_paged_decode_attention_kernel_interpret_matches_sdpa():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_engine_generate_scan_paged_equals_dense():
+    """Engine decode over init_paged_cache (the bench/serving paged path)
+    equals the dense cache token-for-token."""
+    from ominix_mlx_tpu.core.generate import Engine
+
+    cfg = base.TransformerConfig(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=8,
+        num_kv_heads=4, head_dim=16, intermediate_size=128,
+        use_qk_norm=True, tie_word_embeddings=True)
+    params = base.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    eng = Engine(lambda p, t, c: base.forward(p, cfg, t, c), params)
+    prompt = jnp.asarray([[3, 7, 11, 2], [5, 9, 1, 4]])
+    td, _ = eng.generate_scan(
+        prompt, base.init_cache(cfg, 2, 64, jnp.float32), max_tokens=8)
+    tp, _ = eng.generate_scan(
+        prompt, base.init_paged_cache(cfg, 2, 64, page_size=16,
+                                      dtype=jnp.float32), max_tokens=8)
+    assert [int(t) for t in td.ravel()] == [int(t) for t in tp.ravel()]
