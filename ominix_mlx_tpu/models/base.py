@@ -197,16 +197,17 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
         from ominix_mlx_tpu.core.paged_cache import PagedKVCache
         from ominix_mlx_tpu.ops import paged_attention as pa
         if T == 1 and isinstance(cache, PagedKVCache) \
-                and cfg.sliding_window is None \
                 and pa.use_paged_kernel(cfg.num_kv_heads, cache.page_size,
                                         cache.page_table.shape[1], hd):
             # fused decode attention over the page pool: ONE pass over K/V
-            # instead of XLA's separate QK/softmax/AV fusions (3.5x HBM)
+            # instead of XLA's separate QK/softmax/AV fusions (3.5x HBM);
+            # sliding-window models skip chunks outside the window
             lengths = (offset if getattr(offset, "ndim", 0) == 1
                        else jnp.broadcast_to(offset, (B,))) + 1
             o = pa.paged_decode_attention(
                 q[:, :, 0, :], cache.k_pool, cache.v_pool,
-                cache.page_table, lengths, hd ** -0.5)
+                cache.page_table, lengths, hd ** -0.5,
+                window=cfg.sliding_window or 0)
             out = o[:, :, None, :]
         else:
             out = sdpa(q, cache.k, cache.v, scale=hd ** -0.5, mask=mask)

@@ -50,14 +50,23 @@ def use_paged_kernel(n_kv: int, page_size: int, max_pages: int,
 def _pa_kernel(table_ref, len_ref, qbd_ref, k_hbm, v_hbm, out_ref,
                kbuf, vbuf, m_s, l_s, acc_s, ksems, vsems, *,
                B: int, NKV: int, G: int, D: int, PS: int, CP: int,
-               NCH: int):
+               NCH: int, window: int = 0):
     H = NKV * G
     CHUNK = CP * PS
+
+    def win_start(b):
+        # sliding window: only positions [len - window, len) attend
+        if window <= 0:
+            return 0
+        return jnp.maximum(len_ref[b, 0] - window, 0)
 
     def valid(t):
         b = jax.lax.div(t, NCH)
         c = jax.lax.rem(t, NCH)
-        return c * CHUNK < len_ref[b, 0]
+        ok = c * CHUNK < len_ref[b, 0]
+        if window > 0:
+            ok = ok & ((c + 1) * CHUNK > win_start(b))
+        return ok
 
     def dmas(slot, t):
         b = jax.lax.div(t, NCH)
@@ -106,7 +115,10 @@ def _pa_kernel(table_ref, len_ref, qbd_ref, k_hbm, v_hbm, out_ref,
                 preferred_element_type=jnp.float32)      # [H, CHUNK]
             rem = len_ref[b, 0] - c * CHUNK
             lane = jax.lax.broadcasted_iota(jnp.int32, (H, CHUNK), 1)
-            s = jnp.where(lane < rem, s, _NEG)
+            ok = lane < rem
+            if window > 0:
+                ok = ok & (lane >= win_start(b) - c * CHUNK)
+            s = jnp.where(ok, s, _NEG)
             m_prev = m_s[:, :1]
             m_curr = jnp.max(s, axis=1, keepdims=True)   # [H, 1]
             m_next = jnp.maximum(m_prev, m_curr)
@@ -145,9 +157,10 @@ def _block_diag_q(q: jax.Array, n_kv: int, scale: float) -> jax.Array:
     return qbd.reshape(B, H, n_kv * D)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "window"))
 def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
-                       interpret: bool = False):
+                       interpret: bool = False, window: int = 0):
     NKV, P, D, PS = k_pool.shape
     B, H, _ = qbd.shape
     G = H // NKV
@@ -157,7 +170,7 @@ def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
     CHUNK = CP * PS
     lens2 = lengths.reshape(B, 1).astype(jnp.int32)
     kern = functools.partial(_pa_kernel, B=B, NKV=NKV, G=G, D=D, PS=PS,
-                             CP=CP, NCH=NCH)
+                             CP=CP, NCH=NCH, window=window)
     return pl.pallas_call(
         kern,
         in_specs=[
@@ -191,15 +204,18 @@ def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
 def paged_decode_attention(q: jax.Array, k_pool: jax.Array,
                            v_pool: jax.Array, page_table: jax.Array,
                            lengths: jax.Array, scale: float,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           window: int = 0) -> jax.Array:
     """q: [B, H, D] (one decode step); k_pool [n_kv, P, D, ps] (transposed
     pages), v_pool [n_kv, P, ps, D]; page_table [B, max_pages]; lengths [B]
     valid tokens per row (INCLUDING the token written this step).
     Returns [B, H, D]. Only streams the pages the table maps, one fused
-    pass over K and V. interpret=True runs the kernel in the Pallas
-    interpreter (CPU tests)."""
+    pass over K and V; window > 0 restricts attention to the last
+    ``window`` positions (sliding-window models) and skips chunks outside
+    it. interpret=True runs the kernel in the Pallas interpreter (CPU
+    tests)."""
     NKV = k_pool.shape[0]
     qbd = _block_diag_q(q.astype(jnp.bfloat16), NKV, scale)
     out = _paged_decode_call(qbd, k_pool, v_pool, page_table, lengths,
-                             scale, interpret=interpret)
+                             scale, interpret=interpret, window=window)
     return out.astype(q.dtype)

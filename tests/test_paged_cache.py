@@ -197,3 +197,38 @@ def test_engine_generate_scan_paged_equals_dense():
         prompt, base.init_paged_cache(cfg, 2, 64, page_size=16,
                                       dtype=jnp.float32), max_tokens=8)
     assert [int(t) for t in td.ravel()] == [int(t) for t in tp.ravel()]
+
+
+def test_paged_decode_attention_kernel_sliding_window():
+    """window > 0: the kernel attends only the last `window` positions,
+    equal to masked sdpa with the same window."""
+    import numpy as np
+
+    from ominix_mlx_tpu.core.attention import NEG_INF, sdpa
+    from ominix_mlx_tpu.core.paged_cache import PagedKVCache
+    from ominix_mlx_tpu.ops.paged_attention import paged_decode_attention
+
+    B, H, NKV, D, PS, MP, W = 3, 4, 2, 128, 128, 4, 200
+    S = MP * PS
+    num_pages = B * MP + 1
+    pc = PagedKVCache(
+        k_pool=jax.random.normal(jax.random.PRNGKey(0),
+                                 (NKV, num_pages, D, PS), jnp.float32),
+        v_pool=jax.random.normal(jax.random.PRNGKey(1),
+                                 (NKV, num_pages, PS, D), jnp.float32),
+        page_table=jnp.arange(1, num_pages, dtype=jnp.int32).reshape(B, MP))
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, H, D), jnp.float32)
+    lengths = jnp.asarray([150, 300, 512], jnp.int32)   # below/above window
+
+    got = paged_decode_attention(q, pc.k_pool, pc.v_pool, pc.page_table,
+                                 lengths, D ** -0.5, interpret=True,
+                                 window=W)
+    pos = jnp.arange(S)[None, None, :]
+    ok = (pos < lengths[:, None, None]) & \
+         (pos >= jnp.maximum(lengths - W, 0)[:, None, None])
+    mask = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+    want = sdpa(q[:, :, None, :], pc.k, pc.v, scale=D ** -0.5,
+                mask=mask)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
