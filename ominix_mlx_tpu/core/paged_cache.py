@@ -46,17 +46,36 @@ class PagedKVCache:
     #                        decode kernel's QK dot wants kT panels [D, ps])
     v_pool: jax.Array      # [n_kv, P, page_size, D] (natural: AV wants [ps, D])
     page_table: jax.Array  # [B, max_pages] int32 physical page ids
+    # int8 KV mode: pools are int8 codes with per-(head, token) symmetric
+    # scales — halves pool HBM (2x serving capacity) and halves the decode
+    # kernel's DMA bytes. None -> dense bf16/f32 pools.
+    k_scale: Optional[jax.Array] = None   # f32 [n_kv, P, page_size]
+    v_scale: Optional[jax.Array] = None   # f32 [n_kv, P, page_size]
 
     @staticmethod
     def init(batch: int, n_kv: int, num_pages: int, page_size: int,
              head_dim: int, max_pages: int, dtype=jnp.bfloat16,
-             page_table: Optional[jax.Array] = None) -> "PagedKVCache":
+             page_table: Optional[jax.Array] = None,
+             quantized: bool = False) -> "PagedKVCache":
         if page_table is None:
             page_table = jnp.zeros((batch, max_pages), jnp.int32)
+        if quantized:
+            return PagedKVCache(
+                k_pool=jnp.zeros((n_kv, num_pages, head_dim, page_size),
+                                 jnp.int8),
+                v_pool=jnp.zeros((n_kv, num_pages, page_size, head_dim),
+                                 jnp.int8),
+                page_table=page_table,
+                k_scale=jnp.zeros((n_kv, num_pages, page_size), jnp.float32),
+                v_scale=jnp.zeros((n_kv, num_pages, page_size), jnp.float32))
         return PagedKVCache(
             k_pool=jnp.zeros((n_kv, num_pages, head_dim, page_size), dtype),
             v_pool=jnp.zeros((n_kv, num_pages, page_size, head_dim), dtype),
             page_table=page_table)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def page_size(self) -> int:
@@ -73,7 +92,12 @@ class PagedKVCache:
         n_kv, _, d, ps = self.k_pool.shape
         v = self.k_pool[:, self.page_table]        # [n_kv, B, MP, D, ps]
         v = jnp.transpose(v, (1, 0, 2, 4, 3))      # [B, n_kv, MP, ps, D]
-        return v.reshape(B, n_kv, MP * ps, d)
+        v = v.reshape(B, n_kv, MP * ps, d)
+        if self.quantized:
+            s = self.k_scale[:, self.page_table]   # [n_kv, B, MP, ps]
+            s = jnp.transpose(s, (1, 0, 2, 3)).reshape(B, n_kv, MP * ps)
+            v = (v.astype(jnp.float32) * s[..., None]).astype(jnp.bfloat16)
+        return v
 
     @property
     def v(self) -> jax.Array:
@@ -81,7 +105,12 @@ class PagedKVCache:
         n_kv, _, ps, d = self.v_pool.shape
         v = self.v_pool[:, self.page_table]        # [n_kv, B, MP, ps, D]
         v = v.reshape(n_kv, B, MP * ps, d)
-        return jnp.transpose(v, (1, 0, 2, 3))      # [B, n_kv, S, D]
+        v = jnp.transpose(v, (1, 0, 2, 3))         # [B, n_kv, S, D]
+        if self.quantized:
+            s = self.v_scale[:, self.page_table]   # [n_kv, B, MP, ps]
+            s = jnp.transpose(s, (1, 0, 2, 3)).reshape(B, n_kv, MP * ps)
+            v = (v.astype(jnp.float32) * s[..., None]).astype(jnp.bfloat16)
+        return v
 
     def update(self, k_new: jax.Array, v_new: jax.Array, offset: jax.Array):
         """Write [B, n_kv, T, D] at logical position ``offset`` (scalar or
@@ -97,6 +126,20 @@ class PagedKVCache:
         logical = jnp.clip(pos // ps, 0, self.page_table.shape[1] - 1)
         pages = jnp.take_along_axis(self.page_table, logical, axis=1)  # [B,T]
         within = pos % ps
+        if self.quantized:
+            kq, ks = quantize_kv_tokens(k_new)          # [B,n_kv,T,D]/[B,n_kv,T]
+            vq, vs = quantize_kv_tokens(v_new)
+            k_pool = self.k_pool.at[:, pages, :, within].set(
+                jnp.transpose(kq, (0, 2, 1, 3)))
+            v_pool = self.v_pool.at[:, pages, within].set(
+                jnp.transpose(vq, (1, 0, 2, 3)))
+            k_scale = self.k_scale.at[:, pages, within].set(
+                jnp.transpose(ks, (1, 0, 2)))
+            v_scale = self.v_scale.at[:, pages, within].set(
+                jnp.transpose(vs, (1, 0, 2)))
+            return PagedKVCache(k_pool=k_pool, v_pool=v_pool,
+                                page_table=self.page_table,
+                                k_scale=k_scale, v_scale=v_scale)
         # k: scatter at [j, pages[b,t], :, within[b,t]] <- [b, t, j, :]
         # (non-adjacent advanced indices move the [B, T] dims to the front)
         k_pool = self.k_pool.at[:, pages, :, within].set(
@@ -106,6 +149,15 @@ class PagedKVCache:
             jnp.transpose(v_new, (1, 0, 2, 3)).astype(self.v_pool.dtype))
         return PagedKVCache(k_pool=k_pool, v_pool=v_pool,
                             page_table=self.page_table)
+
+
+def quantize_kv_tokens(x: jax.Array):
+    """Per-token symmetric int8 over the trailing (head-dim) axis:
+    scale = max|x| / 127. Returns (codes int8 [..., D], scales f32 [...])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 class PageAllocator:

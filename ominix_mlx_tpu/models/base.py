@@ -207,7 +207,8 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
             o = pa.paged_decode_attention(
                 q[:, :, 0, :], cache.k_pool, cache.v_pool,
                 cache.page_table, lengths, hd ** -0.5,
-                window=cfg.sliding_window or 0)
+                window=cfg.sliding_window or 0,
+                k_scale=cache.k_scale, v_scale=cache.v_scale)
             out = o[:, :, None, :]
         else:
             out = sdpa(q, cache.k, cache.v, scale=hd ** -0.5, mask=mask)
@@ -311,11 +312,14 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int,
 
 
 def init_paged_cache(cfg: TransformerConfig, batch: int, max_len: int,
-                     page_size: int = 128, dtype=jnp.bfloat16) -> ModelCache:
+                     page_size: int = 128, dtype=jnp.bfloat16,
+                     quantized: bool = False) -> ModelCache:
     """Fully-backed paged cache with per-row contiguous page tables (page 0
     is the null page). Same capacity semantics as ``init_cache``; decode
     attention rides the fused Pallas kernel (ops/paged_attention.py) and
-    streams only the pages written so far instead of full capacity."""
+    streams only the pages written so far instead of full capacity.
+    quantized=True stores int8 pages + per-(head, token) scales (half the
+    pool HBM and half the decode-kernel DMA bytes)."""
     from ominix_mlx_tpu.core.paged_cache import PagedKVCache
 
     assert max_len % page_size == 0, (max_len, page_size)
@@ -326,7 +330,8 @@ def init_paged_cache(cfg: TransformerConfig, batch: int, max_len: int,
     layers = [PagedKVCache.init(
         batch, cfg.num_kv_heads, num_pages, page_size, cfg.hd, mp, dtype,
         page_table=(jnp.arange(batch * mp, dtype=jnp.int32)
-                    .reshape(batch, mp) + 1))
+                    .reshape(batch, mp) + 1),
+        quantized=quantized)
               for _ in range(cfg.num_layers)]
     return ModelCache(layers=layers, offset=jnp.zeros((), jnp.int32))
 

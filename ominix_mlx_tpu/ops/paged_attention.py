@@ -47,10 +47,15 @@ def use_paged_kernel(n_kv: int, page_size: int, max_pages: int,
             and max_pages % cp == 0)
 
 
-def _pa_kernel(table_ref, len_ref, qbd_ref, k_hbm, v_hbm, out_ref,
-               kbuf, vbuf, m_s, l_s, acc_s, ksems, vsems, *,
-               B: int, NKV: int, G: int, D: int, PS: int, CP: int,
-               NCH: int, window: int = 0):
+def _pa_kernel(*refs, B: int, NKV: int, G: int, D: int, PS: int, CP: int,
+               NCH: int, window: int = 0, quant: bool = False):
+    if quant:
+        (table_ref, len_ref, qbd_ref, onehot_ref, k_hbm, v_hbm, ks_hbm,
+         vs_hbm, out_ref, kbuf, vbuf, ksc, vsc, m_s, l_s, acc_s, ksems,
+         vsems, kssems, vssems) = refs
+    else:
+        (table_ref, len_ref, qbd_ref, k_hbm, v_hbm, out_ref, kbuf, vbuf,
+         m_s, l_s, acc_s, ksems, vsems) = refs
     H = NKV * G
     CHUNK = CP * PS
 
@@ -82,6 +87,15 @@ def _pa_kernel(table_ref, len_ref, qbd_ref, k_hbm, v_hbm, out_ref,
                 v_hbm.at[:, pid],                       # [NKV, PS, D]
                 vbuf.at[slot, :, pl.ds(p * PS, PS), :],
                 vsems.at[slot, p]))
+            if quant:
+                ops.append(pltpu.make_async_copy(
+                    ks_hbm.at[:, pid],                  # [NKV, PS]
+                    ksc.at[slot, :, pl.ds(p * PS, PS)],
+                    kssems.at[slot, p]))
+                ops.append(pltpu.make_async_copy(
+                    vs_hbm.at[:, pid],
+                    vsc.at[slot, :, pl.ds(p * PS, PS)],
+                    vssems.at[slot, p]))
         return ops
 
     @pl.when(valid(0))
@@ -109,10 +123,22 @@ def _pa_kernel(table_ref, len_ref, qbd_ref, k_hbm, v_hbm, out_ref,
         def _():
             for op in dmas(slot, t):
                 op.wait()
-            kT = kbuf[slot].reshape(NKV * D, CHUNK)
+            if quant:
+                # int8 pages: cast the slab to bf16 (1 op/elem ~ stream
+                # rate, but the DMA moved HALF the bytes), expand the
+                # per-(head, token) scales to all H rows with one one-hot
+                # matmul (Mosaic cannot broadcast along lanes otherwise)
+                kT = kbuf[slot].astype(jnp.bfloat16).reshape(NKV * D, CHUNK)
+            else:
+                kT = kbuf[slot].reshape(NKV * D, CHUNK)
             s = jax.lax.dot_general(
                 qbd_ref[b], kT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [H, CHUNK]
+            if quant:
+                ks_exp = jax.lax.dot_general(
+                    onehot_ref[...], ksc[slot], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [H, CHUNK]
+                s = s * ks_exp
             rem = len_ref[b, 0] - c * CHUNK
             lane = jax.lax.broadcasted_iota(jnp.int32, (H, CHUNK), 1)
             ok = lane < rem
@@ -127,12 +153,22 @@ def _pa_kernel(table_ref, len_ref, qbd_ref, k_hbm, v_hbm, out_ref,
             l_next = alpha * l_s[:, :1] + jnp.sum(p, axis=1, keepdims=True)
             m_s[...] = jnp.broadcast_to(m_next, (H, 128))
             l_s[...] = jnp.broadcast_to(l_next, (H, 128))
+            if quant:
+                # fold the per-token V scale into p BEFORE the AV dot (the
+                # contraction mixes tokens with different scales)
+                vs_exp = jax.lax.dot_general(
+                    onehot_ref[...], vsc[slot], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                p = p * vs_exp
             pb = p.astype(jnp.bfloat16)
             for j in range(NKV):
+                vj = vbuf[slot, j]
+                if quant:
+                    vj = vj.astype(jnp.bfloat16)
                 acc_s[j * G:(j + 1) * G, :] = (
                     acc_s[j * G:(j + 1) * G, :] * alpha[j * G:(j + 1) * G]
                     + jax.lax.dot_general(
-                        pb[j * G:(j + 1) * G], vbuf[slot, j],
+                        pb[j * G:(j + 1) * G], vj,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32))
 
@@ -160,6 +196,7 @@ def _block_diag_q(q: jax.Array, n_kv: int, scale: float) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("scale", "interpret",
                                              "window"))
 def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
+                       k_scale=None, v_scale=None,
                        interpret: bool = False, window: int = 0):
     NKV, P, D, PS = k_pool.shape
     B, H, _ = qbd.shape
@@ -168,54 +205,78 @@ def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
     CP = min(_CP, MP)
     NCH = MP // CP
     CHUNK = CP * PS
+    quant = k_scale is not None
     lens2 = lengths.reshape(B, 1).astype(jnp.int32)
     kern = functools.partial(_pa_kernel, B=B, NKV=NKV, G=G, D=D, PS=PS,
-                             CP=CP, NCH=NCH, window=window)
+                             CP=CP, NCH=NCH, window=window, quant=quant)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # table [B, MP]
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # lengths [B, 1]
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # qbd [B, H, NKV*D]
+    ]
+    args = [table.astype(jnp.int32), lens2, qbd]
+    if quant:
+        # static one-hot expanding per-kv-head rows to all H rows
+        onehot = jnp.repeat(jnp.eye(NKV, dtype=jnp.float32), G, axis=0)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(onehot)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),    # k_pool
+                 pl.BlockSpec(memory_space=pl.ANY)]    # v_pool
+    args += [k_pool, v_pool]
+    scratch = [
+        pltpu.VMEM((2, NKV, D, CHUNK), k_pool.dtype),
+        pltpu.VMEM((2, NKV, CHUNK, D), v_pool.dtype),
+    ]
+    if quant:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # k_scale
+                     pl.BlockSpec(memory_space=pl.ANY)]   # v_scale
+        args += [k_scale, v_scale]
+        scratch += [pltpu.VMEM((2, NKV, CHUNK), jnp.float32),
+                    pltpu.VMEM((2, NKV, CHUNK), jnp.float32)]
+    scratch += [
+        pltpu.VMEM((H, 128), jnp.float32),
+        pltpu.VMEM((H, 128), jnp.float32),
+        pltpu.VMEM((H, D), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, CP)),
+        pltpu.SemaphoreType.DMA((2, CP)),
+    ]
+    if quant:
+        scratch += [pltpu.SemaphoreType.DMA((2, CP)),
+                    pltpu.SemaphoreType.DMA((2, CP))]
+    itemsize = 1 if quant else 2
     return pl.pallas_call(
         kern,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # table [B, MP]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # lengths [B, 1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # qbd [B, H, NKV*D]
-            pl.BlockSpec(memory_space=pl.ANY),       # k_pool
-            pl.BlockSpec(memory_space=pl.ANY),       # v_pool
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.bfloat16),
-        scratch_shapes=[
-            pltpu.VMEM((2, NKV, D, CHUNK), k_pool.dtype),
-            pltpu.VMEM((2, NKV, CHUNK, D), v_pool.dtype),
-            pltpu.VMEM((H, 128), jnp.float32),
-            pltpu.VMEM((H, 128), jnp.float32),
-            pltpu.VMEM((H, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, CP)),
-            pltpu.SemaphoreType.DMA((2, CP)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * MP * PS * D * 2,
-            bytes_accessed=2 * B * NKV * MP * PS * D * 2,
+            bytes_accessed=2 * B * NKV * MP * PS * D * itemsize,
             transcendentals=B * H * MP * PS),
         interpret=interpret,
-    )(table.astype(jnp.int32), lens2, qbd, k_pool, v_pool)
+    )(*args)
 
 
 def paged_decode_attention(q: jax.Array, k_pool: jax.Array,
                            v_pool: jax.Array, page_table: jax.Array,
                            lengths: jax.Array, scale: float,
-                           interpret: bool = False,
-                           window: int = 0) -> jax.Array:
+                           interpret: bool = False, window: int = 0,
+                           k_scale=None, v_scale=None) -> jax.Array:
     """q: [B, H, D] (one decode step); k_pool [n_kv, P, D, ps] (transposed
     pages), v_pool [n_kv, P, ps, D]; page_table [B, max_pages]; lengths [B]
     valid tokens per row (INCLUDING the token written this step).
     Returns [B, H, D]. Only streams the pages the table maps, one fused
     pass over K and V; window > 0 restricts attention to the last
     ``window`` positions (sliding-window models) and skips chunks outside
-    it. interpret=True runs the kernel in the Pallas interpreter (CPU
-    tests)."""
+    it. k_scale/v_scale [n_kv, P, ps] switch to int8 pages (half the DMA
+    bytes; scales applied in-kernel). interpret=True runs the kernel in
+    the Pallas interpreter (CPU tests)."""
     NKV = k_pool.shape[0]
     qbd = _block_diag_q(q.astype(jnp.bfloat16), NKV, scale)
     out = _paged_decode_call(qbd, k_pool, v_pool, page_table, lengths,
-                             scale, interpret=interpret, window=window)
+                             scale, k_scale=k_scale, v_scale=v_scale,
+                             interpret=interpret, window=window)
     return out.astype(q.dtype)

@@ -289,7 +289,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  slots: int = 4, max_len: int = 2048,
                  num_pages: Optional[int] = None, page_size: int = 128,
                  stop_tokens: Tuple[int, ...] = (), dtype=jnp.bfloat16,
-                 prefill_forward_fn: Optional[Callable] = None):
+                 prefill_forward_fn: Optional[Callable] = None,
+                 quantize_kv: bool = False):
         from ominix_mlx_tpu.core.paged_cache import (PageAllocator,
                                                      PagedKVCache)
         assert max_len % page_size == 0, (max_len, page_size)
@@ -311,7 +312,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
             return ModelCache(
                 layers=[PagedKVCache.init(
                     slots_, self.n_kv, self.num_pages, page_size, self.hd,
-                    self.max_pages, dtype) for _ in range(self.num_layers)],
+                    self.max_pages, dtype, quantized=quantize_kv)
+                        for _ in range(self.num_layers)],
                 offset=jnp.zeros((slots_,), jnp.int32))
 
         super().__init__(forward_fn, params, cfg, make_cache, slots=slots,
@@ -320,21 +322,34 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
         def paged_adopt(pools, k1s, v1s, page_row, offsets, toks, slot,
                         off_new, tok_new):
+            from ominix_mlx_tpu.core.paged_cache import quantize_kv_tokens
             ps = page_size
             new_pools = []
-            for (kp, vp), k1, v1 in zip(pools, k1s, v1s):
+            for pool, k1, v1 in zip(pools, k1s, v1s):
                 bucket = k1.shape[2]
                 n = -(-bucket // ps)
                 pad = n * ps - bucket
-                def vals(a, transposed):
+                def paged(a):
                     x = a[0]                                  # [n_kv,bucket,D]
                     if pad:
                         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-                    x = x.reshape(self.n_kv, n, ps, self.hd)
+                    return x.reshape(self.n_kv, n, ps, self.hd)
+                if quantize_kv:
+                    kp, vp, ksc, vsc = pool
+                    kq, ks = quantize_kv_tokens(paged(k1))  # [n_kv,n,ps,D]/[..ps]
+                    vq, vs = quantize_kv_tokens(paged(v1))
                     # k pages are stored transposed ([n_kv, P, D, ps])
-                    return jnp.transpose(x, (0, 1, 3, 2)) if transposed else x
-                kp = kp.at[:, page_row].set(vals(k1, True).astype(kp.dtype))
-                vp = vp.at[:, page_row].set(vals(v1, False).astype(vp.dtype))
+                    kp = kp.at[:, page_row].set(
+                        jnp.transpose(kq, (0, 1, 3, 2)))
+                    vp = vp.at[:, page_row].set(vq)
+                    ksc = ksc.at[:, page_row].set(ks)
+                    vsc = vsc.at[:, page_row].set(vs)
+                    new_pools.append((kp, vp, ksc, vsc))
+                    continue
+                kp, vp = pool
+                kp = kp.at[:, page_row].set(
+                    jnp.transpose(paged(k1), (0, 1, 3, 2)).astype(kp.dtype))
+                vp = vp.at[:, page_row].set(paged(v1).astype(vp.dtype))
                 new_pools.append((kp, vp))
             offsets = offsets.at[slot].set(off_new)
             toks = toks.at[slot].set(tok_new)
@@ -350,7 +365,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         donate every buffer without aliasing."""
         from ominix_mlx_tpu.core.paged_cache import PagedKVCache
         return [PagedKVCache(k_pool=lc.k_pool, v_pool=lc.v_pool,
-                             page_table=jnp.asarray(self.table.copy()))
+                             page_table=jnp.asarray(self.table.copy()),
+                             k_scale=lc.k_scale, v_scale=lc.v_scale)
                 for lc in self.cache.layers]
 
     def _sync_table(self):
@@ -370,7 +386,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
         row[:min(len(owned), n)] = owned[:n]
         self.table[b, :] = 0
         self.table[b, :len(owned)] = owned
-        pools = [(lc.k_pool, lc.v_pool) for lc in self.cache.layers]
+        quant = self.cache.layers[0].quantized
+        pools = [((lc.k_pool, lc.v_pool, lc.k_scale, lc.v_scale) if quant
+                  else (lc.k_pool, lc.v_pool)) for lc in self.cache.layers]
         k1s = [l1.k for l1 in layers1]
         v1s = [l1.v for l1 in layers1]
         pools, self.offsets, self.toks = self._paged_adopt(
@@ -378,9 +396,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
             jnp.int32(b), jnp.int32(T), tok)
         from ominix_mlx_tpu.core.paged_cache import PagedKVCache
         self.cache = ModelCache(
-            layers=[PagedKVCache(k_pool=kp, v_pool=vp,
-                                 page_table=lc.page_table)
-                    for (kp, vp), lc in zip(pools, self.cache.layers)],
+            layers=[PagedKVCache(k_pool=p[0], v_pool=p[1],
+                                 page_table=lc.page_table,
+                                 k_scale=p[2] if quant else None,
+                                 v_scale=p[3] if quant else None)
+                    for p, lc in zip(pools, self.cache.layers)],
             offset=self.offsets)
         self._sync_table()
 

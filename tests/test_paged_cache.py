@@ -199,6 +199,110 @@ def test_engine_generate_scan_paged_equals_dense():
     assert [int(t) for t in td.ravel()] == [int(t) for t in tp.ravel()]
 
 
+def test_paged_cache_int8_update_roundtrip():
+    """Quantized pool .k/.v views equal explicit quantize-dequantize of the
+    written values (per-token symmetric int8 over the head dim)."""
+    from ominix_mlx_tpu.core.paged_cache import quantize_kv_tokens
+
+    B, n_kv, d, ps, mp = 2, 3, 8, 4, 4
+    table = jnp.asarray(
+        [[1 + b * mp + i for i in range(mp)] for b in range(B)], jnp.int32)
+    paged = PagedKVCache.init(B, n_kv, 1 + B * mp, ps, d, mp,
+                              page_table=table, quantized=True)
+    assert paged.quantized and paged.k_pool.dtype == jnp.int8
+    rng = jax.random.PRNGKey(0)
+    off = 0
+    want_k = np.zeros((B, n_kv, mp * ps, d), np.float32)
+    want_v = np.zeros((B, n_kv, mp * ps, d), np.float32)
+    for T in (3, 1, 5, 1):
+        rng, r1, r2 = jax.random.split(rng, 3)
+        k = jax.random.normal(r1, (B, n_kv, T, d))
+        v = jax.random.normal(r2, (B, n_kv, T, d))
+        paged = paged.update(k, v, jnp.asarray([off, off], jnp.int32))
+        for x, out in ((k, want_k), (v, want_v)):
+            q, s = quantize_kv_tokens(x)
+            dq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+            out[:, :, off:off + T] = dq
+        off += T
+    np.testing.assert_allclose(
+        np.asarray(paged.k, np.float32)[:, :, :off], want_k[:, :, :off],
+        rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(paged.v, np.float32)[:, :, :off], want_v[:, :, :off],
+        rtol=1e-2, atol=1e-2)
+
+
+def test_paged_decode_attention_kernel_int8_interpret():
+    """int8-paged kernel (interpret mode) equals masked sdpa over the
+    dequantized dense view, ragged lengths."""
+    from ominix_mlx_tpu.core.attention import NEG_INF, sdpa
+    from ominix_mlx_tpu.core.paged_cache import (PagedKVCache,
+                                                 quantize_kv_tokens)
+    from ominix_mlx_tpu.ops.paged_attention import paged_decode_attention
+
+    B, H, NKV, D, PS, MP = 4, 8, 2, 128, 128, 4
+    S = MP * PS
+    num_pages = B * MP + 1
+    kn = jax.random.normal(jax.random.PRNGKey(0),
+                           (NKV, num_pages, PS, D), jnp.float32)
+    vn = jax.random.normal(jax.random.PRNGKey(1),
+                           (NKV, num_pages, PS, D), jnp.float32)
+    kq, ks = quantize_kv_tokens(kn)       # [NKV, P, PS, D] / [NKV, P, PS]
+    vq, vs = quantize_kv_tokens(vn)
+    pc = PagedKVCache(
+        k_pool=jnp.transpose(kq, (0, 1, 3, 2)),     # [NKV, P, D, PS]
+        v_pool=vq,
+        page_table=jax.random.permutation(
+            jax.random.PRNGKey(2),
+            jnp.arange(1, num_pages, dtype=jnp.int32)).reshape(B, MP),
+        k_scale=ks.astype(jnp.float32), v_scale=vs.astype(jnp.float32))
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, H, D), jnp.float32)
+    lengths = jnp.asarray([1, 128, 129, 512], jnp.int32)
+
+    got = paged_decode_attention(q, pc.k_pool, pc.v_pool, pc.page_table,
+                                 lengths, D ** -0.5, interpret=True,
+                                 k_scale=pc.k_scale, v_scale=pc.v_scale)
+    mask = jnp.where(jnp.arange(S)[None, None, :] < lengths[:, None, None],
+                     0.0, NEG_INF).astype(jnp.float32)
+    want = sdpa(q[:, :, None, :], pc.k, pc.v, scale=D ** -0.5,
+                mask=mask)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_paged_int8_decode_logits_close_to_dense():
+    """Full decode step through base.forward with an int8 paged cache:
+    logits stay close to the dense-cache logits (quantization noise only),
+    and the batcher's quantize_kv mode completes end-to-end."""
+    cfg = base.TransformerConfig(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=8,
+        num_kv_heads=4, head_dim=16, intermediate_size=128,
+        tie_word_embeddings=True)
+    params = base.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    prompt = jnp.asarray([[3, 7, 11, 2], [5, 9, 1, 4]])
+    dense = base.init_cache(cfg, 2, 64, jnp.float32)
+    paged = base.init_paged_cache(cfg, 2, 64, page_size=16,
+                                  dtype=jnp.float32, quantized=True)
+    assert paged.layers[0].quantized
+    ld, dense = base.forward(params, cfg, prompt, dense)
+    lp, paged = base.forward(params, cfg, prompt, paged)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ld),
+                               rtol=0.1, atol=0.15)
+    nxt = jnp.argmax(ld[:, -1:], axis=-1)
+    ld2, _ = base.forward(params, cfg, nxt, dense)
+    lp2, _ = base.forward(params, cfg, nxt, paged)
+    np.testing.assert_allclose(np.asarray(lp2), np.asarray(ld2),
+                               rtol=0.1, atol=0.2)
+
+    cb = PagedContinuousBatcher(
+        lambda p, t, c: base.forward(p, cfg, t, c), params, cfg,
+        slots=2, max_len=64, page_size=16, num_pages=9,
+        dtype=jnp.float32, quantize_kv=True)
+    got = cb.run_all([("a", [3, 7, 11], 6), ("b", [5, 2], 6)])
+    assert len(got["a"]) >= 5 and len(got["b"]) >= 5
+
+
 def test_paged_decode_attention_kernel_sliding_window():
     """window > 0: the kernel attends only the last `window` positions,
     equal to masked sdpa with the same window."""
