@@ -205,11 +205,35 @@ PER_METRIC_TIMEOUT_S = 900
 TOTAL_BUDGET_S = 3000
 
 
+def _tunnel_alive(timeout_s: int = 240) -> bool:
+    """One trivial device op in a subprocess. The remote compile service
+    has been observed to wedge INDEFINITELY (even trivial ops hang) after
+    a bad client; in that state every metric would burn its full timeout,
+    so probe once up front and fail fast instead."""
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "print(float(jnp.dot(x, x)[0, 0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     """Each metric runs in its own subprocess: model buffers don't free
     reliably within one process (jit static-arg caches pin them). The child
     handles tunnel HBM-release lag itself by poll-retrying its first
     allocation, so the parent never sleeps."""
+    alive = _tunnel_alive() or _tunnel_alive(300)
+    if not alive:
+        for name in METRICS:
+            print(json.dumps({"metric": name,
+                              "error": "device tunnel unresponsive "
+                                       "(trivial op hung 2x)"}), flush=True)
+        return
     results = {}
     t_start = time.monotonic()
     for name in METRICS:

@@ -86,7 +86,7 @@ class BatchedChatRunner:
     def __init__(self, model, slots: int = 4, max_len: int = 2048,
                  dtype=jnp.bfloat16, paged: bool = False,
                  num_pages=None, page_size: int = 128,
-                 quantize_bits=None):
+                 quantize_bits=None, kv_bits=None):
         from ominix_mlx_tpu.serving.batching import (ContinuousBatcher,
                                                      PagedContinuousBatcher)
         self.lock = threading.Lock()
@@ -116,7 +116,7 @@ class BatchedChatRunner:
             self.batcher = PagedContinuousBatcher(
                 fwd, params, model.cfg, slots=slots, max_len=max_len,
                 num_pages=num_pages, page_size=page_size, dtype=dtype,
-                prefill_forward_fn=pfwd)
+                prefill_forward_fn=pfwd, quantize_kv=kv_bits == 8)
         else:
             self.batcher = ContinuousBatcher(
                 fwd, params, model.cfg,
@@ -249,15 +249,17 @@ class Server:
     def enable_batching(self, name: str, slots: int = 4, max_len: int = 2048,
                         dtype=jnp.bfloat16, paged: bool = False,
                         num_pages=None, page_size: int = 128,
-                        quantize_bits=None):
+                        quantize_bits=None, kv_bits=None):
         """Turn on continuous batching for a loaded chat model: concurrent
         greedy requests share one slot-decode step instead of serializing
         on the inference thread. ``paged=True`` backs the slots with a
-        shared paged KV pool (core/paged_cache.py) sized ``num_pages``."""
+        shared paged KV pool (core/paged_cache.py) sized ``num_pages``;
+        ``kv_bits=8`` stores the pool as int8 pages (half the KV HBM, so
+        the same pool holds 2x the in-flight tokens)."""
         self.batchers[name] = BatchedChatRunner(
             self.models[name], slots=slots, max_len=max_len, dtype=dtype,
             paged=paged, num_pages=num_pages, page_size=page_size,
-            quantize_bits=quantize_bits)
+            quantize_bits=quantize_bits, kv_bits=kv_bits)
 
     def enable_speculative(self, name: str, draft_dir: str = None,
                            draft_layers: int = None,
@@ -753,6 +755,15 @@ def main():
                     help="serve the continuous batcher quantized: 8 = "
                          "channelwise w8a8 (fastest at batch), 4 = group "
                          "w4 dq kernel (smallest memory)")
+    ap.add_argument("--batch-paged", action="store_true",
+                    help="back batching slots with a shared paged KV pool")
+    ap.add_argument("--batch-num-pages", type=int, default=None,
+                    help="physical pages in the shared pool (default: "
+                         "fully backed; smaller = oversubscribed)")
+    ap.add_argument("--kv-bits", type=int, default=None, choices=(8,),
+                    help="int8 KV pages in the paged pool (half the KV "
+                         "HBM -> 2x in-flight tokens); requires "
+                         "--batch-paged")
     ap.add_argument("--draft-model", default=None,
                     help="draft checkpoint for speculative greedy decode "
                          "(applies to the first chat model)")
@@ -769,7 +780,10 @@ def main():
         if args.batch_slots and isinstance(srv.models[name], LoadedModel):
             srv.enable_batching(name, slots=args.batch_slots,
                                 max_len=args.batch_max_len,
-                                quantize_bits=args.batch_quantize_bits)
+                                quantize_bits=args.batch_quantize_bits,
+                                paged=args.batch_paged or bool(args.kv_bits),
+                                num_pages=args.batch_num_pages,
+                                kv_bits=args.kv_bits)
         elif (args.draft_model or args.draft_layers) \
                 and isinstance(srv.models[name], LoadedModel) \
                 and not srv.spec:

@@ -408,6 +408,24 @@ def test_batched_chat_paged_pool(server):
         server.batchers.pop("tiny", None)
 
 
+def test_batched_chat_paged_int8_kv(server):
+    """Paged batching with kv_bits=8: int8 pool pages, request completes
+    and streams a non-empty completion (int8 KV is lossy, so no
+    token-exactness claim against the dense route)."""
+    server.enable_batching("tiny", slots=2, max_len=128, dtype=jnp.float32,
+                           paged=True, page_size=16, num_pages=10,
+                           kv_bits=8)
+    try:
+        assert server.batchers["tiny"].batcher.cache.layers[0].quantized
+        got = _post("/v1/chat/completions", {
+            "model": "tiny", "max_tokens": 6,
+            "messages": [{"role": "user", "content": "paged"}]})[
+                "choices"][0]["message"]["content"]
+        assert isinstance(got, str) and len(got) > 0
+    finally:
+        server.batchers.pop("tiny", None)
+
+
 def test_metrics_endpoint(server):
     import urllib.request
     _post("/v1/chat/completions", {
