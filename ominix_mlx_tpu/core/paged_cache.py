@@ -163,12 +163,18 @@ def quantize_kv_tokens(x: jax.Array):
 class PageAllocator:
     """Host-side free-list over the physical pool. Page 0 is reserved as the
     null page (unallocated table entries point at it and gather masked-out
-    garbage), so a zeroed page table is always safe."""
+    garbage), so a zeroed page table is always safe.
+
+    Pages are REF-COUNTED so a physical page can back several logical
+    sequences at once (prefix caching: slots mapping a shared system-prompt
+    page each hold a ref, and the PrefixCache holds one of its own). A page
+    returns to the free list when its last ref drops."""
 
     def __init__(self, num_pages: int, page_size: int):
         self.page_size = page_size
         self.free: List[int] = list(range(1, num_pages))
         self.owned: dict = {}                       # slot -> [page ids]
+        self.refs: dict = {}                        # page id -> refcount
 
     def pages_for(self, n_tokens: int) -> int:
         return -(-max(n_tokens, 1) // self.page_size)
@@ -183,11 +189,116 @@ class PageAllocator:
                 f"paged KV pool exhausted: need {need} pages, "
                 f"{len(self.free)} free")
         for _ in range(max(0, need)):
-            have.append(self.free.pop())
+            p = self.free.pop()
+            self.refs[p] = 1
+            have.append(p)
         return have
 
+    def share(self, slot: int, pages: List[int]):
+        """Map already-backed pages (a cached prefix) into ``slot``: the
+        slot takes a ref on each. Must run BEFORE alloc() so the shared
+        pages lead the slot's page list in token order."""
+        have = self.owned.setdefault(slot, [])
+        assert not have, "share() must precede alloc() on an empty slot"
+        for p in pages:
+            self.refs[p] = self.refs.get(p, 0) + 1
+            have.append(p)
+
+    def retain(self, page: int):
+        self.refs[page] = self.refs.get(page, 0) + 1
+
+    def drop(self, page: int):
+        n = self.refs.get(page, 0) - 1
+        if n <= 0:
+            self.refs.pop(page, None)
+            self.free.append(page)
+        else:
+            self.refs[page] = n
+
     def release(self, slot: int):
-        self.free.extend(self.owned.pop(slot, []))
+        for p in self.owned.pop(slot, []):
+            self.drop(p)
+
+
+class PrefixCache:
+    """Exact-match prefix reuse at page granularity (the paged-pool payoff
+    beyond capacity: vLLM-style automatic prefix caching, no reference
+    counterpart — the reference serves one request at a time).
+
+    Full pages of a prompt are registered under a SHA-1 hash CHAIN (each
+    page's key digests its tokens plus its parent's key, so a hit implies
+    the entire prefix matches). Hits map the physical pages into the new
+    request's table (allocator.share) and prefill runs only on the suffix.
+    Registered pages hold one cache ref; LRU entries whose pages no active
+    slot maps (refs == 1) are evictable when the pool runs dry."""
+
+    def __init__(self, page_size: int):
+        import collections
+        self.ps = page_size
+        self.entries = collections.OrderedDict()    # digest -> page id
+        self.hits = 0
+        self.misses = 0
+        self.hit_tokens = 0
+
+    def _chain(self, tokens):
+        import hashlib
+        h = b""
+        for i in range(len(tokens) // self.ps):
+            chunk = tokens[i * self.ps:(i + 1) * self.ps]
+            m = hashlib.sha1(h)
+            m.update(b",".join(str(t).encode() for t in chunk))
+            h = m.digest()
+            yield h
+
+    def lookup(self, tokens, max_pages: int) -> List[int]:
+        """Longest chain of cached pages covering a prefix of ``tokens``,
+        capped at ``max_pages`` (callers cap at (T-1)//ps so at least one
+        real token remains for the suffix prefill)."""
+        pages: List[int] = []
+        for h in self._chain(tokens):
+            if len(pages) >= max_pages:
+                break
+            p = self.entries.get(h)
+            if p is None:
+                break
+            self.entries.move_to_end(h)
+            pages.append(p)
+        if pages:
+            self.hits += 1
+            self.hit_tokens += len(pages) * self.ps
+        else:
+            self.misses += 1
+        return pages
+
+    def register(self, tokens, pages: List[int], alloc: PageAllocator):
+        """Record ``pages`` (the slot's in-order page list) as holding the
+        full pages of ``tokens``; the cache takes a ref on each new entry."""
+        for h, p in zip(self._chain(tokens), pages):
+            if h in self.entries:
+                continue
+            self.entries[h] = p
+            alloc.retain(p)
+
+    def evict(self, alloc: PageAllocator, keep=(), max_evict: int = 1) -> int:
+        """Drop up to ``max_evict`` LRU entries whose page only the cache
+        still refs (refs == 1) and is not in ``keep``. Returns count."""
+        keep = set(keep)
+        evicted = 0
+        for h in list(self.entries):
+            if evicted >= max_evict:
+                break
+            p = self.entries[h]
+            if p in keep or alloc.refs.get(p, 0) != 1:
+                continue
+            del self.entries[h]
+            alloc.drop(p)
+            evicted += 1
+        return evicted
+
+    def evictable(self, alloc: PageAllocator, keep=()) -> int:
+        keep = set(keep)
+        return sum(1 for p in self.entries.values()
+                   if p not in keep and alloc.refs.get(p, 0) == 1)
 
     def table_row(self, slot: int, max_pages: int) -> jnp.ndarray:
         row = self.owned.get(slot, [])

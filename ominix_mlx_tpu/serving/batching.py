@@ -181,7 +181,7 @@ class ContinuousBatcher:
             lambda a: a[:1] * 0, self.cache.layers,
             is_leaf=lambda x: isinstance(x, jax.Array))
 
-    def _adopt_request(self, b: int, layers1, T: int, tok):
+    def _adopt_request(self, b: int, layers1, T: int, tok, req=None):
         layers, self.offsets, self.toks = self._adopt(
             list(self.cache.layers), layers1, jnp.int32(b), self.offsets,
             self.toks, jnp.int32(T), tok)
@@ -193,10 +193,21 @@ class ContinuousBatcher:
     def _pre_step(self):
         pass
 
-    def _can_adopt(self, n_tokens: int) -> bool:
-        """Whether backing memory exists to adopt a new sequence now
+    def _can_adopt(self, req) -> bool:
+        """Whether backing memory exists to adopt this request now
         (paged pools may be oversubscribed)."""
         return True
+
+    def _run_prefill(self, req, T: int, bucket: int, padded, scfg, key):
+        """Compute the adoption prefill for one request; returns the fresh
+        single-row cache layers and the first sampled token. Hook point:
+        the paged batcher substitutes a suffix-only prefill on a prefix-
+        cache hit."""
+        return self._prefill(
+            self.params, padded, jnp.int32(T),
+            self._prefill_layers(bucket),
+            SamplerParams.from_config(scfg, 1),
+            jax.random.fold_in(key, T))
 
     # ------------------------------------------------------------------------
 
@@ -204,7 +215,7 @@ class ContinuousBatcher:
         for b in range(self.slots):
             if self.active[b] is not None or not self.queue:
                 continue
-            if not self._can_adopt(len(self.queue[0].tokens)):
+            if not self._can_adopt(self.queue[0]):
                 break                 # wait for pages to free; stay queued
             req = self.queue.popleft()
             T = len(req.tokens)
@@ -213,12 +224,9 @@ class ContinuousBatcher:
                 jnp.asarray(req.tokens, jnp.int32))
             scfg = req.sampler or SamplerConfig()
             key = jax.random.PRNGKey(req.seed)
-            layers1, tok = self._prefill(
-                self.params, padded, jnp.int32(T),
-                self._prefill_layers(bucket),
-                SamplerParams.from_config(scfg, 1),
-                jax.random.fold_in(key, T))
-            self._adopt_request(b, layers1, T, tok)
+            layers1, tok = self._run_prefill(req, T, bucket, padded, scfg,
+                                             key)
+            self._adopt_request(b, layers1, T, tok, req)
             self.sparams = self.sparams.set_row(b, scfg)
             self.keys = self.keys.at[b].set(key)
             self.recent = self.recent.at[b].set(-1).at[b, -1].set(tok)
@@ -233,12 +241,15 @@ class ContinuousBatcher:
             return []
         self._pre_step()
         active_mask = jnp.asarray([r is not None for r in self.active])
-        # current tokens are appended to outputs, then the step computes next
-        cur = [int(t) for t in self.toks]
         finished = []
+        cur_dev = self.toks       # previous step's result (already computed)
         layers, self.offsets, nxt, self.recent = self._decode(
             self.params, list(self.cache.layers), self.offsets, self.toks,
             active_mask, self.sparams, self.keys, self.recent)
+        # fetch AFTER dispatching the next step: the device computes step
+        # N+1 while the host round-trips step N's tokens (one dispatch RPC
+        # is ~25ms through the tunnel)
+        cur = [int(t) for t in cur_dev]
         self.cache = ModelCache(layers=layers, offset=self.offsets)
         for b, req in enumerate(self.active):
             if req is None:
@@ -290,11 +301,25 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  num_pages: Optional[int] = None, page_size: int = 128,
                  stop_tokens: Tuple[int, ...] = (), dtype=jnp.bfloat16,
                  prefill_forward_fn: Optional[Callable] = None,
-                 quantize_kv: bool = False):
+                 quantize_kv: bool = False, prefix_cache: bool = False,
+                 chunk_forward_fn: Optional[Callable] = None):
+        """prefix_cache=True turns on automatic prefix caching: full pages
+        of each adopted prompt are registered under a hash chain, later
+        requests sharing that prefix map the SAME physical pages (ref-
+        counted) and prefill only their suffix. chunk_forward_fn(params,
+        tokens, cache, kv_limit) — e.g. base.forward with kv_limit= —
+        makes the suffix prefill attend O(kv_limit) instead of O(capacity);
+        optional (the plain forward is used otherwise)."""
         from ominix_mlx_tpu.core.paged_cache import (PageAllocator,
-                                                     PagedKVCache)
+                                                     PagedKVCache,
+                                                     PrefixCache)
         assert max_len % page_size == 0, (max_len, page_size)
         self.page_size = page_size
+        self.prefix = PrefixCache(page_size) if prefix_cache else None
+        self.chunk_fwd = chunk_forward_fn
+        self._adopt_hit: List[int] = []
+        self._sfx_jits: dict = {}
+        self._gather_jits: dict = {}
         self.max_pages = max_len // page_size
         self.n_kv = cfg.num_kv_heads
         self.hd = cfg.hd
@@ -321,16 +346,19 @@ class PagedContinuousBatcher(ContinuousBatcher):
                          prefill_forward_fn=prefill_forward_fn)
 
         def paged_adopt(pools, k1s, v1s, page_row, offsets, toks, slot,
-                        off_new, tok_new):
+                        off_new, tok_new, skip=0):
+            """skip > 0: a prefix-cache hit — the first ``skip`` pages of
+            the prompt are already physically backed (shared), so only the
+            suffix pages are written; page_row then lists suffix pages."""
             from ominix_mlx_tpu.core.paged_cache import quantize_kv_tokens
             ps = page_size
             new_pools = []
             for pool, k1, v1 in zip(pools, k1s, v1s):
-                bucket = k1.shape[2]
+                bucket = k1.shape[2] - skip * ps
                 n = -(-bucket // ps)
                 pad = n * ps - bucket
                 def paged(a):
-                    x = a[0]                                  # [n_kv,bucket,D]
+                    x = a[0, :, skip * ps:]                   # [n_kv,bucket,D]
                     if pad:
                         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
                     return x.reshape(self.n_kv, n, ps, self.hd)
@@ -355,7 +383,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
             toks = toks.at[slot].set(tok_new)
             return new_pools, offsets, toks
 
-        self._paged_adopt = jax.jit(paged_adopt, donate_argnums=(0,))
+        self._paged_adopt = jax.jit(paged_adopt, donate_argnums=(0,),
+                                    static_argnums=(9,))
 
     # ----------------------------------------------------------- hooks -----
 
@@ -377,13 +406,19 @@ class PagedContinuousBatcher(ContinuousBatcher):
         return [KVCache.init(1, self.n_kv, bucket, self.hd, self.dtype)
                 for _ in range(self.num_layers)]
 
-    def _adopt_request(self, b: int, layers1, T: int, tok):
+    def _adopt_request(self, b: int, layers1, T: int, tok, req=None):
         ps = self.page_size
         bucket = layers1[0].k.shape[2]
+        hit, self._adopt_hit = list(self._adopt_hit), []
+        skip = len(hit)
+        if skip:
+            self.alloc.share(b, hit)       # prefix pages lead, ref-counted
         owned = self.alloc.alloc(b, T)
         n = -(-bucket // ps)
-        row = self._np.zeros((n,), self._np.int32)
-        row[:min(len(owned), n)] = owned[:n]
+        row = self._np.zeros((n - skip,), self._np.int32)  # n > skip always:
+        # skip <= (T-1)//ps < ceil(T/ps) <= ceil(bucket/ps) = n
+        avail = owned[skip:n]
+        row[:len(avail)] = avail
         self.table[b, :] = 0
         self.table[b, :len(owned)] = owned
         quant = self.cache.layers[0].quantized
@@ -393,7 +428,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
         v1s = [l1.v for l1 in layers1]
         pools, self.offsets, self.toks = self._paged_adopt(
             pools, k1s, v1s, jnp.asarray(row), self.offsets, self.toks,
-            jnp.int32(b), jnp.int32(T), tok)
+            jnp.int32(b), jnp.int32(T), tok, skip)
+        if self.prefix is not None and req is not None:
+            # full pages of the prompt are immutable from here on (decode
+            # writes land at positions >= T): register them for reuse
+            self.prefix.register(req.tokens, owned[:T // ps], self.alloc)
         from ominix_mlx_tpu.core.paged_cache import PagedKVCache
         self.cache = ModelCache(
             layers=[PagedKVCache(k_pool=p[0], v_pool=p[1],
@@ -404,16 +443,27 @@ class PagedContinuousBatcher(ContinuousBatcher):
             offset=self.offsets)
         self._sync_table()
 
-    def _can_adopt(self, n_tokens: int) -> bool:
-        need = self.alloc.pages_for(n_tokens + 1)
+    def _can_adopt(self, req) -> bool:
+        T = len(req.tokens)
+        need = self.alloc.pages_for(T + 1)
         if need > self.num_pages - 1:
             # can never fit even an empty pool: fail it rather than stall
-            req = self.queue.popleft()
-            if req.emit:
-                req.emit(None)
-            return bool(self.queue) and self._can_adopt(
-                len(self.queue[0].tokens))
-        return need <= len(self.alloc.free)
+            bad = self.queue.popleft()
+            if bad.emit:
+                bad.emit(None)
+            return bool(self.queue) and self._can_adopt(self.queue[0])
+        hit = []
+        if self.prefix is not None:
+            hit = self.prefix.lookup(req.tokens,
+                                     (T - 1) // self.page_size)
+        self._adopt_hit = hit          # consumed by _run_prefill/_adopt
+        need -= len(hit)
+        lack = need - len(self.alloc.free)
+        if lack > 0 and self.prefix is not None \
+                and self.prefix.evictable(self.alloc, keep=hit) >= lack:
+            self.prefix.evict(self.alloc, keep=hit, max_evict=lack)
+            lack = 0
+        return lack <= 0
 
     def _preempt(self, b: int):
         """Pool exhausted mid-decode: release this slot's pages and requeue
@@ -437,7 +487,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             need = self.alloc.pages_for(self.off_host[b] + 1)
             if len(self.alloc.owned.get(b, [])) < need:
                 try:
-                    owned = self.alloc.alloc(b, self.off_host[b] + 1)
+                    owned = self._alloc_with_evict(b, self.off_host[b] + 1)
                 except MemoryError:
                     # oversubscribed pool: preempt this sequence instead of
                     # killing the stepping thread (the advertised mode)
@@ -453,3 +503,96 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self.alloc.release(b)
         self.table[b, :] = 0
         self._sync_table()
+
+    def _alloc_with_evict(self, slot: int, n_tokens: int):
+        """alloc() that reclaims LRU prefix-cache pages before giving up
+        (cache-only pages are disposable capacity, not reservations)."""
+        try:
+            return self.alloc.alloc(slot, n_tokens)
+        except MemoryError:
+            if self.prefix is None:
+                raise
+            lack = (self.alloc.pages_for(n_tokens)
+                    - len(self.alloc.owned.get(slot, []))
+                    - len(self.alloc.free))
+            if self.prefix.evict(self.alloc, max_evict=lack) < lack:
+                raise
+            return self.alloc.alloc(slot, n_tokens)
+
+    # ------------------------------------------------ prefix caching -------
+
+    def _run_prefill(self, req, T: int, bucket: int, padded, scfg, key):
+        hit = self._adopt_hit
+        if not hit:
+            return super()._run_prefill(req, T, bucket, padded, scfg, key)
+        L = len(hit) * self.page_size
+        layers1 = self._gather_prefix_into(self._prefill_layers(bucket), hit)
+        sfx = padded[:, L:]
+        f = self._suffix_jit(L, bucket)
+        return f(self.params, sfx, jnp.int32(T), layers1,
+                 SamplerParams.from_config(scfg, 1),
+                 jax.random.fold_in(key, T))
+
+    def _gather_prefix_into(self, layers1, hit):
+        """Dequantize/copy the shared prefix pages into positions [0:L] of
+        the fresh single-row prefill cache so the suffix forward attends
+        them. One jit per (n_hit, bucket) shape pair."""
+        nh = len(hit)
+        bucket = layers1[0].k.shape[2]
+        quant = self.cache.layers[0].quantized
+        jkey = (nh, bucket)
+        f = self._gather_jits.get(jkey)
+        if f is None:
+            ps, n_kv, hd = self.page_size, self.n_kv, self.hd
+
+            def gather(layers1, pools, pids):
+                out = []
+                for l1, pool in zip(layers1, pools):
+                    if quant:
+                        kp, vp, ks, vs = pool
+                        km = jnp.transpose(kp[:, pids], (0, 1, 3, 2))
+                        vm = vp[:, pids]               # [n_kv, nh, ps, D]
+                        km = km.astype(jnp.float32) * ks[:, pids][..., None]
+                        vm = vm.astype(jnp.float32) * vs[:, pids][..., None]
+                    else:
+                        kp, vp = pool
+                        km = jnp.transpose(kp[:, pids], (0, 1, 3, 2))
+                        vm = vp[:, pids]
+                    km = km.reshape(n_kv, nh * ps, hd)
+                    vm = vm.reshape(n_kv, nh * ps, hd)
+                    out.append(KVCache(
+                        k=l1.k.at[0, :, :nh * ps].set(km.astype(l1.k.dtype)),
+                        v=l1.v.at[0, :, :nh * ps].set(vm.astype(l1.v.dtype))))
+                return out
+
+            f = jax.jit(gather, donate_argnums=(0,))
+            self._gather_jits[jkey] = f
+        quant = self.cache.layers[0].quantized
+        pools = [((lc.k_pool, lc.v_pool, lc.k_scale, lc.v_scale) if quant
+                  else (lc.k_pool, lc.v_pool)) for lc in self.cache.layers]
+        return f(layers1, pools, jnp.asarray(hit, jnp.int32))
+
+    def _suffix_jit(self, L: int, bucket: int):
+        """Suffix prefill at offset L over a cache whose [0:L] region holds
+        the gathered prefix. kv_limit = bucket keeps attention O(bucket)
+        via the chunk forward when available."""
+        f = self._sfx_jits.get((L, bucket))
+        if f is None:
+            chunk_fwd, fwd = self.chunk_fwd, self.fwd
+
+            def suffix(params, toks_sfx, real_T, layers1, sp1, key1):
+                cache = ModelCache(layers=layers1,
+                                   offset=jnp.full((), L, jnp.int32))
+                if chunk_fwd is not None:
+                    logits, cache = chunk_fwd(params, toks_sfx, cache,
+                                              bucket)
+                else:
+                    logits, cache = fwd(params, toks_sfx, cache)
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], real_T - 1 - L, 0, keepdims=False)
+                tok = sample_dynamic(last[None], key1[None], sp1)[0]
+                return cache.layers, tok
+
+            f = jax.jit(suffix, donate_argnums=(3,))
+            self._sfx_jits[(L, bucket)] = f
+        return f

@@ -86,7 +86,8 @@ class BatchedChatRunner:
     def __init__(self, model, slots: int = 4, max_len: int = 2048,
                  dtype=jnp.bfloat16, paged: bool = False,
                  num_pages=None, page_size: int = 128,
-                 quantize_bits=None, kv_bits=None):
+                 quantize_bits=None, kv_bits=None,
+                 prefix_cache: bool = False):
         from ominix_mlx_tpu.serving.batching import (ContinuousBatcher,
                                                      PagedContinuousBatcher)
         self.lock = threading.Lock()
@@ -105,18 +106,23 @@ class BatchedChatRunner:
                 scheme="channel8" if quantize_bits == 8 else "group")
         fwd = lambda p, t, c: model.module.forward(p, model.cfg, t, c)
         import inspect
-        pfwd = None
-        if "fresh_prefill" in inspect.signature(
-                model.module.forward).parameters:
+        fwd_params = inspect.signature(model.module.forward).parameters
+        pfwd = cfwd = None
+        if "fresh_prefill" in fwd_params:
             # adoption prefills are always fresh: ride the Pallas flash
             # kernel instead of dense O(T * capacity) masked SDPA
             pfwd = lambda p, t, c: model.module.forward(
                 p, model.cfg, t, c, fresh_prefill=True)
+        if "kv_limit" in fwd_params:
+            # suffix prefill after a prefix-cache hit attends O(kv_limit)
+            cfwd = lambda p, t, c, kl: model.module.forward(
+                p, model.cfg, t, c, kv_limit=kl)
         if paged:
             self.batcher = PagedContinuousBatcher(
                 fwd, params, model.cfg, slots=slots, max_len=max_len,
                 num_pages=num_pages, page_size=page_size, dtype=dtype,
-                prefill_forward_fn=pfwd, quantize_kv=kv_bits == 8)
+                prefill_forward_fn=pfwd, quantize_kv=kv_bits == 8,
+                prefix_cache=prefix_cache, chunk_forward_fn=cfwd)
         else:
             self.batcher = ContinuousBatcher(
                 fwd, params, model.cfg,
@@ -224,6 +230,22 @@ class Server:
                 lines.append(f"ominix_{k} {v}")
         lines.append(f"# TYPE ominix_models_loaded gauge")
         lines.append(f"ominix_models_loaded {len(self.models)}")
+        for name, runner in self.batchers.items():
+            pfx = getattr(runner.batcher, "prefix", None)
+            if pfx is None:
+                continue
+            lines.append("# TYPE ominix_prefix_cache_hits counter")
+            lines.append(
+                f'ominix_prefix_cache_hits{{model="{name}"}} {pfx.hits}')
+            lines.append("# TYPE ominix_prefix_cache_misses counter")
+            lines.append(
+                f'ominix_prefix_cache_misses{{model="{name}"}} {pfx.misses}')
+            lines.append("# TYPE ominix_prefix_cache_hit_tokens counter")
+            lines.append(f'ominix_prefix_cache_hit_tokens{{model="{name}"}} '
+                         f'{pfx.hit_tokens}')
+            lines.append("# TYPE ominix_prefix_cache_pages gauge")
+            lines.append(f'ominix_prefix_cache_pages{{model="{name}"}} '
+                         f'{len(pfx.entries)}')
         return "\n".join(lines) + "\n"
 
     def load_model(self, name: str, model_dir: str):
@@ -249,17 +271,21 @@ class Server:
     def enable_batching(self, name: str, slots: int = 4, max_len: int = 2048,
                         dtype=jnp.bfloat16, paged: bool = False,
                         num_pages=None, page_size: int = 128,
-                        quantize_bits=None, kv_bits=None):
+                        quantize_bits=None, kv_bits=None,
+                        prefix_cache: bool = False):
         """Turn on continuous batching for a loaded chat model: concurrent
         greedy requests share one slot-decode step instead of serializing
         on the inference thread. ``paged=True`` backs the slots with a
         shared paged KV pool (core/paged_cache.py) sized ``num_pages``;
         ``kv_bits=8`` stores the pool as int8 pages (half the KV HBM, so
-        the same pool holds 2x the in-flight tokens)."""
+        the same pool holds 2x the in-flight tokens); ``prefix_cache=True``
+        reuses pool pages across requests sharing a prompt prefix (system
+        prompts prefill once)."""
         self.batchers[name] = BatchedChatRunner(
             self.models[name], slots=slots, max_len=max_len, dtype=dtype,
             paged=paged, num_pages=num_pages, page_size=page_size,
-            quantize_bits=quantize_bits, kv_bits=kv_bits)
+            quantize_bits=quantize_bits, kv_bits=kv_bits,
+            prefix_cache=prefix_cache)
 
     def enable_speculative(self, name: str, draft_dir: str = None,
                            draft_layers: int = None,
@@ -764,6 +790,11 @@ def main():
                     help="int8 KV pages in the paged pool (half the KV "
                          "HBM -> 2x in-flight tokens); requires "
                          "--batch-paged")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="automatic prefix caching over the paged pool: "
+                         "requests sharing a prompt prefix (e.g. a system "
+                         "prompt) reuse its KV pages and prefill only "
+                         "their suffix; implies --batch-paged")
     ap.add_argument("--draft-model", default=None,
                     help="draft checkpoint for speculative greedy decode "
                          "(applies to the first chat model)")
@@ -781,9 +812,11 @@ def main():
             srv.enable_batching(name, slots=args.batch_slots,
                                 max_len=args.batch_max_len,
                                 quantize_bits=args.batch_quantize_bits,
-                                paged=args.batch_paged or bool(args.kv_bits),
+                                paged=(args.batch_paged or bool(args.kv_bits)
+                                       or args.prefix_cache),
                                 num_pages=args.batch_num_pages,
-                                kv_bits=args.kv_bits)
+                                kv_bits=args.kv_bits,
+                                prefix_cache=args.prefix_cache)
         elif (args.draft_model or args.draft_layers) \
                 and isinstance(srv.models[name], LoadedModel) \
                 and not srv.spec:

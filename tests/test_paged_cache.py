@@ -303,6 +303,105 @@ def test_paged_int8_decode_logits_close_to_dense():
     assert len(got["a"]) >= 5 and len(got["b"]) >= 5
 
 
+def test_allocator_refcount_share():
+    a = PageAllocator(num_pages=6, page_size=4)
+    owned = a.alloc(0, 8)                    # 2 pages, refs 1
+    a.retain(owned[0])                       # cache-style extra ref
+    a.release(0)
+    assert owned[0] not in a.free and owned[1] in a.free
+    a.share(1, [owned[0]])                   # slot 1 maps the shared page
+    full = a.alloc(1, 8)                     # 1 more page
+    assert full[0] == owned[0] and len(full) == 2
+    assert a.refs[owned[0]] == 2
+    a.release(1)
+    assert a.refs[owned[0]] == 1             # cache ref survives
+    a.drop(owned[0])
+    assert owned[0] in a.free and not a.refs
+
+
+def _paged_cb(params, prefix_cache=True, num_pages=None, slots=2):
+    from ominix_mlx_tpu.serving.batching import PagedContinuousBatcher
+    return PagedContinuousBatcher(
+        lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+        slots=slots, max_len=128, page_size=16, num_pages=num_pages,
+        dtype=jnp.float32, prefix_cache=prefix_cache,
+        chunk_forward_fn=lambda p, t, c, kl: base.forward(
+            p, CFG, t, c, kv_limit=kl))
+
+
+def test_prefix_cache_exact_reuse():
+    """Second request with the same prompt reuses the first one's pages:
+    suffix-only prefill, identical greedy tokens to the full-prefill
+    reference."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    prompt = [(i * 7 + 3) % 96 for i in range(35)]      # 2 full pages + 3
+    cb = _paged_cb(params)
+    got1 = cb.run_all([("a", prompt, 6)])["a"]
+    assert cb.prefix.misses >= 1 and cb.prefix.hits == 0
+    assert len(cb.prefix.entries) == 2                   # 35 // 16 pages
+    got2 = cb.run_all([("b", prompt, 6)])["b"]
+    assert cb.prefix.hits == 1 and cb.prefix.hit_tokens == 32
+    want = _reference(params, prompt, 6)
+    assert got1 == want[:len(got1)] and len(got1) >= len(want) - 1
+    assert got2 == want[:len(got2)] and len(got2) >= len(want) - 1
+
+
+def test_prefix_cache_shared_system_prompt():
+    """Different requests sharing a long system prefix each match their
+    own full-prefill reference; pages are physically shared while both
+    are in flight (pool smaller than 2 full sequences)."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    sys_prefix = [(i * 5 + 11) % 96 for i in range(32)]  # exactly 2 pages
+    reqs = [("a", sys_prefix + [7, 9], 5), ("b", sys_prefix + [13], 5),
+            ("c", sys_prefix + [21, 2, 8], 5)]
+    cb = _paged_cb(params)
+    # warm the cache with the first request alone, then serve the rest
+    got = cb.run_all([reqs[0]])
+    got.update(cb.run_all(reqs[1:]))
+    assert cb.prefix.hits >= 2
+    for rid, prompt, mt in reqs:
+        want = _reference(params, prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+    # all slots released: only the cache's own refs remain
+    assert all(not v for v in cb.alloc.owned.values())
+    assert all(cb.alloc.refs[p] == 1 for p in cb.prefix.entries.values())
+
+
+def test_prefix_cache_eviction_under_pressure():
+    """Pool too small to keep cached pages AND admit new work: LRU cache
+    pages are evicted (they are capacity, not reservations) and requests
+    still complete exactly."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    # 9 usable pages; each request needs ~3; cached prefixes pile up
+    cb = _paged_cb(params, num_pages=10, slots=2)
+    prompts = [[(i * k + 5) % 96 for i in range(20)] for k in (3, 7, 11, 13)]
+    for j, p in enumerate(prompts):
+        got = cb.run_all([(j, p, 5)])[j]
+        want = _reference(params, p, 5)
+        assert got == want[:len(got)] and len(got) >= len(want) - 1
+    # the pool stayed within bounds throughout and the batcher is clean
+    assert all(not v for v in cb.alloc.owned.values())
+
+
+def test_prefix_cache_int8_pool_reuse():
+    """Prefix caching composes with int8 KV pages: the gather dequantizes
+    shared pages into the suffix prefill cache and requests complete."""
+    from ominix_mlx_tpu.serving.batching import PagedContinuousBatcher
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    cb = PagedContinuousBatcher(
+        lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+        slots=2, max_len=128, page_size=16, dtype=jnp.float32,
+        prefix_cache=True, quantize_kv=True,
+        chunk_forward_fn=lambda p, t, c, kl: base.forward(
+            p, CFG, t, c, kv_limit=kl))
+    prompt = [(i * 7 + 3) % 96 for i in range(35)]
+    got1 = cb.run_all([("a", prompt, 6)])["a"]
+    got2 = cb.run_all([("b", prompt, 6)])["b"]
+    assert cb.prefix.hits == 1
+    assert len(got1) >= 5 and len(got2) >= 5
+
+
 def test_paged_decode_attention_kernel_sliding_window():
     """window > 0: the kernel attends only the last `window` positions,
     equal to masked sdpa with the same window."""

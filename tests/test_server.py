@@ -426,6 +426,30 @@ def test_batched_chat_paged_int8_kv(server):
         server.batchers.pop("tiny", None)
 
 
+def test_batched_chat_prefix_cache(server):
+    """Prefix caching through the server: two identical chats — the second
+    reuses the first's prompt pages (hit recorded) and both answer
+    identically to the unbatched route."""
+    body = {"model": "tiny", "max_tokens": 6,
+            "messages": [{"role": "user", "content": "prefix cache hello"}]}
+    want = _post("/v1/chat/completions", body)[
+        "choices"][0]["message"]["content"]
+    # FakeTokenizer caps prompts at 16 tokens; page_size 8 leaves one full
+    # cacheable page under the (T-1)//ps suffix-token reservation
+    server.enable_batching("tiny", slots=2, max_len=128, dtype=jnp.float32,
+                           paged=True, page_size=8, num_pages=20,
+                           prefix_cache=True)
+    try:
+        got1 = _post("/v1/chat/completions", body)[
+            "choices"][0]["message"]["content"]
+        got2 = _post("/v1/chat/completions", body)[
+            "choices"][0]["message"]["content"]
+        assert got1 == want and got2 == want
+        assert server.batchers["tiny"].batcher.prefix.hits >= 1
+    finally:
+        server.batchers.pop("tiny", None)
+
+
 def test_metrics_endpoint(server):
     import urllib.request
     _post("/v1/chat/completions", {
