@@ -52,10 +52,22 @@ class ContinuousBatcher:
     def __init__(self, forward_fn: Callable, params, cfg, init_cache_fn,
                  slots: int = 4, max_len: int = 2048,
                  stop_tokens: Tuple[int, ...] = (),
-                 prefill_forward_fn: Optional[Callable] = None):
+                 prefill_forward_fn: Optional[Callable] = None,
+                 draft_forward_fn: Optional[Callable] = None,
+                 draft_params=None,
+                 draft_init_cache_fn: Optional[Callable] = None,
+                 num_draft_tokens: int = 4):
         """prefill_forward_fn: variant used for the (always-fresh) adoption
         prefill — e.g. base.forward with fresh_prefill=True, which rides the
-        Pallas flash kernel instead of dense O(T * capacity) masked SDPA."""
+        Pallas flash kernel instead of dense O(T * capacity) masked SDPA.
+
+        draft_forward_fn/draft_params/draft_init_cache_fn turn on BATCHED
+        SPECULATIVE decoding: every step drafts ``num_draft_tokens``
+        greedily per slot and the target verifies all slots' drafts in one
+        [slots, nd+1] forward — continuous batching and speculative decode
+        compose (token-for-token equal to plain greedy; sampled requests
+        must use the per-request path). draft_init_cache_fn(slots,
+        max_len) -> ModelCache of dense KVCache layers for the draft."""
         self.fwd = forward_fn
         self.prefill_fwd = prefill_forward_fn or forward_fn
         self.params = params
@@ -69,6 +81,16 @@ class ContinuousBatcher:
         self.active: List[Optional[_Request]] = [None] * slots
         self.off_host: List[int] = [0] * slots   # host mirror of offsets
         self.queue: deque = deque()
+        self.spec = draft_forward_fn is not None
+        self.nd = num_draft_tokens if self.spec else 0
+        # per-step KV write headroom (spec rounds write nd+1 positions)
+        self._reserve = self.nd + 1
+        if self.spec:
+            self.dfwd = draft_forward_fn
+            self.dparams = draft_params
+            self.d_cache = draft_init_cache_fn(slots, max_len)
+            self.x_prev = jnp.zeros((slots,), jnp.int32)
+            self._build_spec_jits()
         # per-slot sampling state: settings ride the jitted step as DATA
         # (one compiled program serves any greedy/sampled slot mix)
         self.sparams = SamplerParams.from_config(SamplerConfig(), slots)
@@ -129,6 +151,10 @@ class ContinuousBatcher:
                sampler: Optional[SamplerConfig] = None, seed: int = 0):
         if sampler is not None and sampler.temperature <= 0.0:
             sampler = None               # greedy is the default row state
+        if sampler is not None and self.spec:
+            raise ValueError(
+                "speculative batcher verifies greedily; route sampled "
+                "requests to the per-request engine path")
         self.queue.append(_Request(
             rid, list(tokens), max_tokens,
             stop=set(stop_tokens) if stop_tokens is not None else None,
@@ -227,15 +253,167 @@ class ContinuousBatcher:
             layers1, tok = self._run_prefill(req, T, bucket, padded, scfg,
                                              key)
             self._adopt_request(b, layers1, T, tok, req)
+            if self.spec:
+                dl1 = jax.tree.map(
+                    lambda a: a[:1] * 0, self.d_cache.layers,
+                    is_leaf=lambda x: isinstance(x, jax.Array))
+                dl1 = self._spec_prefill(self.dparams, padded, dl1)
+                dlayers = self._adopt_draft(list(self.d_cache.layers), dl1,
+                                            jnp.int32(b))
+                self.d_cache = ModelCache(layers=list(dlayers),
+                                          offset=self.d_cache.offset)
+                self.x_prev = self.x_prev.at[b].set(req.tokens[-1])
             self.sparams = self.sparams.set_row(b, scfg)
             self.keys = self.keys.at[b].set(key)
             self.recent = self.recent.at[b].set(-1).at[b, -1].set(tok)
             self.off_host[b] = T
             self.active[b] = req
 
+    # ------------------------------------------------ batched speculative --
+
+    def _build_spec_jits(self):
+        nd = self.nd
+        dfwd, fwd = self.dfwd, self.fwd
+
+        def spec_round(tparams, dparams, tlayers, dlayers, offsets, toks,
+                       x_prev, active):
+            """One draft+verify round for ALL slots in one jit: catch-up
+            [x_prev, last] re-syncs the draft cache (idempotent rewrite of
+            x_prev's KV slot keeps the shape static whatever last round
+            accepted), nd greedy draft steps, then the target scores
+            [last, d1..dnd] per slot. Rejected drafts' KV sits beyond the
+            rolled-back offset and is overwritten next round (the
+            cache-as-ring trick, core/speculative.py)."""
+            dc = ModelCache(layers=dlayers, offset=offsets - 1)
+            catchup = jnp.stack([x_prev, toks], axis=1)          # [S, 2]
+            lg, dc = dfwd(dparams, catchup, dc)
+            d_tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+            if nd > 1:
+                def dstep(carry, _):
+                    dc, t = carry
+                    lg, dc = dfwd(dparams, t[:, None], dc)
+                    nt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+                    return (dc, nt), nt
+
+                (dc, _), dts = jax.lax.scan(dstep, (dc, d_tok),
+                                            length=nd - 1)
+                drafts = jnp.concatenate([d_tok[:, None], dts.T], axis=1)
+            else:
+                drafts = d_tok[:, None]                          # [S, nd]
+            tc = ModelCache(layers=tlayers, offset=offsets)
+            seq = jnp.concatenate([toks[:, None], drafts], axis=1)
+            logits, tc = fwd(tparams, seq, tc)
+            tgt = jnp.argmax(logits, -1).astype(jnp.int32)       # [S, nd+1]
+            agree = (tgt[:, :-1] == drafts).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)  # [S]
+            new_off = jnp.where(active, offsets + n_acc + 1, offsets)
+            last = jnp.take_along_axis(tgt, n_acc[:, None], 1)[:, 0]
+            from_draft = jnp.take_along_axis(
+                drafts, jnp.maximum(n_acc - 1, 0)[:, None], 1)[:, 0]
+            x_prev_new = jnp.where(n_acc > 0, from_draft, toks)
+            return (tc.layers, dc.layers, new_off, last, x_prev_new, tgt,
+                    n_acc)
+
+        self._spec_round = jax.jit(spec_round, donate_argnums=(2, 3))
+
+        def spec_prefill(dparams, tokens, layers1):
+            cache = ModelCache(layers=layers1,
+                               offset=jnp.zeros((), jnp.int32))
+            _, cache = dfwd(dparams, tokens, cache)
+            return cache.layers
+
+        self._spec_prefill = jax.jit(spec_prefill, donate_argnums=(2,))
+
+        def adopt_layers(layers, layers1, slot):
+            z = jnp.zeros((), jnp.int32)
+            out = []
+            for lc, l1 in zip(layers, layers1):
+                out.append(KVCache(
+                    k=jax.lax.dynamic_update_slice(
+                        lc.k, l1.k.astype(lc.k.dtype), (slot, z, z, z)),
+                    v=jax.lax.dynamic_update_slice(
+                        lc.v, l1.v.astype(lc.v.dtype), (slot, z, z, z))))
+            return out
+
+        self._adopt_draft = jax.jit(adopt_layers, donate_argnums=(0,))
+
+    def _spec_step(self) -> List[Tuple[object, List[int]]]:
+        """One speculative round for every active slot: emits the held
+        token plus every accepted draft per slot (1..nd+1 tokens), holds
+        the target's correction as the next round's input."""
+        self._fill_free_slots()
+        finished = []
+        # a prompt adopted near capacity cannot survive even one round's
+        # nd+1 transient writes: emit its held token and finish it now
+        for b, req in enumerate(self.active):
+            if req is not None and \
+                    self.off_host[b] >= self.max_len - self.nd - 2:
+                t = int(self.toks[b])
+                stops = req.stop if req.stop is not None else \
+                    self.stop_tokens
+                if t not in stops:
+                    req.out.append(t)
+                    if req.emit:
+                        req.emit(t)
+                finished.append((req.rid, req.out))
+                if req.emit:
+                    req.emit(None)
+                self.active[b] = None
+                self._release_slot(b)
+        if not any(r is not None for r in self.active):
+            return finished
+        self._pre_step()
+        active_mask = jnp.asarray([r is not None for r in self.active])
+        cur_dev = self.toks
+        (tlayers, dlayers, self.offsets, last, self.x_prev, tgt,
+         n_acc) = self._spec_round(
+            self.params, self.dparams, list(self.cache.layers),
+            list(self.d_cache.layers), self.offsets, self.toks,
+            self.x_prev, active_mask)
+        self.cache = ModelCache(layers=tlayers, offset=self.offsets)
+        self.d_cache = ModelCache(layers=dlayers,
+                                  offset=self.d_cache.offset)
+        import numpy as np
+        cur = [int(t) for t in cur_dev]
+        tgt_h = np.asarray(tgt)
+        na_h = [int(x) for x in n_acc]
+        for b, req in enumerate(self.active):
+            if req is None:
+                continue
+            n = na_h[b]
+            self.off_host[b] += n + 1
+            stops = req.stop if req.stop is not None else self.stop_tokens
+            # emitted this round: the held token + accepted drafts
+            # (tgt[b, :n] == drafts[b, :n]); tgt[b, n] is held for next
+            emitted = [cur[b]] + [int(x) for x in tgt_h[b, :n]]
+            done = False
+            for t in emitted:
+                if t in stops:
+                    done = True
+                    break
+                req.out.append(t)
+                if req.emit:
+                    req.emit(t)
+                if len(req.out) >= req.max_tokens:
+                    done = True
+                    break
+            # leave headroom for the next round's nd+1 transient writes
+            if self.off_host[b] >= self.max_len - self.nd - 2:
+                done = True
+            if done:
+                finished.append((req.rid, req.out))
+                if req.emit:
+                    req.emit(None)
+                self.active[b] = None
+                self._release_slot(b)
+        self.toks = last
+        return finished
+
     def step(self) -> List[Tuple[object, List[int]]]:
         """One decode step for every active slot; refills free slots first.
         Returns requests that FINISHED this step as (rid, tokens)."""
+        if self.spec:
+            return self._spec_step()
         self._fill_free_slots()
         if not any(r is not None for r in self.active):
             return []
@@ -302,7 +480,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  stop_tokens: Tuple[int, ...] = (), dtype=jnp.bfloat16,
                  prefill_forward_fn: Optional[Callable] = None,
                  quantize_kv: bool = False, prefix_cache: bool = False,
-                 chunk_forward_fn: Optional[Callable] = None):
+                 chunk_forward_fn: Optional[Callable] = None,
+                 draft_forward_fn: Optional[Callable] = None,
+                 draft_params=None,
+                 draft_init_cache_fn: Optional[Callable] = None,
+                 num_draft_tokens: int = 4):
         """prefix_cache=True turns on automatic prefix caching: full pages
         of each adopted prompt are registered under a hash chain, later
         requests sharing that prefix map the SAME physical pages (ref-
@@ -343,7 +525,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
         super().__init__(forward_fn, params, cfg, make_cache, slots=slots,
                          max_len=max_len, stop_tokens=stop_tokens,
-                         prefill_forward_fn=prefill_forward_fn)
+                         prefill_forward_fn=prefill_forward_fn,
+                         draft_forward_fn=draft_forward_fn,
+                         draft_params=draft_params,
+                         draft_init_cache_fn=draft_init_cache_fn,
+                         num_draft_tokens=num_draft_tokens)
 
         def paged_adopt(pools, k1s, v1s, page_row, offsets, toks, slot,
                         off_new, tok_new, skip=0):
@@ -445,7 +631,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     def _can_adopt(self, req) -> bool:
         T = len(req.tokens)
-        need = self.alloc.pages_for(T + 1)
+        need = self.alloc.pages_for(T + self._reserve)
         if need > self.num_pages - 1:
             # can never fit even an empty pool: fail it rather than stall
             bad = self.queue.popleft()
@@ -484,10 +670,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
         for b, req in enumerate(self.active):
             if req is None:
                 continue
-            need = self.alloc.pages_for(self.off_host[b] + 1)
+            # reserve covers this step's KV writes (spec rounds write nd+1)
+            tokens_needed = self.off_host[b] + self._reserve
+            need = self.alloc.pages_for(tokens_needed)
             if len(self.alloc.owned.get(b, [])) < need:
                 try:
-                    owned = self._alloc_with_evict(b, self.off_host[b] + 1)
+                    owned = self._alloc_with_evict(b, tokens_needed)
                 except MemoryError:
                     # oversubscribed pool: preempt this sequence instead of
                     # killing the stepping thread (the advertised mode)

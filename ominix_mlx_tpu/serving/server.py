@@ -87,7 +87,9 @@ class BatchedChatRunner:
                  dtype=jnp.bfloat16, paged: bool = False,
                  num_pages=None, page_size: int = 128,
                  quantize_bits=None, kv_bits=None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False,
+                 draft_dir=None, draft_layers=None,
+                 num_draft_tokens: int = 4):
         from ominix_mlx_tpu.serving.batching import (ContinuousBatcher,
                                                      PagedContinuousBatcher)
         self.lock = threading.Lock()
@@ -117,17 +119,41 @@ class BatchedChatRunner:
             # suffix prefill after a prefix-cache hit attends O(kv_limit)
             cfwd = lambda p, t, c, kl: model.module.forward(
                 p, model.cfg, t, c, kv_limit=kl)
+        spec_kw: dict = {}
+        if draft_dir is not None or draft_layers is not None:
+            # batched speculative: drafts verify across ALL slots in one
+            # [slots, nd+1] target forward (continuous batching composes
+            # with speculative decode; greedy requests only)
+            import dataclasses as _dc
+            if draft_dir is not None:
+                from ominix_mlx_tpu.models import registry
+                dmod, dparams, dcfg = registry.load_model(draft_dir)
+                dfwd = lambda p, t, c: dmod.forward(p, dcfg, t, c)
+                dinit = lambda s, ml: dmod.init_cache(dcfg, s, ml, dtype)
+            else:
+                n = draft_layers or max(1, model.cfg.num_layers // 4)
+                dcfg = _dc.replace(model.cfg, num_layers=n)
+                dparams = dict(model.params)
+                dparams["layers"] = model.params["layers"][:n]
+                dfwd = lambda p, t, c: model.module.forward(p, dcfg, t, c)
+                dinit = lambda s, ml: model.module.init_cache(
+                    dcfg, s, ml, dtype)
+            spec_kw = dict(draft_forward_fn=dfwd, draft_params=dparams,
+                           draft_init_cache_fn=dinit,
+                           num_draft_tokens=num_draft_tokens)
         if paged:
             self.batcher = PagedContinuousBatcher(
                 fwd, params, model.cfg, slots=slots, max_len=max_len,
                 num_pages=num_pages, page_size=page_size, dtype=dtype,
                 prefill_forward_fn=pfwd, quantize_kv=kv_bits == 8,
-                prefix_cache=prefix_cache, chunk_forward_fn=cfwd)
+                prefix_cache=prefix_cache, chunk_forward_fn=cfwd,
+                **spec_kw)
         else:
             self.batcher = ContinuousBatcher(
                 fwd, params, model.cfg,
                 lambda cfg, b, ml: model.module.init_cache(cfg, b, ml, dtype),
-                slots=slots, max_len=max_len, prefill_forward_fn=pfwd)
+                slots=slots, max_len=max_len, prefill_forward_fn=pfwd,
+                **spec_kw)
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -272,7 +298,9 @@ class Server:
                         dtype=jnp.bfloat16, paged: bool = False,
                         num_pages=None, page_size: int = 128,
                         quantize_bits=None, kv_bits=None,
-                        prefix_cache: bool = False):
+                        prefix_cache: bool = False,
+                        draft_dir=None, draft_layers=None,
+                        num_draft_tokens: int = 4):
         """Turn on continuous batching for a loaded chat model: concurrent
         greedy requests share one slot-decode step instead of serializing
         on the inference thread. ``paged=True`` backs the slots with a
@@ -285,7 +313,8 @@ class Server:
             self.models[name], slots=slots, max_len=max_len, dtype=dtype,
             paged=paged, num_pages=num_pages, page_size=page_size,
             quantize_bits=quantize_bits, kv_bits=kv_bits,
-            prefix_cache=prefix_cache)
+            prefix_cache=prefix_cache, draft_dir=draft_dir,
+            draft_layers=draft_layers, num_draft_tokens=num_draft_tokens)
 
     def enable_speculative(self, name: str, draft_dir: str = None,
                            draft_layers: int = None,
@@ -388,8 +417,13 @@ class Server:
 
         # requests ride the continuous batcher when one is enabled —
         # greedy AND sampled (per-slot SamplerParams are jit DATA, so any
-        # mix shares the one compiled decode step; no per-config recompile)
+        # mix shares the one compiled decode step; no per-config recompile).
+        # Exception: a SPECULATIVE batcher verifies greedily, so sampled
+        # requests fall through to the per-request engine path.
         batcher = self.batchers.get(name)
+        if batcher is not None and getattr(batcher.batcher, "spec", False) \
+                and sampler.temperature > 0:
+            batcher = None
         if batcher is not None:
             return self._chat_batched(
                 batcher, m, name, tokens, max_tokens, stops, send_chunk,
@@ -816,7 +850,10 @@ def main():
                                        or args.prefix_cache),
                                 num_pages=args.batch_num_pages,
                                 kv_bits=args.kv_bits,
-                                prefix_cache=args.prefix_cache)
+                                prefix_cache=args.prefix_cache,
+                                draft_dir=args.draft_model,
+                                draft_layers=args.draft_layers,
+                                num_draft_tokens=args.draft_tokens)
         elif (args.draft_model or args.draft_layers) \
                 and isinstance(srv.models[name], LoadedModel) \
                 and not srv.spec:

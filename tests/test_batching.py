@@ -79,3 +79,95 @@ def test_batcher_sampled_rows_mix_with_greedy():
     assert d1["s"] == d2["s"]                 # same seed -> same draw
     assert d1["s"] != d3["s"] or d1["s"] == d3["s"] and len(d1["s"]) < 3
     assert all(0 <= t < CFG.vocab_size for t in d1["s"])
+
+
+def _spec_batcher(params, slots=2, max_len=128, nd=3, draft_layers=None,
+                  paged=False, **kw):
+    """Batched speculative: draft = same weights (acceptance 1) or the
+    first draft_layers layers (self-spec, partial acceptance)."""
+    import dataclasses as dc
+    if draft_layers is None:
+        dcfg, dparams = CFG, params
+    else:
+        dcfg = dc.replace(CFG, num_layers=draft_layers)
+        dparams = dict(params)
+        dparams["layers"] = params["layers"][:draft_layers]
+    dfwd = lambda p, t, c: base.forward(p, dcfg, t, c)
+    dinit = lambda s, ml: base.init_cache(dcfg, s, ml, jnp.float32)
+    if paged:
+        from ominix_mlx_tpu.serving.batching import PagedContinuousBatcher
+        return PagedContinuousBatcher(
+            lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+            slots=slots, max_len=max_len, dtype=jnp.float32,
+            draft_forward_fn=dfwd, draft_params=dparams,
+            draft_init_cache_fn=dinit, num_draft_tokens=nd, **kw)
+    return ContinuousBatcher(
+        lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+        lambda cfg, b, ml: base.init_cache(cfg, b, ml, jnp.float32),
+        slots=slots, max_len=max_len,
+        draft_forward_fn=dfwd, draft_params=dparams,
+        draft_init_cache_fn=dinit, num_draft_tokens=nd, **kw)
+
+
+def test_spec_batcher_acceptance_one_matches_greedy():
+    """Draft == target: every draft verifies, outputs equal plain greedy
+    token-for-token and rounds emit multiple tokens."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    reqs = [("a", [3, 7, 11], 9), ("b", [5, 2], 7), ("c", [9, 1, 4, 8], 8)]
+    cb = _spec_batcher(params, nd=3)
+    steps = 0
+    got = {}
+    for rid, toks, mt in reqs:
+        cb.submit(rid, toks, mt)
+    while cb.pending():
+        for rid, out in cb.step():
+            got[rid] = out
+        steps += 1
+        assert steps < 200
+    for rid, prompt, mt in reqs:
+        want = _reference(params, prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+    # acceptance-1 speculative needs far fewer rounds than tokens
+    total = sum(len(v) for v in got.values())
+    assert steps < total
+
+
+def test_spec_batcher_partial_acceptance_matches_greedy():
+    """Self-speculative draft (first layer only): acceptance < 1, output
+    STILL equals plain greedy token-for-token (verify corrects)."""
+    params = base.init_params(CFG, jax.random.PRNGKey(1), jnp.float32)
+    reqs = [("a", [3, 7, 11], 8), ("b", [5, 2], 10), ("c", [13], 6)]
+    cb = _spec_batcher(params, nd=3, draft_layers=1)
+    got = cb.run_all(reqs)
+    for rid, prompt, mt in reqs:
+        want = _reference(params, prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+
+
+def test_spec_batcher_paged_pool():
+    """Speculative + paged pool + continuous refill: exact greedy match;
+    page growth reserves the round's nd+1 transient writes."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    reqs = [("a", [3, 7, 11], 8), ("b", [5, 2], 9), ("c", [9, 1, 4, 8], 6),
+            ("d", [13], 7)]
+    cb = _spec_batcher(params, nd=3, draft_layers=1, paged=True,
+                       page_size=16)
+    got = cb.run_all(reqs)
+    for rid, prompt, mt in reqs:
+        want = _reference(params, prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+    assert all(not v for v in cb.alloc.owned.values())
+
+
+def test_spec_batcher_rejects_sampled():
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    from ominix_mlx_tpu.core.sampling import SamplerConfig
+    cb = _spec_batcher(params, nd=2)
+    try:
+        cb.submit("s", [3, 7], 4, sampler=SamplerConfig(temperature=0.8))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

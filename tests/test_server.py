@@ -450,6 +450,29 @@ def test_batched_chat_prefix_cache(server):
         server.batchers.pop("tiny", None)
 
 
+def test_batched_chat_speculative(server):
+    """Batched speculative (self-spec draft on layer 1): greedy chat equals
+    the plain route token-for-token; a sampled request bypasses the spec
+    batcher (per-request engine path) instead of erroring."""
+    body = {"model": "tiny", "max_tokens": 6,
+            "messages": [{"role": "user", "content": "spec batch"}]}
+    want = _post("/v1/chat/completions", body)[
+        "choices"][0]["message"]["content"]
+    server.enable_batching("tiny", slots=2, max_len=128, dtype=jnp.float32,
+                           draft_layers=1, num_draft_tokens=3)
+    try:
+        assert server.batchers["tiny"].batcher.spec
+        got = _post("/v1/chat/completions", body)[
+            "choices"][0]["message"]["content"]
+        assert got == want
+        sampled = _post("/v1/chat/completions", dict(
+            body, temperature=0.9, seed=7))[
+                "choices"][0]["message"]["content"]
+        assert isinstance(sampled, str) and len(sampled) > 0
+    finally:
+        server.batchers.pop("tiny", None)
+
+
 def test_metrics_endpoint(server):
     import urllib.request
     _post("/v1/chat/completions", {
