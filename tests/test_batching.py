@@ -171,3 +171,22 @@ def test_spec_batcher_rejects_sampled():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_spec_batcher_composes_with_prefix_cache():
+    """Speculative + prefix caching + paged pool in one batcher: the
+    second identical prompt reuses pages (hit) and still matches plain
+    greedy exactly."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    cb = _spec_batcher(params, nd=3, draft_layers=1, paged=True,
+                       page_size=16, prefix_cache=True,
+                       chunk_forward_fn=lambda p, t, c, kl: base.forward(
+                           p, CFG, t, c, kv_limit=kl))
+    prompt = [(i * 7 + 3) % 96 for i in range(35)]
+    got1 = cb.run_all([("a", prompt, 7)])["a"]
+    got2 = cb.run_all([("b", prompt, 7)])["b"]
+    assert cb.prefix.hits == 1
+    want = _reference(params, prompt, 7)
+    for got in (got1, got2):
+        assert got == want[:len(got)] and len(got) >= len(want) - 1, (
+            got, want)
