@@ -56,10 +56,19 @@ class ContinuousBatcher:
                  draft_forward_fn: Optional[Callable] = None,
                  draft_params=None,
                  draft_init_cache_fn: Optional[Callable] = None,
-                 num_draft_tokens: int = 4):
+                 num_draft_tokens: int = 4,
+                 chunk_forward_fn: Optional[Callable] = None,
+                 chunk_hidden_forward_fn: Optional[Callable] = None,
+                 prefill_chunk: int = 2048):
         """prefill_forward_fn: variant used for the (always-fresh) adoption
         prefill — e.g. base.forward with fresh_prefill=True, which rides the
         Pallas flash kernel instead of dense O(T * capacity) masked SDPA.
+
+        chunk_forward_fn(params, tokens, cache, kv_limit): enables CHUNKED
+        adoption prefill for prompts longer than ``prefill_chunk`` (the
+        engine's flash-chunk path: bounded compile size and attention
+        memory at any prompt length) and, in the paged batcher, the
+        suffix-only prefill after a prefix-cache hit.
 
         draft_forward_fn/draft_params/draft_init_cache_fn turn on BATCHED
         SPECULATIVE decoding: every step drafts ``num_draft_tokens``
@@ -81,6 +90,10 @@ class ContinuousBatcher:
         self.active: List[Optional[_Request]] = [None] * slots
         self.off_host: List[int] = [0] * slots   # host mirror of offsets
         self.queue: deque = deque()
+        self.chunk_fwd = chunk_forward_fn
+        self.chunk_hidden_fwd = chunk_hidden_forward_fn
+        self.prefill_chunk = prefill_chunk
+        self._chunk_engine_inst = None
         self.spec = draft_forward_fn is not None
         self.nd = num_draft_tokens if self.spec else 0
         # per-step KV write headroom (spec rounds write nd+1 positions)
@@ -229,11 +242,32 @@ class ContinuousBatcher:
         single-row cache layers and the first sampled token. Hook point:
         the paged batcher substitutes a suffix-only prefill on a prefix-
         cache hit."""
+        if self.chunk_fwd is not None and T > self.prefill_chunk:
+            return self._run_prefill_chunked(T, bucket, padded, scfg, key)
         return self._prefill(
             self.params, padded, jnp.int32(T),
             self._prefill_layers(bucket),
             SamplerParams.from_config(scfg, 1),
             jax.random.fold_in(key, T))
+
+    def _run_prefill_chunked(self, T, bucket, padded, scfg, key):
+        """Long prompts prefill through the engine's chunked path (flash
+        continuation chunks, bounded per-chunk compile/memory) into the
+        same fresh single-row cache, then adopt as usual."""
+        if self._chunk_engine_inst is None:
+            from ominix_mlx_tpu.core.generate import Engine
+            self._chunk_engine_inst = Engine(
+                self.fwd, self.params,
+                prefill_forward_fn=self.prefill_fwd,
+                chunk_forward_fn=self.chunk_fwd,
+                chunk_hidden_forward_fn=self.chunk_hidden_fwd)
+        cache1 = ModelCache(layers=self._prefill_layers(bucket),
+                            offset=jnp.zeros((), jnp.int32))
+        last, cache1 = self._chunk_engine_inst.prefill_chunked(
+            padded[:, :T], cache1, chunk_size=self.prefill_chunk)
+        tok = sample_dynamic(last, jax.random.fold_in(key, T)[None],
+                             SamplerParams.from_config(scfg, 1))[0]
+        return cache1.layers, tok
 
     # ------------------------------------------------------------------------
 
@@ -481,6 +515,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  prefill_forward_fn: Optional[Callable] = None,
                  quantize_kv: bool = False, prefix_cache: bool = False,
                  chunk_forward_fn: Optional[Callable] = None,
+                 chunk_hidden_forward_fn: Optional[Callable] = None,
                  draft_forward_fn: Optional[Callable] = None,
                  draft_params=None,
                  draft_init_cache_fn: Optional[Callable] = None,
@@ -498,7 +533,6 @@ class PagedContinuousBatcher(ContinuousBatcher):
         assert max_len % page_size == 0, (max_len, page_size)
         self.page_size = page_size
         self.prefix = PrefixCache(page_size) if prefix_cache else None
-        self.chunk_fwd = chunk_forward_fn
         self._adopt_hit: List[int] = []
         self._sfx_jits: dict = {}
         self._gather_jits: dict = {}
@@ -529,7 +563,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
                          draft_forward_fn=draft_forward_fn,
                          draft_params=draft_params,
                          draft_init_cache_fn=draft_init_cache_fn,
-                         num_draft_tokens=num_draft_tokens)
+                         num_draft_tokens=num_draft_tokens,
+                         chunk_forward_fn=chunk_forward_fn,
+                         chunk_hidden_forward_fn=chunk_hidden_forward_fn)
 
         def paged_adopt(pools, k1s, v1s, page_row, offsets, toks, slot,
                         off_new, tok_new, skip=0):

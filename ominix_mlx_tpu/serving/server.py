@@ -115,10 +115,15 @@ class BatchedChatRunner:
             # kernel instead of dense O(T * capacity) masked SDPA
             pfwd = lambda p, t, c: model.module.forward(
                 p, model.cfg, t, c, fresh_prefill=True)
+        hfwd = None
         if "kv_limit" in fwd_params:
-            # suffix prefill after a prefix-cache hit attends O(kv_limit)
+            # suffix prefill after a prefix-cache hit attends O(kv_limit);
+            # long prompts (> prefill_chunk) adopt via chunked prefill
             cfwd = lambda p, t, c, kl: model.module.forward(
                 p, model.cfg, t, c, kv_limit=kl)
+            if "skip_logits" in fwd_params:
+                hfwd = lambda p, t, c, kl: model.module.forward(
+                    p, model.cfg, t, c, kv_limit=kl, skip_logits=True)
         spec_kw: dict = {}
         if draft_dir is not None or draft_layers is not None:
             # batched speculative: drafts verify across ALL slots in one
@@ -147,12 +152,13 @@ class BatchedChatRunner:
                 num_pages=num_pages, page_size=page_size, dtype=dtype,
                 prefill_forward_fn=pfwd, quantize_kv=kv_bits == 8,
                 prefix_cache=prefix_cache, chunk_forward_fn=cfwd,
-                **spec_kw)
+                chunk_hidden_forward_fn=hfwd, **spec_kw)
         else:
             self.batcher = ContinuousBatcher(
                 fwd, params, model.cfg,
                 lambda cfg, b, ml: model.module.init_cache(cfg, b, ml, dtype),
                 slots=slots, max_len=max_len, prefill_forward_fn=pfwd,
+                chunk_forward_fn=cfwd, chunk_hidden_forward_fn=hfwd,
                 **spec_kw)
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()

@@ -190,3 +190,24 @@ def test_spec_batcher_composes_with_prefix_cache():
     for got in (got1, got2):
         assert got == want[:len(got)] and len(got) >= len(want) - 1, (
             got, want)
+
+
+def test_batcher_chunked_adoption_prefill_matches_greedy():
+    """Prompts longer than prefill_chunk adopt via the engine's chunked
+    prefill (flash continuation path) and still match plain greedy."""
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    cb = ContinuousBatcher(
+        lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+        lambda cfg, b, ml: base.init_cache(cfg, b, ml, jnp.float32),
+        slots=2, max_len=128,
+        chunk_forward_fn=lambda p, t, c, kl: base.forward(
+            p, CFG, t, c, kv_limit=kl),
+        chunk_hidden_forward_fn=lambda p, t, c, kl: base.forward(
+            p, CFG, t, c, kv_limit=kl, skip_logits=True),
+        prefill_chunk=16)
+    prompt = [(i * 5 + 2) % 96 for i in range(41)]   # 3 chunks
+    got = cb.run_all([("a", prompt, 6), ("b", prompt[:7], 6)])
+    for rid, p, mt in (("a", prompt, 6), ("b", prompt[:7], 6)):
+        want = _reference(params, p, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
