@@ -263,12 +263,16 @@ class PrefixCache:
                 break
             self.entries.move_to_end(h)
             pages.append(p)
-        if pages:
+        return pages
+
+    def record(self, n_hit_pages: int):
+        """Count one ADOPTION (lookup runs repeatedly while a request waits
+        in the queue, so stats are recorded once, at adoption time)."""
+        if n_hit_pages:
             self.hits += 1
-            self.hit_tokens += len(pages) * self.ps
+            self.hit_tokens += n_hit_pages * self.ps
         else:
             self.misses += 1
-        return pages
 
     def register(self, tokens, pages: List[int], alloc: PageAllocator):
         """Record ``pages`` (the slot's in-order page list) as holding the

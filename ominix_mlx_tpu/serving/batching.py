@@ -652,6 +652,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             pools, k1s, v1s, jnp.asarray(row), self.offsets, self.toks,
             jnp.int32(b), jnp.int32(T), tok, skip)
         if self.prefix is not None and req is not None:
+            self.prefix.record(skip)
             # full pages of the prompt are immutable from here on (decode
             # writes land at positions >= T): register them for reuse
             self.prefix.register(req.tokens, owned[:T // ps], self.alloc)
