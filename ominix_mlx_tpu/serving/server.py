@@ -33,6 +33,35 @@ from ominix_mlx_tpu import __version__
 DEFAULT_MAX_TOKENS = 512
 
 
+class _StopStrings:
+    """OpenAI ``stop`` strings: generation halts when any appears and the
+    stop text never reaches the client. Streaming holds back any tail that
+    is a proper prefix of a stop string until it either completes (match →
+    truncate) or diverges (flush)."""
+
+    def __init__(self, stops):
+        if isinstance(stops, str):
+            stops = [stops]
+        self.stops = [s for s in (stops or []) if s]
+
+    def __bool__(self):
+        return bool(self.stops)
+
+    def cut(self, text: str):
+        """(safe_len, matched): text[:safe_len] is safe to emit now."""
+        for s in self.stops:
+            i = text.find(s)
+            if i >= 0:
+                return i, True
+        hold = 0
+        for s in self.stops:
+            for k in range(min(len(s) - 1, len(text)), 0, -1):
+                if text.endswith(s[:k]):
+                    hold = max(hold, k)
+                    break
+        return len(text) - hold, False
+
+
 class LoadedModel:
     def __init__(self, name: str, model_dir: str):
         from ominix_mlx_tpu.core.generate import Engine
@@ -418,6 +447,7 @@ class Server:
         max_tokens = int(body.get("max_tokens", DEFAULT_MAX_TOKENS))
         stops = ({m.tokenizer.eos_token_id}
                  if m.tokenizer.eos_token_id is not None else set())
+        stop_strs = _StopStrings(body.get("stop"))
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         created = int(time.time())
 
@@ -435,7 +465,7 @@ class Server:
                 batcher, m, name, tokens, max_tokens, stops, send_chunk,
                 float(body.get("timeout_s", self.request_timeout_s)),
                 rid, created, sampler=sampler,
-                seed=int(body.get("seed", 0)))
+                seed=int(body.get("seed", 0)), stop_strs=stop_strs)
 
         # speculative path: greedy requests on a spec-enabled model decode
         # draft-then-verify, token-for-token equal to plain greedy
@@ -469,22 +499,43 @@ class Server:
                     gen = engine.generate(jnp.asarray(tokens), cache,
                                           max_tokens=max_tokens,
                                           stop_tokens=tuple(stops))
+                matched = None
                 for tok in gen:
                     if cancel.is_set():
                         break
                     out_ids.append(tok)
-                    if send_chunk is not None:
-                        piece = m.tokenizer.decode(out_ids)
-                        delta = piece[len(result["text"]):]
-                        if delta:
-                            result["text"] = piece
+                    if send_chunk is None and not stop_strs:
+                        continue
+                    piece = m.tokenizer.decode(out_ids)
+                    if stop_strs:
+                        safe, hit = stop_strs.cut(piece)
+                        if hit:
+                            matched = piece[:safe]
+                        piece = piece[:safe]
+                    delta = piece[len(result["text"]):]
+                    if delta:
+                        result["text"] = piece
+                        if send_chunk is not None:
                             send_chunk({
                                 "id": rid, "object": "chat.completion.chunk",
                                 "created": created, "model": name,
                                 "choices": [{"index": 0,
                                              "delta": {"content": delta},
                                              "finish_reason": None}]})
-                result["text"] = m.tokenizer.decode(out_ids)
+                    if matched is not None:
+                        break
+                final = matched if matched is not None else \
+                    m.tokenizer.decode(out_ids)
+                if send_chunk is not None and \
+                        len(final) > len(result["text"]):
+                    send_chunk({
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": created, "model": name,
+                        "choices": [{"index": 0,
+                                     "delta": {"content":
+                                               final[len(result["text"]):]},
+                                     "finish_reason": None}]})
+                result["text"] = final
                 result["n"] = len(out_ids)
             except Exception as e:
                 err.append(e)
@@ -512,13 +563,14 @@ class Server:
 
     def _chat_batched(self, batcher, m, name, tokens, max_tokens, stops,
                       send_chunk, timeout_s, rid, created, sampler=None,
-                      seed: int = 0) -> dict:
+                      seed: int = 0, stop_strs=None) -> dict:
         """Drain one request's token queue from the shared batcher thread;
         streams deltas as tokens land, cancels the slot on timeout."""
         brid, q = batcher.submit(tokens, max_tokens, stop_tokens=stops,
                                  sampler=sampler, seed=seed)
         deadline = time.time() + timeout_s
         out_ids, text = [], ""
+        matched = None
         while True:
             try:
                 tok = q.get(timeout=max(0.0, deadline - time.time()))
@@ -528,18 +580,38 @@ class Server:
             if tok is None:
                 break
             out_ids.append(tok)
-            if send_chunk is not None:
-                piece = m.tokenizer.decode(out_ids)
-                delta = piece[len(text):]
-                if delta:
-                    text = piece
+            if not (send_chunk is not None or stop_strs):
+                continue
+            piece = m.tokenizer.decode(out_ids)
+            if stop_strs:
+                safe, hit = stop_strs.cut(piece)
+                if hit:
+                    matched = piece[:safe]
+                piece = piece[:safe]
+            delta = piece[len(text):]
+            if delta:
+                text = piece
+                if send_chunk is not None:
                     send_chunk({
                         "id": rid, "object": "chat.completion.chunk",
                         "created": created, "model": name,
                         "choices": [{"index": 0,
                                      "delta": {"content": delta},
                                      "finish_reason": None}]})
-        text = m.tokenizer.decode(out_ids)
+            if matched is not None:
+                batcher.cancel(brid)   # frees the slot immediately
+                break
+        final = matched if matched is not None else m.tokenizer.decode(
+            out_ids)
+        if send_chunk is not None and len(final) > len(text):
+            # flush any held-back non-stop tail so the stream is complete
+            send_chunk({
+                "id": rid, "object": "chat.completion.chunk",
+                "created": created, "model": name,
+                "choices": [{"index": 0,
+                             "delta": {"content": final[len(text):]},
+                             "finish_reason": None}]})
+        text = final
         return {
             "id": rid, "object": "chat.completion", "created": created,
             "model": name,

@@ -473,6 +473,40 @@ def test_batched_chat_speculative(server):
         server.batchers.pop("tiny", None)
 
 
+def test_stop_strings_unit():
+    from ominix_mlx_tpu.serving.server import _StopStrings
+    ss = _StopStrings(["END", "\n\n"])
+    assert ss.cut("hello wor") == (9, False)
+    assert ss.cut("hello EN") == (6, False)      # hold back the "EN" tail
+    assert ss.cut("hello END!") == (6, True)     # truncate at the stop
+    assert ss.cut("a\n") == (1, False)           # "\n" prefixes "\n\n"
+    assert ss.cut("a\n\nb") == (1, True)
+    assert not _StopStrings(None) and not _StopStrings("")
+    assert _StopStrings("X").cut("aXb") == (1, True)
+
+
+def test_chat_stop_strings(server):
+    """OpenAI `stop`: the response truncates before the stop string, on
+    both the per-request and batched routes."""
+    body = {"model": "tiny", "max_tokens": 8,
+            "messages": [{"role": "user", "content": "stop strings"}]}
+    full = _post("/v1/chat/completions", body)[
+        "choices"][0]["message"]["content"]
+    assert len(full) >= 4
+    stop = full[2:4]
+    want = full[:full.find(stop)]
+    got = _post("/v1/chat/completions", dict(body, stop=stop))[
+        "choices"][0]["message"]["content"]
+    assert got == want, (full, stop, got, want)
+    server.enable_batching("tiny", slots=2, max_len=128, dtype=jnp.float32)
+    try:
+        got_b = _post("/v1/chat/completions", dict(body, stop=[stop]))[
+            "choices"][0]["message"]["content"]
+        assert got_b == want, (full, stop, got_b, want)
+    finally:
+        server.batchers.pop("tiny", None)
+
+
 def test_metrics_endpoint(server):
     import urllib.request
     _post("/v1/chat/completions", {
