@@ -303,8 +303,3 @@ class PrefixCache:
         keep = set(keep)
         return sum(1 for p in self.entries.values()
                    if p not in keep and alloc.refs.get(p, 0) == 1)
-
-    def table_row(self, slot: int, max_pages: int) -> jnp.ndarray:
-        row = self.owned.get(slot, [])
-        assert len(row) <= max_pages, (len(row), max_pages)
-        return jnp.asarray(row + [0] * (max_pages - len(row)), jnp.int32)

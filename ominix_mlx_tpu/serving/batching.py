@@ -23,6 +23,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ominix_mlx_tpu.core.cache import KVCache, ModelCache
 from ominix_mlx_tpu.core.generate import bucket_length
@@ -127,12 +128,15 @@ class ContinuousBatcher:
 
         self._decode = jax.jit(decode_step, donate_argnums=(1,))
 
-        def prefill(params, tokens, real_len, layers1, sp1, key1):
+        def prefill(params, tokens, real_len, layers1, sp1, key1, rec1):
             cache = ModelCache(layers=layers1, offset=jnp.zeros((), jnp.int32))
             logits, cache = self.prefill_fwd(params, tokens, cache)
             last = jax.lax.dynamic_index_in_dim(logits[0], real_len - 1, 0,
                                                 keepdims=False)
-            tok = sample_dynamic(last[None], key1[None], sp1)[0]
+            # rec1 carries generated-so-far history ([-1]-padded): fresh
+            # requests pass all -1; preempted continuations pass their out
+            # tail so repetition-penalty replay is exact
+            tok = sample_dynamic(last[None], key1[None], sp1, rec1)[0]
             return cache.layers, tok
 
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
@@ -237,20 +241,28 @@ class ContinuousBatcher:
         (paged pools may be oversubscribed)."""
         return True
 
+    def _recent_row(self, req) -> List[int]:
+        """Generated-so-far history for ``req`` as a [-1]-padded
+        REP_WINDOW row (non-empty only for preempted continuations)."""
+        hist = list(req.out[-REP_WINDOW:])
+        return [-1] * (REP_WINDOW - len(hist)) + hist
+
     def _run_prefill(self, req, T: int, bucket: int, padded, scfg, key):
         """Compute the adoption prefill for one request; returns the fresh
         single-row cache layers and the first sampled token. Hook point:
         the paged batcher substitutes a suffix-only prefill on a prefix-
         cache hit."""
+        rec1 = jnp.asarray([self._recent_row(req)], jnp.int32)
         if self.chunk_fwd is not None and T > self.prefill_chunk:
-            return self._run_prefill_chunked(T, bucket, padded, scfg, key)
+            return self._run_prefill_chunked(T, bucket, padded, scfg, key,
+                                             rec1)
         return self._prefill(
             self.params, padded, jnp.int32(T),
             self._prefill_layers(bucket),
             SamplerParams.from_config(scfg, 1),
-            jax.random.fold_in(key, T))
+            jax.random.fold_in(key, T), rec1)
 
-    def _run_prefill_chunked(self, T, bucket, padded, scfg, key):
+    def _run_prefill_chunked(self, T, bucket, padded, scfg, key, rec1):
         """Long prompts prefill through the engine's chunked path (flash
         continuation chunks, bounded per-chunk compile/memory) into the
         same fresh single-row cache, then adopt as usual."""
@@ -266,7 +278,7 @@ class ContinuousBatcher:
         last, cache1 = self._chunk_engine_inst.prefill_chunked(
             padded[:, :T], cache1, chunk_size=self.prefill_chunk)
         tok = sample_dynamic(last, jax.random.fold_in(key, T)[None],
-                             SamplerParams.from_config(scfg, 1))[0]
+                             SamplerParams.from_config(scfg, 1), rec1)[0]
         return cache1.layers, tok
 
     # ------------------------------------------------------------------------
@@ -299,7 +311,11 @@ class ContinuousBatcher:
                 self.x_prev = self.x_prev.at[b].set(req.tokens[-1])
             self.sparams = self.sparams.set_row(b, scfg)
             self.keys = self.keys.at[b].set(key)
-            self.recent = self.recent.at[b].set(-1).at[b, -1].set(tok)
+            # recent = history shifted left + the token just sampled, so a
+            # preempted continuation resumes with its true rep-penalty state
+            row = self._recent_row(req)[1:] + [-1]
+            self.recent = self.recent.at[b].set(
+                jnp.asarray(row, jnp.int32)).at[b, -1].set(tok)
             self.off_host[b] = T
             self.active[b] = req
 
@@ -385,7 +401,7 @@ class ContinuousBatcher:
                 t = int(self.toks[b])
                 stops = req.stop if req.stop is not None else \
                     self.stop_tokens
-                if t not in stops:
+                if t not in stops and len(req.out) < req.max_tokens:
                     req.out.append(t)
                     if req.emit:
                         req.emit(t)
@@ -407,10 +423,11 @@ class ContinuousBatcher:
         self.cache = ModelCache(layers=tlayers, offset=self.offsets)
         self.d_cache = ModelCache(layers=dlayers,
                                   offset=self.d_cache.offset)
-        import numpy as np
-        cur = [int(t) for t in cur_dev]
+        # one transfer each (per-element int() would round-trip the tunnel
+        # once PER slot, ~25ms each)
+        cur = np.asarray(cur_dev).tolist()
         tgt_h = np.asarray(tgt)
-        na_h = [int(x) for x in n_acc]
+        na_h = np.asarray(n_acc).tolist()
         for b, req in enumerate(self.active):
             if req is None:
                 continue
@@ -459,9 +476,9 @@ class ContinuousBatcher:
             self.params, list(self.cache.layers), self.offsets, self.toks,
             active_mask, self.sparams, self.keys, self.recent)
         # fetch AFTER dispatching the next step: the device computes step
-        # N+1 while the host round-trips step N's tokens (one dispatch RPC
-        # is ~25ms through the tunnel)
-        cur = [int(t) for t in cur_dev]
+        # N+1 while the host round-trips step N's tokens — and in ONE
+        # transfer (per-element int() would RPC once per slot, ~25ms each)
+        cur = np.asarray(cur_dev).tolist()
         self.cache = ModelCache(layers=layers, offset=self.offsets)
         for b, req in enumerate(self.active):
             if req is None:
@@ -756,7 +773,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         f = self._suffix_jit(L, bucket)
         return f(self.params, sfx, jnp.int32(T), layers1,
                  SamplerParams.from_config(scfg, 1),
-                 jax.random.fold_in(key, T))
+                 jax.random.fold_in(key, T),
+                 jnp.asarray([self._recent_row(req)], jnp.int32))
 
     def _gather_prefix_into(self, layers1, hit):
         """Dequantize/copy the shared prefix pages into positions [0:L] of
@@ -805,7 +823,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if f is None:
             chunk_fwd, fwd = self.chunk_fwd, self.fwd
 
-            def suffix(params, toks_sfx, real_T, layers1, sp1, key1):
+            def suffix(params, toks_sfx, real_T, layers1, sp1, key1, rec1):
                 cache = ModelCache(layers=layers1,
                                    offset=jnp.full((), L, jnp.int32))
                 if chunk_fwd is not None:
@@ -815,7 +833,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
                     logits, cache = fwd(params, toks_sfx, cache)
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], real_T - 1 - L, 0, keepdims=False)
-                tok = sample_dynamic(last[None], key1[None], sp1)[0]
+                tok = sample_dynamic(last[None], key1[None], sp1, rec1)[0]
                 return cache.layers, tok
 
             f = jax.jit(suffix, donate_argnums=(3,))

@@ -114,6 +114,38 @@ def test_paged_batcher_preempts_on_pool_exhaustion():
     assert not cb.alloc.owned or all(not v for v in cb.alloc.owned.values())
 
 
+def test_paged_batcher_preemption_replays_sampled_rep_penalty():
+    """Preemption replay must be exact for SAMPLED decode with repetition
+    penalty: the requeued continuation re-derives each position's key via
+    fold_in AND resumes the rep-penalty window from its generated history
+    (the adoption prefill samples with the request's out-tail as recent)."""
+    from ominix_mlx_tpu.core.sampling import SamplerConfig
+
+    params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    scfg = SamplerConfig(temperature=0.8, repetition_penalty=1.4)
+    reqs = [("a", [3, 7, 11], 10), ("b", [5, 2], 12), ("c", [9, 1, 4, 8], 8)]
+
+    def run(num_pages):
+        cb = PagedContinuousBatcher(
+            lambda p, t, c: base.forward(p, CFG, t, c), params, CFG,
+            slots=2, max_len=64, page_size=4, num_pages=num_pages,
+            dtype=jnp.float32)
+        for rid, prompt, mt in reqs:
+            cb.submit(rid, prompt, mt, sampler=scfg, seed=17)
+        out = {}
+        while cb.pending():
+            for rid, toks in cb.step():
+                out[rid] = toks
+        return out
+
+    full = run(2 * 16 + 1)   # fully backed: no preemption possible
+    tight = run(6)           # 5 usable pages: preemption guaranteed
+    for rid, _, _ in reqs:
+        n = min(len(full[rid]), len(tight[rid]))
+        assert n >= 4 and tight[rid][:n] == full[rid][:n], \
+            (rid, tight[rid], full[rid])
+
+
 def test_paged_batcher_abort_all_unblocks_emits():
     params = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
     cb = PagedContinuousBatcher(
