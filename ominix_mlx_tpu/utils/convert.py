@@ -68,6 +68,89 @@ def convert_torch_checkpoint(src_path: str, out_dir: str,
             json.dump({"weight_map": weight_map}, f)
 
 
+def save_quantized(model_dir: str, out_dir: str, bits: int = 4,
+                   group_size: int = 64,
+                   predicate: Optional[Callable[[str], bool]] = None):
+    """Quantize an on-disk checkpoint to the MLX group-quant layout
+    (reference save-quantized flow, minicpm-sala-mlx
+    examples/save_quantized.rs): every eligible 2-D ``*.weight`` becomes
+    {weight (packed u32), scales, biases} and config.json gains a
+    ``quantization`` block, so ``registry.load_model(out_dir)`` serves it
+    through the Pallas quantized kernels with no further conversion.
+
+    Eligible = 2-D, name not containing "norm", in_features divisible by
+    ``group_size`` (embeddings included: tied lm_heads read the embedding
+    as a linear, and the loader's per-tensor ``.scales`` sniffing keeps
+    mixed-precision checkpoints loadable). ``predicate(name)`` narrows the
+    set further (e.g. VLMs quantize the LLM but keep vision towers dense,
+    reference moxin-vlm lib.rs:366-383)."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    from ominix_mlx_tpu.core import quant
+    from ominix_mlx_tpu.utils.loading import (load_config, load_safetensors,
+                                              save_safetensors)
+
+    cfg = load_config(model_dir)
+    flat = load_safetensors(model_dir)
+    out: Dict[str, "np.ndarray"] = {}
+    n_q = 0
+    for k, v in flat.items():
+        ok = (k.endswith(".weight") and getattr(v, "ndim", 0) == 2
+              and "norm" not in k.lower()
+              and v.shape[1] % group_size == 0
+              and (predicate is None or predicate(k)))
+        if not ok:
+            out[k] = v
+            continue
+        packed, scales, biases = quant.quantize(
+            jnp.asarray(v), group_size, bits)
+        stem = k[:-len(".weight")]
+        out[k] = packed
+        out[stem + ".scales"] = scales
+        out[stem + ".biases"] = biases
+        n_q += 1
+    os.makedirs(out_dir, exist_ok=True)
+
+    shards, cur, cur_bytes = [], {}, 0
+    for k, v in out.items():
+        nbytes = int(np.asarray(v).nbytes)
+        if cur_bytes + nbytes > MAX_SHARD_BYTES and cur:
+            shards.append(cur)
+            cur, cur_bytes = {}, 0
+        cur[k] = v
+        cur_bytes += nbytes
+    if cur:
+        shards.append(cur)
+    n = len(shards)
+    weight_map: Dict[str, str] = {}
+    for i, shard in enumerate(shards):
+        fname = (f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+                 if n > 1 else "model.safetensors")
+        save_safetensors(os.path.join(out_dir, fname), shard)
+        for k in shard:
+            weight_map[k] = fname
+    if n > 1:
+        with open(os.path.join(out_dir,
+                               "model.safetensors.index.json"), "w") as f:
+            json.dump({"weight_map": weight_map}, f)
+    cfg = dict(cfg)
+    cfg["quantization"] = {"group_size": group_size, "bits": bits}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+    # carry tokenizer/config side files over verbatim
+    skip_suffixes = (".safetensors", ".bin", ".pth", ".pt")
+    for name in os.listdir(model_dir):
+        src = os.path.join(model_dir, name)
+        if (not os.path.isfile(src) or name == "config.json"
+                or name == "model.safetensors.index.json"
+                or name.endswith(skip_suffixes)):
+            continue
+        shutil.copy2(src, os.path.join(out_dir, name))
+    return n_q
+
+
 PARAFORMER_RENAMES = {
     # reference convert.rs:253-381 Paraformer mapping table (subset; the
     # mapping is completed when checkpoints are wired)
@@ -86,3 +169,37 @@ def paraformer_rename(name: str) -> str:
         if name.startswith(old):
             return new + name[len(old):]
     return name
+
+
+def main():
+    import argparse
+
+    # conversion is offline host work: keep it off the accelerator (the
+    # sitecustomize-pinned platform would route every quantize through the
+    # device tunnel at ~25ms/dispatch)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser(
+        description="checkpoint conversion: torch->safetensors, or "
+                    "--quantize an HF/MLX safetensors dir in place")
+    ap.add_argument("src", help=".bin/.pth file, or model dir w/ --quantize")
+    ap.add_argument("out", help="output directory")
+    ap.add_argument("--quantize", action="store_true",
+                    help="group-quantize a safetensors checkpoint dir to "
+                         "the MLX layout (loadable by registry.load_model)")
+    ap.add_argument("--bits", type=int, default=4, choices=(4, 8))
+    ap.add_argument("--group-size", type=int, default=64)
+    ap.add_argument("--dtype", default=None,
+                    help="cast during torch conversion")
+    args = ap.parse_args()
+    if args.quantize:
+        n = save_quantized(args.src, args.out, bits=args.bits,
+                           group_size=args.group_size)
+        print(f"quantized {n} tensors -> {args.out}")
+    else:
+        convert_torch_checkpoint(args.src, args.out, dtype=args.dtype)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,6 +147,30 @@ def test_quantized_checkpoint_roundtrip(checkpoint_dir):
     assert corr > 0.99, corr
 
 
+def test_save_quantized_tool_roundtrip(checkpoint_dir):
+    """utils.convert.save_quantized: dir -> quantized dir -> load/serve
+    (the user-facing counterpart of the hand-rolled layout test above)."""
+    d, orig_params, cfg = checkpoint_dir
+    from ominix_mlx_tpu.utils.convert import save_quantized
+
+    qd = d + "-tool-q8"
+    n_q = save_quantized(d, qd, bits=8, group_size=16)
+    assert n_q >= 7 * 2 + 1            # per-layer projections + embed
+    assert os.path.exists(os.path.join(qd, "tokenizer.json"))
+    with open(os.path.join(qd, "config.json")) as f:
+        assert json.load(f)["quantization"] == {"group_size": 16, "bits": 8}
+
+    mod, params, lcfg = registry.load_model(qd)
+    tokens = jnp.asarray([[1, 5, 9]])
+    c1 = base.init_cache(cfg, 1, 16, jnp.float32)
+    want, _ = base.forward(orig_params, cfg, tokens, c1)
+    c2 = mod.init_cache(lcfg, 1, 16, jnp.float32)
+    got, _ = mod.forward(params, lcfg, tokens, c2)
+    corr = np.corrcoef(np.asarray(got).ravel(),
+                       np.asarray(want).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
 @pytest.mark.slow
 def test_generate_cli_end_to_end(checkpoint_dir):
     """Drive examples/generate.py exactly as a user would (subprocess)."""
