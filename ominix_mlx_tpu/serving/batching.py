@@ -553,6 +553,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._adopt_hit: List[int] = []
         self._sfx_jits: dict = {}
         self._gather_jits: dict = {}
+        self._table_rep = None
         self.max_pages = max_len // page_size
         self.n_kv = cfg.num_kv_heads
         self.hd = cfg.hd
@@ -629,13 +630,21 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     def _layers_with_table(self):
         """Rebuild layer views over the current pools + master table. Each
-        layer gets its OWN device copy of the table so the decode jit can
-        donate every buffer without aliasing."""
+        layer needs its OWN device copy of the table so the decode jit can
+        donate every buffer without aliasing (XLA rejects duplicate donated
+        buffers) — but per-layer host->device transfers would cost one
+        tunnel RPC PER LAYER per table change. One transfer + one jitted
+        fan-out keeps it to two dispatches."""
         from ominix_mlx_tpu.core.paged_cache import PagedKVCache
+        if self._table_rep is None:
+            n = self.num_layers
+            self._table_rep = jax.jit(
+                lambda t: tuple(t.copy() for _ in range(n)))
+        tables = self._table_rep(jnp.asarray(self.table))
         return [PagedKVCache(k_pool=lc.k_pool, v_pool=lc.v_pool,
-                             page_table=jnp.asarray(self.table.copy()),
+                             page_table=tb,
                              k_scale=lc.k_scale, v_scale=lc.v_scale)
-                for lc in self.cache.layers]
+                for lc, tb in zip(self.cache.layers, tables)]
 
     def _sync_table(self):
         self.cache = ModelCache(layers=self._layers_with_table(),

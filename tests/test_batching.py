@@ -2,6 +2,7 @@
 greedy tokens as single-sequence generation, with requests of different
 lengths arriving and finishing at different times."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -146,6 +147,7 @@ def test_spec_batcher_partial_acceptance_matches_greedy():
             len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
 
 
+@pytest.mark.slow
 def test_spec_batcher_paged_pool():
     """Speculative + paged pool + continuous refill: exact greedy match;
     page growth reserves the round's nd+1 transient writes."""
@@ -173,6 +175,7 @@ def test_spec_batcher_rejects_sampled():
         pass
 
 
+@pytest.mark.slow
 def test_spec_batcher_composes_with_prefix_cache():
     """Speculative + prefix caching + paged pool in one batcher: the
     second identical prompt reuses pages (hit) and still matches plain
@@ -192,6 +195,7 @@ def test_spec_batcher_composes_with_prefix_cache():
             got, want)
 
 
+@pytest.mark.slow
 def test_batcher_chunked_adoption_prefill_matches_greedy():
     """Prompts longer than prefill_chunk adopt via the engine's chunked
     prefill (flash continuation path) and still match plain greedy."""

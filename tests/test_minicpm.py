@@ -3,6 +3,7 @@
 parsing golden values (the reference's test pattern,
 minicpm-sala-mlx/tests/test_model.rs:1-90), self-speculative drafting."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -71,6 +72,7 @@ def test_sparse_decode_equals_dense_short_context():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_hybrid_prefill_decode_consistency():
     params = mc.init_params(CFG, jax.random.PRNGKey(0))
     toks = jnp.asarray([[7, 3, 11, 5, 2, 9, 1, 8]])

@@ -44,6 +44,7 @@ def test_mixtral_parity():
     check_parity(base.forward, params, cfg, hf)
 
 
+@pytest.mark.slow
 def test_qwen3_moe_parity():
     from transformers import Qwen3MoeConfig
     from transformers.models.qwen3_moe import Qwen3MoeForCausalLM

@@ -307,6 +307,7 @@ class _CharTok:
         return " ".join(map(str, ids))
 
 
+@pytest.mark.slow
 def test_deepseek_ocr2_ocr_facade():
     """ocr(image, prompt) -> str end-to-end: tokenize_prompt builds the
     <|User|> conversation with IMAGE_TOKEN slots, embeddings overwrite the

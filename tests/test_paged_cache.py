@@ -2,6 +2,7 @@
 cache, and the paged continuous batcher must reproduce single-sequence
 greedy decoding while drawing pages from a shared (oversubscribed) pool."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -114,6 +115,7 @@ def test_paged_batcher_preempts_on_pool_exhaustion():
     assert not cb.alloc.owned or all(not v for v in cb.alloc.owned.values())
 
 
+@pytest.mark.slow
 def test_paged_batcher_preemption_replays_sampled_rep_penalty():
     """Preemption replay must be exact for SAMPLED decode with repetition
     penalty: the requeued continuation re-derives each position's key via
@@ -303,6 +305,7 @@ def test_paged_decode_attention_kernel_int8_interpret():
                                rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_paged_int8_decode_logits_close_to_dense():
     """Full decode step through base.forward with an int8 paged cache:
     logits stay close to the dense-cache logits (quantization noise only),
@@ -378,6 +381,7 @@ def test_prefix_cache_exact_reuse():
     assert got2 == want[:len(got2)] and len(got2) >= len(want) - 1
 
 
+@pytest.mark.slow
 def test_prefix_cache_shared_system_prompt():
     """Different requests sharing a long system prefix each match their
     own full-prefill reference; pages are physically shared while both
@@ -400,6 +404,7 @@ def test_prefix_cache_shared_system_prompt():
     assert all(cb.alloc.refs[p] == 1 for p in cb.prefix.entries.values())
 
 
+@pytest.mark.slow
 def test_prefix_cache_eviction_under_pressure():
     """Pool too small to keep cached pages AND admit new work: LRU cache
     pages are evicted (they are capacity, not reservations) and requests

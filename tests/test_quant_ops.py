@@ -156,6 +156,7 @@ def test_channel_gather_qmm_matches_per_expert():
                                        rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_quantize_params_channel8_covers_moe_layers():
     """quantize_params(scheme='channel8') on a MoE model quantizes the
     stacked experts and shared-expert projections, and forward tracks."""
@@ -257,6 +258,7 @@ def test_channel_quantize_matmul_close_to_dense():
     assert float(jnp.max(jnp.abs(wd - w))) < float(jnp.max(cq.scale)) * 0.51
 
 
+@pytest.mark.slow
 def test_channel_scheme_model_forward_and_fusion():
     """quantize_params(scheme='channel8') + fuse_layer_projections +
     forward: logits must stay close to the dense model's."""

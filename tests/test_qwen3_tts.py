@@ -48,6 +48,7 @@ def test_conv_transpose_upsamples():
     assert y.shape == (1, 12, 4)
 
 
+@pytest.mark.slow
 def test_codec_decode_shapes():
     dec, cfg = tts.init_codec(jax.random.PRNGKey(0), frame_dim=32,
                               up_strides=(2,), dec_strides=(2, 2))
@@ -133,6 +134,7 @@ def test_speech_encoder_codes_shape():
     assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 32).all()
 
 
+@pytest.mark.slow
 def test_voice_clone_generation_runs():
     tcfg = qt.TalkerConfig(transformer=TransformerConfig(
         vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,

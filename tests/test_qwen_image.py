@@ -13,6 +13,7 @@ TINY = qi.QwenImageConfig(dim=48, num_heads=4, head_dim=12, num_layers=2,
                           in_channels=8, txt_dim=24, axes_dim=(4, 4, 4))
 
 
+@pytest.mark.slow
 def test_mmdit_forward_and_denoise():
     params = qi.init_params(TINY, jax.random.PRNGKey(0), jnp.float32)
     txt = jax.random.normal(jax.random.PRNGKey(1), (1, 3, TINY.txt_dim),

@@ -450,6 +450,7 @@ def test_batched_chat_prefix_cache(server):
         server.batchers.pop("tiny", None)
 
 
+@pytest.mark.slow
 def test_batched_chat_speculative(server):
     """Batched speculative (self-spec draft on layer 1): greedy chat equals
     the plain route token-for-token; a sampled request bypasses the spec
@@ -561,6 +562,7 @@ def test_ocr_endpoint(server):
     assert isinstance(out["text"], str) and out["text"]
 
 
+@pytest.mark.slow
 def test_vlm_image_chat(server):
     """Content-array chat (image_url data URI) routes to MoxinVLM.chat."""
     import base64

@@ -76,6 +76,7 @@ def test_full_speech_to_speech_path():
     assert np.all(np.isfinite(wav))
 
 
+@pytest.mark.slow
 def test_tool_mode_postprocess():
     pipe = _pipeline()
     pipe.mode = "with_tools"

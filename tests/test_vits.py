@@ -44,6 +44,7 @@ def test_generator_length_arithmetic():
     assert float(jnp.max(jnp.abs(wav))) <= 1.0
 
 
+@pytest.mark.slow
 def test_sovits_decode_end_to_end_shape():
     p = vits.init_params(SMALL, jax.random.PRNGKey(0))
     codes = jnp.asarray([[3, 17, 5, 60, 2, 9]], jnp.int32)      # 6 frames

@@ -33,6 +33,7 @@ def test_coordinate_grid():
     np.testing.assert_array_equal(g[-1], [5, 1, 2])
 
 
+@pytest.mark.slow
 def test_generate_image_tiny():
     params = zi.init_params(TINY, jax.random.PRNGKey(0), jnp.float32)
     vparams = vae.init_decoder(TINY_VAE, jax.random.PRNGKey(1))
