@@ -110,6 +110,7 @@ def _spec_batcher(params, slots=2, max_len=128, nd=3, draft_layers=None,
         draft_init_cache_fn=dinit, num_draft_tokens=nd, **kw)
 
 
+@pytest.mark.slow
 def test_spec_batcher_acceptance_one_matches_greedy():
     """Draft == target: every draft verifies, outputs equal plain greedy
     token-for-token and rounds emit multiple tokens."""

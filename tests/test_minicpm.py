@@ -87,6 +87,7 @@ def test_hybrid_prefill_decode_consistency():
                                np.asarray(full), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_self_speculative_draft_runs_prefix_layers():
     params = mc.init_params(CFG, jax.random.PRNGKey(0))
     toks = jnp.asarray([[7, 3, 11]])

@@ -63,6 +63,7 @@ def test_qwen3_moe_parity():
     check_parity(base.forward, params, cfg, hf)
 
 
+@pytest.mark.slow
 def test_glm4_parity():
     try:
         from transformers import Glm4Config
@@ -139,6 +140,7 @@ def test_deepseek_v3_mla_parity():
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-3, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_qwen3_next_hybrid_parity():
     """GatedDeltaNet + gated attention hybrid vs HF Qwen3Next."""
     from transformers import Qwen3NextConfig
@@ -168,6 +170,7 @@ def test_qwen3_next_hybrid_parity():
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_qwen3_next_prefill_decode_consistency():
     """Hybrid recurrent state: one-shot prefill must equal token-by-token
     (guards against padded-bucketing corrupting the deltanet state)."""

@@ -164,6 +164,7 @@ def test_s3_tokenizer_encode():
     assert (c >= 0).all() and (c < 81 * 81).all()
 
 
+@pytest.mark.slow
 def test_s3_quantization_is_deterministic_and_bounded():
     scfg = step_audio2.S3Config(mel_dim=8, hidden_dim=16, ffn_dim=32,
                                 num_heads=2, num_blocks=1,

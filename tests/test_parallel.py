@@ -54,6 +54,7 @@ def test_ep_moe_matches_unsharded():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ep_moe_channelwise_matches_unsharded():
     """Channelwise-int8 experts shard over the EP axis (data + per-row
     scale lead with the expert dim) and both decode (gather) and prefill

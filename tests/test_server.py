@@ -426,6 +426,7 @@ def test_batched_chat_paged_int8_kv(server):
         server.batchers.pop("tiny", None)
 
 
+@pytest.mark.slow
 def test_batched_chat_prefix_cache(server):
     """Prefix caching through the server: two identical chats — the second
     reuses the first's prompt pages (hit recorded) and both answer
@@ -524,6 +525,7 @@ def test_metrics_endpoint(server):
     assert lines["ominix_models_loaded"] >= 1
 
 
+@pytest.mark.slow
 def test_ocr_endpoint(server):
     """Drive /v1/ocr with a tiny DeepSeekOCR2 (image upload -> text)."""
     import base64
@@ -634,6 +636,7 @@ def test_speculative_chat_matches_greedy(server):
     assert spec == plain
 
 
+@pytest.mark.slow
 def test_batched_chat_quantized_weights(server):
     """enable_batching(quantize_bits=8): the batcher serves channelwise
     w8a8 weights (int8 MXU path) and still streams sane greedy tokens."""

@@ -43,6 +43,7 @@ def test_speculative_matches_greedy():
     assert stats.rounds >= 1
 
 
+@pytest.mark.slow
 def test_self_draft_accepts_everything():
     """Draft == target -> every draft token must be accepted."""
     tparams = base.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)

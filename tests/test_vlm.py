@@ -29,6 +29,7 @@ def test_vit_no_cls():
     assert out.shape == (1, 4, 24)
 
 
+@pytest.mark.slow
 def test_moxin_generate():
     m = moxin_vlm.init_tiny(jax.random.PRNGKey(0))
     img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 28, 28, 3)),
