@@ -26,6 +26,7 @@ from ominix_mlx_tpu.core.paged_cache import PagedKVCache, quantize_kv_tokens
 
 B, H, NKV, S, D = 8, 32, 8, 2048, 128
 PS = 128
+CP = 0       # kernel pages-per-chunk override (0 = library default)
 
 
 def attn(q, k, v, length):
@@ -88,7 +89,7 @@ def run(kind, steps):
         def loop(qs, kp, vp, table):
             def step(carry, q):
                 o = paged_decode_attention(q, kp, vp, table, lengths,
-                                           D ** -0.5)
+                                           D ** -0.5, pages_per_chunk=CP)
                 return carry + jnp.sum(o.astype(jnp.float32)), None
             return jax.lax.scan(step, jnp.float32(0.0), qs)[0]
 
@@ -124,11 +125,15 @@ def run(kind, steps):
 
 
 def main():
+    global CP
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--only", default=None,
                     choices=("dense", "paged", "kernel", "kernel8"))
+    ap.add_argument("--cp", type=int, default=0,
+                    help="kernel pages per DMA chunk (0 = default)")
     args = ap.parse_args()
+    CP = args.cp
     if args.only:
         run(args.only, args.steps)
         return

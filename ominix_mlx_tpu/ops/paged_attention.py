@@ -194,15 +194,16 @@ def _block_diag_q(q: jax.Array, n_kv: int, scale: float) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret",
-                                             "window"))
+                                             "window", "cp"))
 def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
                        k_scale=None, v_scale=None,
-                       interpret: bool = False, window: int = 0):
+                       interpret: bool = False, window: int = 0,
+                       cp: int = 0):
     NKV, P, D, PS = k_pool.shape
     B, H, _ = qbd.shape
     G = H // NKV
     MP = table.shape[1]
-    CP = min(_CP, MP)
+    CP = min(cp or _CP, MP)
     NCH = MP // CP
     CHUNK = CP * PS
     quant = k_scale is not None
@@ -264,7 +265,8 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array,
                            v_pool: jax.Array, page_table: jax.Array,
                            lengths: jax.Array, scale: float,
                            interpret: bool = False, window: int = 0,
-                           k_scale=None, v_scale=None) -> jax.Array:
+                           k_scale=None, v_scale=None,
+                           pages_per_chunk: int = 0) -> jax.Array:
     """q: [B, H, D] (one decode step); k_pool [n_kv, P, D, ps] (transposed
     pages), v_pool [n_kv, P, ps, D]; page_table [B, max_pages]; lengths [B]
     valid tokens per row (INCLUDING the token written this step).
@@ -273,10 +275,13 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array,
     ``window`` positions (sliding-window models) and skips chunks outside
     it. k_scale/v_scale [n_kv, P, ps] switch to int8 pages (half the DMA
     bytes; scales applied in-kernel). interpret=True runs the kernel in
-    the Pallas interpreter (CPU tests)."""
+    the Pallas interpreter (CPU tests). pages_per_chunk overrides the
+    default DMA chunking (_CP pages per double-buffered slab; the table
+    width must divide by it)."""
     NKV = k_pool.shape[0]
     qbd = _block_diag_q(q.astype(jnp.bfloat16), NKV, scale)
     out = _paged_decode_call(qbd, k_pool, v_pool, page_table, lengths,
                              scale, k_scale=k_scale, v_scale=v_scale,
-                             interpret=interpret, window=window)
+                             interpret=interpret, window=window,
+                             cp=pages_per_chunk)
     return out.astype(q.dtype)

@@ -211,6 +211,13 @@ def test_paged_decode_attention_kernel_interpret_matches_sdpa():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+    # non-default DMA chunking (tuning knob) must not change the result
+    got2 = paged_decode_attention(q, pc.k_pool, pc.v_pool, pc.page_table,
+                                  lengths, D ** -0.5, interpret=True,
+                                  pages_per_chunk=2)
+    np.testing.assert_allclose(np.asarray(got2, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_engine_generate_scan_paged_equals_dense():
