@@ -672,6 +672,10 @@ class Server:
         samples = native.pcm16_to_float(np.frombuffer(raw, np.int16))
         if ch > 1:
             samples = samples.reshape(-1, ch).mean(-1)
+        # long uploads ride the chunked path when the family has one
+        # (reference transcribe_long, funasr-qwen4b model.rs:388-459)
+        if len(samples) > 30 * rate and hasattr(m, "transcribe_long"):
+            return {"text": m.transcribe_long(samples, rate)}
         return {"text": m.transcribe(samples, rate)}
 
     def image_generation(self, body: dict) -> dict:

@@ -161,6 +161,32 @@ def test_audio_endpoints(server):
     assert out["text"].startswith("heard 1600 samples")
 
 
+def test_audio_transcription_long_uses_chunked_path(server):
+    import io
+    import wave
+
+    import numpy as np
+
+    class FakeLongASR(FakeASR):
+        def transcribe_long(self, samples, rate):
+            return f"long {len(samples)} samples at {rate}Hz"
+
+    # the transcription route picks the first transcribe-capable model:
+    # drop the plain fake so the chunk-capable one is selected
+    server.models.pop("asr", None)
+    server.add_model("asr-long", FakeLongASR())
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.zeros(31 * 16000, np.int16).tobytes())
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/v1/audio/transcriptions", buf.getvalue())
+    out = json.loads(urllib.request.urlopen(req).read())
+    assert out["text"].startswith("long "), out
+
+
 def test_local_models_and_delete(server, tmp_path_factory, monkeypatch):
     import os
     d = tmp_path_factory.mktemp("models")
