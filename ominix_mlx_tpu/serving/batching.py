@@ -86,6 +86,17 @@ class ContinuousBatcher:
         self.max_len = max_len
         self.stop_tokens = set(stop_tokens)
         self.cache = init_cache_fn(cfg, slots, max_len)
+        # hybrid models carry recurrent layers (RecurrentCache/GLACache):
+        # padding runs through the recurrence, so adoption prefills must be
+        # EXACT length (the Engine's rule, core/generate.py); and
+        # speculative rounds cannot roll recurrent state back
+        self._has_recurrent = any(
+            not isinstance(lc, KVCache) and not hasattr(lc, "page_table")
+            for lc in self.cache.layers)
+        if self._has_recurrent and draft_forward_fn is not None:
+            raise ValueError(
+                "speculative batching cannot roll back recurrent-state "
+                "layers; use plain continuous batching for hybrid models")
         self.offsets = jnp.zeros((slots,), jnp.int32)
         self.toks = jnp.zeros((slots,), jnp.int32)
         self.active: List[Optional[_Request]] = [None] * slots
@@ -143,18 +154,17 @@ class ContinuousBatcher:
 
         def adopt(layers, layers1, slot, offsets, toks, off_new, tok_new):
             z = jnp.zeros((), jnp.int32)
-            new_layers = []
-            for lc, l1 in zip(layers, layers1):
-                if isinstance(lc, KVCache):
-                    k = jax.lax.dynamic_update_slice(lc.k,
-                                                     l1.k.astype(lc.k.dtype),
-                                                     (slot, z, z, z))
-                    v = jax.lax.dynamic_update_slice(lc.v,
-                                                     l1.v.astype(lc.v.dtype),
-                                                     (slot, z, z, z))
-                    new_layers.append(KVCache(k=k, v=v))
-                else:
-                    new_layers.append(lc)
+
+            def row(a, b):
+                # every cache leaf (KV, recurrent state, conv window,
+                # compressed keys) leads with batch: write the fresh
+                # request's single row into this slot — hybrid models'
+                # recurrent layers adopt exactly like dense KV layers
+                return jax.lax.dynamic_update_slice(
+                    a, b.astype(a.dtype), (slot,) + (z,) * (a.ndim - 1))
+
+            new_layers = [jax.tree.map(row, lc, l1)
+                          for lc, l1 in zip(layers, layers1)]
             offsets = offsets.at[slot].set(off_new)
             toks = toks.at[slot].set(tok_new)
             return new_layers, offsets, toks
@@ -291,7 +301,8 @@ class ContinuousBatcher:
                 break                 # wait for pages to free; stay queued
             req = self.queue.popleft()
             T = len(req.tokens)
-            bucket = min(bucket_length(T), self.max_len)
+            bucket = (T if self._has_recurrent
+                      else min(bucket_length(T), self.max_len))
             padded = jnp.zeros((1, bucket), jnp.int32).at[0, :T].set(
                 jnp.asarray(req.tokens, jnp.int32))
             scfg = req.sampler or SamplerConfig()

@@ -216,3 +216,68 @@ def test_batcher_chunked_adoption_prefill_matches_greedy():
         want = _reference(params, p, mt)
         assert got[rid] == want[:len(got[rid])] and \
             len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+
+
+def _hybrid_setup():
+    """Tiny 2-layer hybrid: layer 0 GatedDeltaNet (RecurrentCache), layer 1
+    full attention (KVCache) — the Qwen3-Next layer mix on base.forward."""
+    import dataclasses
+
+    from ominix_mlx_tpu.core.cache import KVCache, ModelCache
+    from ominix_mlx_tpu.models.deltanet import DeltaNetConfig, RecurrentCache
+
+    dcfg = DeltaNetConfig(num_v_heads=4, num_k_heads=2, head_k_dim=8,
+                          head_v_dim=8, conv_kernel=3)
+    cfg = dataclasses.replace(CFG, deltanet=dcfg)
+    params = base.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    keys = iter(jax.random.split(jax.random.PRNGKey(3), 8))
+    lin = lambda o, i: {"w": 0.08 * jax.random.normal(
+        next(keys), (o, i), jnp.float32)}
+    r = dcfg.num_v_heads // dcfg.num_k_heads
+    la = {
+        "in_proj_qkvz": lin(dcfg.num_k_heads * (2 * dcfg.head_k_dim
+                            + 2 * r * dcfg.head_v_dim), cfg.hidden_size),
+        "in_proj_ba": lin(dcfg.num_k_heads * 2 * r, cfg.hidden_size),
+        "conv1d": {"w": 0.3 * jax.random.normal(
+            next(keys), (dcfg.conv_dim, dcfg.conv_kernel, 1), jnp.float32)},
+        "A_log": jnp.zeros((dcfg.num_v_heads,), jnp.float32),
+        "dt_bias": jnp.zeros((dcfg.num_v_heads,), jnp.float32),
+        "norm": jnp.ones((dcfg.head_v_dim,), jnp.float32),
+        "out_proj": lin(cfg.hidden_size, dcfg.value_dim),
+    }
+    lp0 = params["layers"][0]
+    params["layers"][0] = {
+        "input_layernorm": lp0["input_layernorm"],
+        "post_attention_layernorm": lp0["post_attention_layernorm"],
+        "gate_proj": lp0["gate_proj"], "up_proj": lp0["up_proj"],
+        "down_proj": lp0["down_proj"], "linear_attn": la}
+
+    def init_cache(cfg_, b, ml):
+        return ModelCache(
+            layers=[RecurrentCache.init(b, dcfg, jnp.float32),
+                    KVCache.init(b, cfg.num_kv_heads, ml, cfg.hd,
+                                 jnp.float32)],
+            offset=jnp.zeros((), jnp.int32))
+
+    return cfg, params, init_cache
+
+
+def test_batcher_hybrid_deltanet_matches_single_sequence():
+    """Continuous batching over a HYBRID cache (RecurrentCache + KVCache):
+    adoption must carry the recurrent state and conv window of the fresh
+    prefill into the slot row, not just the KV layers."""
+    cfg, params, init_cache = _hybrid_setup()
+    fwd = lambda p, t, c: base.forward(p, cfg, t, c)
+
+    def ref(prompt, mt):
+        eng = Engine(fwd, params)
+        return list(eng.generate(jnp.asarray(prompt), init_cache(cfg, 1, 64),
+                                 max_tokens=mt))
+
+    cb = ContinuousBatcher(fwd, params, cfg, init_cache, slots=2, max_len=64)
+    reqs = [("a", [3, 7, 11], 6), ("b", [5, 2], 8), ("c", [9, 1, 4, 8], 5)]
+    got = cb.run_all(reqs)
+    for rid, prompt, mt in reqs:
+        want = ref(prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
