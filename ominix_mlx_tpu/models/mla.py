@@ -106,7 +106,9 @@ def attention_block(lp: dict, mcfg: MLAConfig, x: jax.Array, cache: KVCache,
                  mcfg.rms_norm_eps)                       # [B, T, Ckv]
     k_rot = ckv[..., mcfg.kv_lora_rank:]                  # [B, T, rope]
 
-    positions = offset + jnp.arange(T, dtype=jnp.int32)
+    # vector offsets: continuous-batching slots decode at per-row positions
+    positions = (offset[:, None] if getattr(offset, "ndim", 0) == 1
+                 else offset) + jnp.arange(T, dtype=jnp.int32)
     # [B, H, T, rope] / [B, 1, T, rope]
     q_rope = apply_rope(q_rope.transpose(0, 2, 1, 3), positions, rope)
     k_rot = apply_rope(k_rot[:, None], positions, rope)

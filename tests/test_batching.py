@@ -281,3 +281,65 @@ def test_batcher_hybrid_deltanet_matches_single_sequence():
         want = ref(prompt, mt)
         assert got[rid] == want[:len(got[rid])] and \
             len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+
+
+def _mla_setup():
+    """Tiny 2-layer MLA model (absorbed DeepSeek-style latent attention)
+    on base.forward — exercises vector-offset decode through mla.py."""
+    import dataclasses
+
+    from ominix_mlx_tpu.core.cache import ModelCache
+    from ominix_mlx_tpu.models import mla
+
+    mcfg = mla.MLAConfig(num_heads=2, q_lora_rank=None, kv_lora_rank=16,
+                         qk_nope_head_dim=8, qk_rope_head_dim=8,
+                         v_head_dim=8)
+    cfg = dataclasses.replace(CFG, mla=mcfg)
+    params = base.init_params(cfg, jax.random.PRNGKey(4), jnp.float32)
+    keys = iter(jax.random.split(jax.random.PRNGKey(5), 16))
+    lin = lambda o, i: {"w": 0.08 * jax.random.normal(
+        next(keys), (o, i), jnp.float32)}
+    for lp in params["layers"]:
+        for k in ("q_proj", "k_proj", "v_proj", "o_proj", "q_norm",
+                  "k_norm"):
+            lp.pop(k, None)
+        lp["q_proj"] = lin(mcfg.num_heads * mcfg.qk_head_dim,
+                           cfg.hidden_size)
+        lp["kv_a_proj_with_mqa"] = lin(
+            mcfg.kv_lora_rank + mcfg.qk_rope_head_dim, cfg.hidden_size)
+        lp["kv_a_layernorm"] = jnp.ones((mcfg.kv_lora_rank,), jnp.float32)
+        kv_b = 0.08 * jax.random.normal(
+            next(keys), (mcfg.num_heads * (mcfg.qk_nope_head_dim
+                                           + mcfg.v_head_dim),
+                         mcfg.kv_lora_rank), jnp.float32)
+        lp["w_uk"], lp["w_uv"] = mla.absorb_kv_b(kv_b, mcfg)
+        lp["o_proj"] = lin(cfg.hidden_size,
+                           mcfg.num_heads * mcfg.v_head_dim)
+
+    def init_cache(cfg_, b, ml):
+        return ModelCache(
+            layers=[mla.init_cache_layer(b, mcfg, ml, jnp.float32)
+                    for _ in range(cfg.num_layers)],
+            offset=jnp.zeros((), jnp.int32))
+
+    return cfg, params, init_cache
+
+
+def test_batcher_mla_matches_single_sequence():
+    """Continuous batching over an MLA model: per-row vector offsets must
+    drive the latent-attention RoPE/mask/KV-writes correctly."""
+    cfg, params, init_cache = _mla_setup()
+    fwd = lambda p, t, c: base.forward(p, cfg, t, c)
+
+    def ref(prompt, mt):
+        eng = Engine(fwd, params)
+        return list(eng.generate(jnp.asarray(prompt), init_cache(cfg, 1, 64),
+                                 max_tokens=mt))
+
+    cb = ContinuousBatcher(fwd, params, cfg, init_cache, slots=2, max_len=64)
+    reqs = [("a", [3, 7, 11], 6), ("b", [5, 2], 8), ("c", [9, 1, 4, 8], 5)]
+    got = cb.run_all(reqs)
+    for rid, prompt, mt in reqs:
+        want = ref(prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
