@@ -131,7 +131,8 @@ def _sparse_attn(lp, cfg: MiniCPMConfig, x, cache: KVCache, offset):
         k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
     if cfg.attn_use_rope:
         rope = make_rope(hd, cfg.rope_theta)
-        pos = offset + jnp.arange(T, dtype=jnp.int32)
+        pos = (offset[:, None] if getattr(offset, "ndim", 0) == 1
+               else offset) + jnp.arange(T, dtype=jnp.int32)
         q = apply_rope(q, pos, rope)
         k = apply_rope(k, pos, rope)
     cache = cache.update(k, v, offset)
@@ -156,7 +157,8 @@ def _lightning_attn(lp, cfg: MiniCPMConfig, x, cache: gla.GLACache, offset):
         k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
     if cfg.lightning_use_rope:
         rope = make_rope(hd, cfg.rope_theta)
-        pos = offset + jnp.arange(T, dtype=jnp.int32)
+        pos = (offset[:, None] if getattr(offset, "ndim", 0) == 1
+               else offset) + jnp.arange(T, dtype=jnp.int32)
         q = apply_rope(q, pos, rope)
         k = apply_rope(k, pos, rope)
     q = q * hd ** -0.5

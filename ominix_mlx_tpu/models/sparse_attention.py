@@ -80,7 +80,8 @@ class SparseKVCache:
         return self.k.shape[2]
 
     def update(self, k_new: jax.Array, v_new: jax.Array, offset: jax.Array):
-        """Write [B,Hkv,T,D] at ``offset``; re-pool only the touched blocks.
+        """Write [B,Hkv,T,D] at ``offset`` (scalar or per-row [B]); re-pool
+        only the touched blocks.
 
         Blocks containing garbage beyond the valid length are re-pooled
         again as later tokens land in them, and the block-validity mask in
@@ -89,21 +90,41 @@ class SparseKVCache:
         B, Hkv, T, D = k_new.shape
         z = jnp.zeros((), jnp.int32)
         off = offset.astype(jnp.int32)
-        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype),
-                                         (z, z, off, z))
-        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype),
-                                         (z, z, off, z))
+        nb = self.comp.shape[2]
         # static touched-block bound: T tokens starting anywhere inside a
         # block span at most ceil((T-1)/ks) + 1 blocks
-        nblk = (T + ks - 2) // ks + 1
-        nb = self.comp.shape[2]
-        nblk = min(nblk, nb)
-        first = jnp.minimum(off // ks, nb - nblk)
-        region = jax.lax.dynamic_slice(
-            k, (z, z, first * ks, z), (B, Hkv, nblk * ks, D))
+        nblk = min((T + ks - 2) // ks + 1, nb)
+        if off.ndim == 0:
+            k = jax.lax.dynamic_update_slice(
+                self.k, k_new.astype(self.k.dtype), (z, z, off, z))
+            v = jax.lax.dynamic_update_slice(
+                self.v, v_new.astype(self.v.dtype), (z, z, off, z))
+            first = jnp.minimum(off // ks, nb - nblk)
+            region = jax.lax.dynamic_slice(
+                k, (z, z, first * ks, z), (B, Hkv, nblk * ks, D))
+            pooled = region.reshape(B, Hkv, nblk, ks, D).mean(axis=3)
+            comp = jax.lax.dynamic_update_slice(
+                self.comp, pooled.astype(self.comp.dtype), (z, z, first, z))
+            return SparseKVCache(k=k, v=v, comp=comp, kernel_size=ks)
+        # per-row offsets (continuous-batching slots): scatter at [b, :,
+        # pos[b,t], :] then re-pool each row's touched blocks via gathers
+        S = self.k.shape[2]
+        pos = jnp.clip(off[:, None] + jnp.arange(T, dtype=jnp.int32), 0,
+                       S - 1)                                        # [B,T]
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        k = self.k.at[bidx, :, pos].set(
+            jnp.transpose(k_new, (0, 2, 1, 3)).astype(self.k.dtype))
+        v = self.v.at[bidx, :, pos].set(
+            jnp.transpose(v_new, (0, 2, 1, 3)).astype(self.v.dtype))
+        first = jnp.minimum(off // ks, nb - nblk)                    # [B]
+        tok = jnp.clip(first[:, None] * ks
+                       + jnp.arange(nblk * ks, dtype=jnp.int32), 0, S - 1)
+        region = jnp.take_along_axis(k, tok[:, None, :, None], axis=2)
         pooled = region.reshape(B, Hkv, nblk, ks, D).mean(axis=3)
-        comp = jax.lax.dynamic_update_slice(
-            self.comp, pooled.astype(self.comp.dtype), (z, z, first, z))
+        blk = first[:, None] + jnp.arange(nblk, dtype=jnp.int32)     # [B,nblk]
+        # non-adjacent advanced indices move (B, nblk) to the front
+        comp = self.comp.at[bidx, :, blk].set(
+            jnp.transpose(pooled, (0, 2, 1, 3)).astype(self.comp.dtype))
         return SparseKVCache(k=k, v=v, comp=comp, kernel_size=ks)
 
 
@@ -120,9 +141,12 @@ def sparse_decode_attention(q: jax.Array, cache, offset: jax.Array,
     S = cache.max_len
     ks = scfg.kernel_size
     nb = S // ks
-    total = offset + 1                       # length incl. current token
+    # length incl. current token; scalar or per-row [B] (batching slots)
+    total = (offset + 1).astype(jnp.int32)
+    if total.ndim == 0:
+        total = jnp.broadcast_to(total, (B,))
     init_end = scfg.init_blocks * scfg.block_size
-    window_start = jnp.maximum(total - scfg.window_size, init_end)
+    window_start = jnp.maximum(total - scfg.window_size, init_end)  # [B]
 
     # --- score compressed middle blocks -----------------------------------
     if isinstance(cache, SparseKVCache) and cache.kernel_size == ks:
@@ -133,9 +157,10 @@ def sparse_decode_attention(q: jax.Array, cache, offset: jax.Array,
     q_score = q.reshape(B, Hkv, n_rep, 1, D)[:, :, 0]       # [B,Hkv,1,D]
     scores = jnp.einsum("bhqd,bhnd->bhqn", q_score.astype(jnp.float32),
                         comp.astype(jnp.float32))           # [B,Hkv,1,nb]
-    blk_start = jnp.arange(nb, dtype=jnp.int32) * ks
-    blk_valid = (blk_start >= init_end) & (blk_start + ks <= window_start)
-    scores = jnp.where(blk_valid[None, None, None], scores, NEG_INF)
+    blk_start = jnp.arange(nb, dtype=jnp.int32) * ks        # [nb]
+    blk_valid = ((blk_start[None] >= init_end)
+                 & (blk_start[None] + ks <= window_start[:, None]))  # [B,nb]
+    scores = jnp.where(blk_valid[:, None, None], scores, NEG_INF)
 
     topk = min(scfg.topk, nb)
     top_scores, top_idx = jax.lax.top_k(scores[:, :, 0], topk)  # [B,Hkv,topk]
@@ -146,21 +171,22 @@ def sparse_decode_attention(q: jax.Array, cache, offset: jax.Array,
     init_idx = jnp.broadcast_to(init_idx, (B, Hkv, init_end))
     blk_tok = (top_idx[..., None] * ks
                + jnp.arange(ks, dtype=jnp.int32)).reshape(B, Hkv, topk * ks)
-    # window positions: the last window_size tokens before `total`
-    win_pos = total - scfg.window_size + jnp.arange(scfg.window_size,
-                                                    dtype=jnp.int32)
-    win_valid = win_pos >= window_start
-    win_idx = jnp.broadcast_to(jnp.clip(win_pos, 0, S - 1), (B, Hkv, scfg.window_size))
+    # window positions: the last window_size tokens before each row's total
+    win_pos = (total[:, None] - scfg.window_size
+               + jnp.arange(scfg.window_size, dtype=jnp.int32))  # [B,W]
+    win_valid = win_pos >= window_start[:, None]                 # [B,W]
+    win_idx = jnp.broadcast_to(jnp.clip(win_pos, 0, S - 1)[:, None],
+                               (B, Hkv, scfg.window_size))
 
     gather_idx = jnp.concatenate([init_idx, blk_tok, win_idx], -1)  # [B,Hkv,G]
     G = gather_idx.shape[-1]
 
     # slot validity mask
     init_valid = jnp.broadcast_to(
-        jnp.arange(init_end, dtype=jnp.int32)[None, None] < total,
-        (B, Hkv, init_end))
+        jnp.arange(init_end, dtype=jnp.int32)[None, None]
+        < total[:, None, None], (B, Hkv, init_end))
     blk_slot_valid = jnp.repeat(sel_valid, ks, axis=-1)
-    win_slot_valid = jnp.broadcast_to(win_valid[None, None],
+    win_slot_valid = jnp.broadcast_to(win_valid[:, None],
                                       (B, Hkv, scfg.window_size))
     valid = jnp.concatenate([init_valid, blk_slot_valid, win_slot_valid], -1)
 

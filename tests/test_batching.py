@@ -343,3 +343,37 @@ def test_batcher_mla_matches_single_sequence():
         want = ref(prompt, mt)
         assert got[rid] == want[:len(got[rid])] and \
             len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+
+
+def test_batcher_minicpm_hybrid_matches_single_sequence():
+    """Continuous batching over MiniCPM-SALA (InfLLMv2 sparse + GLA
+    mixers): per-row vector offsets must drive the sparse cache scatter,
+    compressed-key re-pooling, per-row window/top-k selection and GLA
+    rope positions correctly."""
+    from ominix_mlx_tpu.models import minicpm_sala as mc
+    from ominix_mlx_tpu.models.sparse_attention import SparseConfig
+
+    cfg = mc.MiniCPMConfig(
+        vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=8, intermediate_size=48,
+        mixer_types=("minicpm4", "lightning-attn"),
+        sparse=SparseConfig(kernel_size=4, block_size=4, init_blocks=1,
+                            window_size=8, topk=2),
+        scale_emb=12.0, scale_depth=1.4, dim_model_base=32,
+        tie_word_embeddings=True)
+    params = mc.init_params(cfg, jax.random.PRNGKey(6))
+    fwd = lambda p, t, c: mc.forward(p, cfg, t, c)
+    init_cache = lambda cfg_, b, ml: mc.init_cache(cfg, b, ml, jnp.float32)
+
+    def ref(prompt, mt):
+        eng = Engine(fwd, params)
+        return list(eng.generate(jnp.asarray(prompt), init_cache(cfg, 1, 64),
+                                 max_tokens=mt))
+
+    cb = ContinuousBatcher(fwd, params, cfg, init_cache, slots=2, max_len=64)
+    reqs = [("a", [3, 7, 11], 8), ("b", [5, 2], 10), ("c", [9, 1, 4, 8], 6)]
+    got = cb.run_all(reqs)
+    for rid, prompt, mt in reqs:
+        want = ref(prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
