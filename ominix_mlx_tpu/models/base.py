@@ -57,6 +57,9 @@ class TransformerConfig:
     moe: Optional[object] = None       # MoEConfig for layers that carry "moe"
     mla: Optional[object] = None       # MLAConfig for MLA attention layers
     deltanet: Optional[object] = None  # DeltaNetConfig for "linear_attn" layers
+    # hybrid layer plan ("linear_attention"/"full_attention" per layer);
+    # None = all full attention
+    layer_types: Optional[tuple] = None
 
     @property
     def hd(self) -> int:

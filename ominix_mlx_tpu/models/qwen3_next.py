@@ -39,8 +39,11 @@ def config_from_hf(d: dict) -> TransformerConfig:
         moe_intermediate_size=d.get("moe_intermediate_size",
                                     d["intermediate_size"]),
         hidden_act=d.get("hidden_act", "silu"))
+    layer_types = tuple(d.get("layer_types") or [
+        "linear_attention" if (i + 1) % d.get("full_attention_interval", 4)
+        else "full_attention" for i in range(cfg.num_layers)])
     return dataclasses.replace(
-        cfg, deltanet=dn, moe=moe, use_qk_norm=True,
+        cfg, deltanet=dn, moe=moe, use_qk_norm=True, layer_types=layer_types,
         partial_rotary_factor=d.get("partial_rotary_factor", 0.25))
 
 
@@ -65,9 +68,7 @@ def params_from_flat(flat: dict, cfg: TransformerConfig, d: dict,
         "norm": n1("model.norm.weight"),
         "layers": [],
     }
-    layer_types = d.get("layer_types") or [
-        "linear_attention" if (i + 1) % d.get("full_attention_interval", 4)
-        else "full_attention" for i in range(cfg.num_layers)]
+    layer_types = cfg.layer_types
     E = cfg.moe.num_experts
     mlp_only = set(d.get("mlp_only_layers", []))
     step = d.get("decoder_sparse_step", 1)
@@ -126,13 +127,15 @@ def params_from_flat(flat: dict, cfg: TransformerConfig, d: dict,
     return params
 
 
-def init_cache(cfg: TransformerConfig, params: dict, batch: int, max_len: int,
+def init_cache(cfg: TransformerConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> ModelCache:
     """Hybrid cache: RecurrentCache for linear layers, KVCache for full
-    (reference: qwen3.5-35B cache.rs:9-36)."""
+    (reference: qwen3.5-35B cache.rs:9-36). Standard (cfg, batch, max_len,
+    dtype) signature — the server/engine contract; the layer plan rides
+    cfg.layer_types."""
     layers = []
-    for lp in params["layers"]:
-        if "linear_attn" in lp:
+    for lt in cfg.layer_types:
+        if lt == "linear_attention":
             layers.append(RecurrentCache.init(batch, cfg.deltanet, dtype))
         else:
             layers.append(KVCache.init(batch, cfg.num_kv_heads, max_len,

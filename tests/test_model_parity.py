@@ -165,7 +165,7 @@ def test_qwen3_next_hybrid_parity():
     params = qn.params_from_flat(flat_from_hf(hf), cfg, raw)
     with torch.no_grad():
         want = hf(torch.tensor(TOKENS)).logits.numpy()
-    cache = qn.init_cache(cfg, params, 1, 16, jnp.float32)
+    cache = qn.init_cache(cfg, 1, 16, jnp.float32)
     got, _ = base.forward(params, cfg, jnp.asarray(TOKENS), cache)
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-3)
 
@@ -194,9 +194,9 @@ def test_qwen3_next_prefill_decode_consistency():
     cfg = qn.config_from_hf(raw)
     params = qn.params_from_flat(flat_from_hf(hf), cfg, raw)
     toks = jnp.asarray(TOKENS)
-    c1 = qn.init_cache(cfg, params, 1, 16, jnp.float32)
+    c1 = qn.init_cache(cfg, 1, 16, jnp.float32)
     full, _ = base.forward(params, cfg, toks, c1)
-    c2 = qn.init_cache(cfg, params, 1, 16, jnp.float32)
+    c2 = qn.init_cache(cfg, 1, 16, jnp.float32)
     outs = []
     for t in range(toks.shape[1]):
         lg, c2 = base.forward(params, cfg, toks[:, t:t + 1], c2)
