@@ -679,3 +679,29 @@ def test_batched_chat_quantized_weights(server):
         assert isinstance(msg, str) and msg
     finally:
         server.batchers.pop("tiny", None)
+
+
+def test_chat_module_server_contract():
+    """Every chat family in the registry must expose the server's module
+    contract: forward(params, cfg, tokens, cache, ...) and
+    init_cache(cfg, batch, max_len, dtype) — a drifting signature makes
+    the family unservable at request time (TypeError), which is exactly
+    how qwen3_next regressed."""
+    import inspect
+
+    from ominix_mlx_tpu.models import registry
+
+    for mt, path in registry.MODEL_TYPES.items():
+        mod = registry.get_module(mt)
+        assert hasattr(mod, "forward") and hasattr(mod, "init_cache") \
+            and hasattr(mod, "load_model"), (mt, path)
+        fp = list(inspect.signature(mod.forward).parameters)
+        assert fp[:4] == ["params", "cfg", "tokens", "cache"], (mt, fp)
+        ip = inspect.signature(mod.init_cache).parameters
+        names = list(ip)
+        assert names[0] == "cfg" and names[1] in ("batch", "b"), (mt, names)
+        # params must not be a required positional (the server never has it)
+        for extra in names[2:]:
+            p = ip[extra]
+            assert extra in ("max_len", "dtype") or \
+                p.default is not inspect.Parameter.empty, (mt, extra)
