@@ -90,6 +90,15 @@ class ContinuousBatcher:
         # padding runs through the recurrence, so adoption prefills must be
         # EXACT length (the Engine's rule, core/generate.py); and
         # speculative rounds cannot roll recurrent state back
+        from ominix_mlx_tpu.core.cache import RotatingKVCache
+        if any(isinstance(lc, RotatingKVCache) for lc in self.cache.layers):
+            # slot_pos is shared across rows ([window], no batch dim) —
+            # per-slot adoption cannot be represented; window masks over a
+            # dense KVCache serve sliding-window models in the batcher
+            raise ValueError(
+                "continuous batching needs per-row cache state; init the "
+                "batcher with dense KVCache layers (window masking) "
+                "instead of RotatingKVCache")
         self._has_recurrent = any(
             not isinstance(lc, KVCache) and not hasattr(lc, "page_table")
             for lc in self.cache.layers)
