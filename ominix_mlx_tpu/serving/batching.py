@@ -567,6 +567,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
         from ominix_mlx_tpu.core.paged_cache import (PageAllocator,
                                                      PagedKVCache,
                                                      PrefixCache)
+        if getattr(cfg, "deltanet", None) is not None \
+                or getattr(cfg, "mla", None) is not None:
+            raise ValueError(
+                "paged batching backs uniform GQA KV layers with one page "
+                "pool; hybrid (deltanet) and MLA families use the dense "
+                "continuous batcher (--batch-slots without --batch-paged)")
         assert max_len % page_size == 0, (max_len, page_size)
         self.page_size = page_size
         self.prefix = PrefixCache(page_size) if prefix_cache else None
