@@ -20,3 +20,17 @@ Layering (TPU-native equivalent of reference README.md:39-107):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor an explicitly-set JAX_PLATFORMS: some environments pin the
+    # platform via sitecustomize AFTER jax reads the env var, which makes
+    # `JAX_PLATFORMS=cpu python examples/generate.py` silently run on the
+    # hardware plugin anyway (and hang when the device tunnel is down).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # already initialized with the same value, or unknown name

@@ -163,10 +163,13 @@ def cache_specs(cache) -> object:
 
     def layer_spec(lc):
         if isinstance(lc, PagedKVCache):
-            # pool [n_kv, P, page, D]: KV heads on tp; page table replicated
+            # pool [n_kv, P, page, D]: KV heads on tp; page table replicated;
+            # int8 pools carry per-(head, page, token) scales, heads on tp
             pool = P("tp", None, None, None)
+            sc = P("tp", None, None) if lc.quantized else None
             return PagedKVCache(k_pool=pool, v_pool=pool,
-                                page_table=P(None, None))
+                                page_table=P(None, None),
+                                k_scale=sc, v_scale=sc)
         if isinstance(lc, (KVCache, RotatingKVCache, SparseKVCache)):
             kv = P("dp", "tp", None, None)
             if isinstance(lc, RotatingKVCache):
@@ -182,9 +185,12 @@ def cache_specs(cache) -> object:
 
 
 def shard_tree(tree, specs, mesh: Mesh):
-    """device_put a pytree with NamedShardings from a matching spec tree."""
+    """device_put a pytree with NamedShardings from a matching spec tree.
+    None leaves (absent optional fields, e.g. bf16 pools' scale slots)
+    pass through."""
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: None if x is None
+        else jax.device_put(x, NamedSharding(mesh, s)),
         tree, specs,
         is_leaf=lambda x: isinstance(x, jax.Array) or x is None)
 
