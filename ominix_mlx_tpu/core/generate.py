@@ -200,6 +200,10 @@ class Engine:
         O(cache capacity)."""
         B, T = tokens.shape
         cap = _kv_capacity(cache)
+        # recurrent/hybrid layers ingest every position into their state, so
+        # chunks must be EXACT-width (intermediate chunks are all chunk_size
+        # anyway; only the tail costs one extra compile)
+        exact = any(not hasattr(lc, "max_len") for lc in cache.layers)
         last = None
         pos = 0
         while pos < T:
@@ -213,10 +217,10 @@ class Engine:
                 # dynamic_update_slice CLAMP its start index and silently
                 # overwrite real slots. Exact-fit padding also preserves
                 # the flash chunk contract kv_limit == chunk start + T.
-                width = chunk_size
+                real = end - pos
+                width = real if exact else chunk_size
                 if cap is not None:
                     width = min(width, cap - pos)
-                real = end - pos
                 padded = jnp.pad(tokens[:, pos:end],
                                  ((0, 0), (0, width - real)))
                 out, cache = self._chunk_jit(pos + width, final=end >= T)(

@@ -120,7 +120,8 @@ def init_cache(cfg: MiniCPMConfig, batch: int, max_len: int,
     return ModelCache(layers=layers, offset=jnp.zeros((), jnp.int32))
 
 
-def _sparse_attn(lp, cfg: MiniCPMConfig, x, cache: KVCache, offset):
+def _sparse_attn(lp, cfg: MiniCPMConfig, x, cache: KVCache, offset,
+                 kv_limit=None):
     B, T, _ = x.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     q = linear(lp["q_proj"], x).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
@@ -136,7 +137,15 @@ def _sparse_attn(lp, cfg: MiniCPMConfig, x, cache: KVCache, offset):
         q = apply_rope(q, pos, rope)
         k = apply_rope(k, pos, rope)
     cache = cache.update(k, v, offset)
-    if T == 1:
+    if kv_limit is not None:
+        # continuation chunk of a long prefill: attend only the STATIC
+        # written prefix — O(kv_limit) per chunk, not O(capacity). Exact
+        # dense even for a T==1 tail chunk (the InfLLMv2 approximation is
+        # a DECODE policy; prefill must match the whole-prompt result)
+        mask = causal_mask(T, kv_limit, offset)
+        out = sdpa(q, cache.k[:, :, :kv_limit], cache.v[:, :, :kv_limit],
+                   hd ** -0.5, mask)
+    elif T == 1:
         out = sparse_decode_attention(q, cache, offset, cfg.sparse,
                                       hd ** -0.5)
     else:
@@ -177,10 +186,14 @@ def _lightning_attn(lp, cfg: MiniCPMConfig, x, cache: gla.GLACache, offset):
 
 def forward(params: dict, cfg: MiniCPMConfig, tokens: jax.Array,
             cache: ModelCache, num_layers: Optional[int] = None,
-            fresh_prefill: bool = False):
+            fresh_prefill: bool = False, kv_limit: Optional[int] = None,
+            skip_logits: bool = False):
     """num_layers: run only the first N layers (self-speculative draft,
     reference: speculative.rs:1-40). fresh_prefill is accepted for engine
-    interface parity (sparse/GLA mixers manage their own prefill paths)."""
+    interface parity (sparse/GLA mixers manage their own prefill paths).
+    kv_limit (static): continuation chunks of a long prefill attend only
+    the first kv_limit cache slots (GLA layers chunk naturally).
+    skip_logits (static): non-final chunks skip the lm_head."""
     x = embedding(params["embed"], tokens) * cfg.scale_emb
     T = tokens.shape[1]
     rs = cfg.res_scale
@@ -193,7 +206,8 @@ def forward(params: dict, cfg: MiniCPMConfig, tokens: jax.Array,
         if cfg.mixer_types[i] == "lightning-attn":
             h, lc = _lightning_attn(lp, cfg, h, lc, cache.offset)
         else:
-            h, lc = _sparse_attn(lp, cfg, h, lc, cache.offset)
+            h, lc = _sparse_attn(lp, cfg, h, lc, cache.offset,
+                                 kv_limit=kv_limit)
         x = x + h * rs
         h = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         h = linear(lp["down_proj"],
@@ -204,6 +218,9 @@ def forward(params: dict, cfg: MiniCPMConfig, tokens: jax.Array,
     new_layers.extend(cache.layers[n:])
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     x = x / cfg.logits_scale
+    if skip_logits:
+        return x, ModelCache(layers=new_layers,
+                             offset=cache.offset).advance(T)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = embedding_as_linear(params["embed"], x)
     else:

@@ -169,3 +169,30 @@ def test_sparse_decode_same_result_with_incremental_cache():
     want = sparse_decode_attention(q, dc, jnp.int32(n - 1), scfg, D ** -0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_prefill_matches_whole_prefill():
+    """prefill_chunked over the hybrid (sparse + GLA) model must equal one
+    whole-prompt prefill: chunks are EXACT-width (padding would run through
+    the GLA recurrence) and sparse chunks attend the kv_limit prefix."""
+    from ominix_mlx_tpu.core.generate import Engine
+
+    params = mc.init_params(CFG, jax.random.PRNGKey(3))
+    toks = jnp.asarray([[7, 3, 11, 5, 2, 9, 1, 8, 4, 6, 10, 12, 13]])  # T=13
+    eng = Engine(
+        lambda p, t, c: mc.forward(p, CFG, t, c), params,
+        chunk_forward_fn=lambda p, t, c, kl: mc.forward(p, CFG, t, c,
+                                                        kv_limit=kl),
+        chunk_hidden_forward_fn=lambda p, t, c, kl: mc.forward(
+            p, CFG, t, c, kv_limit=kl, skip_logits=True))
+    last_w, cache_w = eng.prefill(toks, mc.init_cache(CFG, 1, 32,
+                                                      jnp.float32))
+    last_c, cache_c = eng.prefill_chunked(
+        toks, mc.init_cache(CFG, 1, 32, jnp.float32), chunk_size=4)
+    np.testing.assert_allclose(np.asarray(last_c), np.asarray(last_w),
+                               rtol=2e-4, atol=2e-4)
+    # the caches must continue identically: one decode step each
+    lg_w, _ = mc.forward(params, CFG, jnp.asarray([[2]]), cache_w)
+    lg_c, _ = mc.forward(params, CFG, jnp.asarray([[2]]), cache_c)
+    np.testing.assert_allclose(np.asarray(lg_c), np.asarray(lg_w),
+                               rtol=2e-4, atol=2e-4)
