@@ -377,3 +377,27 @@ def test_batcher_minicpm_hybrid_matches_single_sequence():
         want = ref(prompt, mt)
         assert got[rid] == want[:len(got[rid])] and \
             len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
+
+
+def test_hybrid_chunked_prefill_matches_whole():
+    """prefill_chunked on the deltanet hybrid: exact-width chunks (no
+    padding through the recurrence) + kv_limit attention prefix must equal
+    one whole-prompt prefill."""
+    cfg, params, init_cache = _hybrid_setup()
+    fwd = lambda p, t, c: base.forward(p, cfg, t, c)
+    eng = Engine(
+        fwd, params,
+        chunk_forward_fn=lambda p, t, c, kl: base.forward(p, cfg, t, c,
+                                                          kv_limit=kl),
+        chunk_hidden_forward_fn=lambda p, t, c, kl: base.forward(
+            p, cfg, t, c, kv_limit=kl, skip_logits=True))
+    toks = jnp.asarray([[7, 3, 11, 5, 2, 9, 1, 8, 4, 6, 10, 12, 13]])
+    last_w, cache_w = eng.prefill(toks, init_cache(cfg, 1, 32))
+    last_c, cache_c = eng.prefill_chunked(toks, init_cache(cfg, 1, 32),
+                                          chunk_size=4)
+    np.testing.assert_allclose(np.asarray(last_c), np.asarray(last_w),
+                               rtol=2e-4, atol=2e-4)
+    lg_w, _ = base.forward(params, cfg, jnp.asarray([[2]]), cache_w)
+    lg_c, _ = base.forward(params, cfg, jnp.asarray([[2]]), cache_c)
+    np.testing.assert_allclose(np.asarray(lg_c), np.asarray(lg_w),
+                               rtol=2e-4, atol=2e-4)
