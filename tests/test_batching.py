@@ -401,3 +401,36 @@ def test_hybrid_chunked_prefill_matches_whole():
     lg_c, _ = base.forward(params, cfg, jnp.asarray([[2]]), cache_c)
     np.testing.assert_allclose(np.asarray(lg_c), np.asarray(lg_w),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_batcher_moe_matches_single_sequence():
+    """Continuous batching over an MoE model (top-k routed experts in each
+    layer) — completes the family matrix: dense, MoE, hybrid, MLA."""
+    import dataclasses
+
+    from ominix_mlx_tpu.models.moe import MoEConfig, init_moe_params
+
+    mcfg = MoEConfig(num_experts=4, top_k=2, norm_topk_prob=True,
+                     moe_intermediate_size=32)
+    cfg = dataclasses.replace(CFG, moe=mcfg)
+    params = base.init_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    for i, lp in enumerate(params["layers"]):
+        for k in ("gate_proj", "up_proj", "down_proj"):
+            lp.pop(k, None)
+        lp["moe"] = init_moe_params(jax.random.PRNGKey(20 + i),
+                                    cfg.hidden_size, mcfg, jnp.float32)
+    fwd = lambda p, t, c: base.forward(p, cfg, t, c)
+    init_cache = lambda cfg_, b, ml: base.init_cache(cfg, b, ml, jnp.float32)
+
+    def ref(prompt, mt):
+        eng = Engine(fwd, params)
+        return list(eng.generate(jnp.asarray(prompt), init_cache(cfg, 1, 64),
+                                 max_tokens=mt))
+
+    cb = ContinuousBatcher(fwd, params, cfg, init_cache, slots=2, max_len=64)
+    reqs = [("a", [3, 7, 11], 6), ("b", [5, 2], 8)]
+    got = cb.run_all(reqs)
+    for rid, prompt, mt in reqs:
+        want = ref(prompt, mt)
+        assert got[rid] == want[:len(got[rid])] and \
+            len(got[rid]) >= len(want) - 1, (rid, got[rid], want)
