@@ -810,6 +810,20 @@ class Server:
                         return self._json(404, {"error": str(e)})
                     except Exception as e:
                         return self._json(500, {"error": str(e)})
+                if self.path == "/v1/models/download":
+                    # server-side model download (reference
+                    # server.rs:729-803): {"repo_id": "org/name"} -> local
+                    # path under $OMINIX_MODELS_DIR
+                    from ominix_mlx_tpu.utils import hub
+                    try:
+                        path = hub.download_model(
+                            body["repo_id"], revision=body.get("revision"))
+                        return self._json(200, {"id": body["repo_id"],
+                                                "path": path})
+                    except KeyError:
+                        return self._json(400, {"error": "repo_id required"})
+                    except Exception as e:
+                        return self._json(502, {"error": str(e)})
                 if self.path == "/v1/ocr":
                     try:
                         return self._json(200, server.ocr(body))

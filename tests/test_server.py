@@ -705,3 +705,29 @@ def test_chat_module_server_contract():
             p = ip[extra]
             assert extra in ("max_len", "dtype") or \
                 p.default is not inspect.Parameter.empty, (mt, extra)
+
+
+def test_model_download_endpoint(server, tmp_path_factory, monkeypatch):
+    """POST /v1/models/download: downloads into $OMINIX_MODELS_DIR via the
+    hub (monkeypatched snapshot; the real path needs egress)."""
+    import os
+    import urllib.error
+
+    d = tmp_path_factory.mktemp("dl")
+    monkeypatch.setenv("OMINIX_MODELS_DIR", str(d))
+
+    from ominix_mlx_tpu.utils import hub
+
+    def fake_download(repo_id, revision=None):
+        p = os.path.join(str(d), repo_id.replace("/", "--"))
+        os.makedirs(p, exist_ok=True)
+        return p
+
+    monkeypatch.setattr(hub, "download_model", fake_download)
+    out = _post("/v1/models/download", {"repo_id": "org/tiny-dl"})
+    assert out["id"] == "org/tiny-dl" and out["path"].endswith("org--tiny-dl")
+    try:
+        _post("/v1/models/download", {})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
