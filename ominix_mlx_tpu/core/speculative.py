@@ -15,6 +15,15 @@ per round is fetching the accepted-token vector.
 Also generalizes to the reference's minicpm *self*-speculative early-exit
 mode (minicpm-sala-mlx/src/speculative.rs:1-40) by passing a draft forward
 that runs the first N layers of the same params.
+
+Recurrent (GLA) layers: offset rollback cannot un-ingest rejected drafts
+from a recurrent state. This matches the REFERENCE's own semantics — its
+trim_caches only adjusts the lightning offset and leaves the state
+contaminated, "the contamination from rejected tokens decays
+exponentially" (minicpm-sala-mlx/src/speculative.rs:125-139) — so
+self-speculative decoding on hybrid models is approximate-by-design in
+both frameworks. Exact-output speculative decoding (dense/MLA caches) is
+what the continuous batcher exposes; it refuses recurrent layers.
 """
 
 from __future__ import annotations
