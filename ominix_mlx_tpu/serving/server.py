@@ -732,9 +732,30 @@ class Server:
         return {"text": m.ocr(arr, prompt, max_tokens=max_tokens)}
 
     def list_models(self) -> dict:
+        """Reference contract: path/size/quantization/loaded per model
+        (README.md:360-366; server.rs:555,680)."""
+        import os
+
+        def meta(m):
+            d = getattr(m, "dir", None)
+            out = {"path": d, "loaded": True, "size_bytes": None,
+                   "quantization": None}
+            if not d or not os.path.isdir(d):
+                return out
+            try:
+                out["size_bytes"] = sum(
+                    e.stat().st_size for e in os.scandir(d) if e.is_file())
+                cfgp = os.path.join(d, "config.json")
+                if os.path.exists(cfgp):
+                    with open(cfgp) as f:
+                        out["quantization"] = json.load(f).get(
+                            "quantization")
+            except OSError:
+                pass
+            return out
+
         return {"object": "list", "data": [
-            {"id": name, "object": "model", "owned_by": "ominix",
-             "path": getattr(m, "dir", None), "loaded": True}
+            {"id": name, "object": "model", "owned_by": "ominix", **meta(m)}
             for name, m in self.models.items()]}
 
     def health(self) -> dict:
