@@ -115,6 +115,17 @@ class RotatingKVCache:
         return RotatingKVCache(k=k, v=v, slot_pos=slot_pos)
 
 
+def ingests_padding(layer_cache) -> bool:
+    """True for recurrent-state layer caches (GLA / deltanet): every
+    position feeds the state, so PADDED prefill buckets or chunks would
+    corrupt it — prefill must run exact lengths. Positional KV caches
+    (dense, rotating, paged, sparse) expose ``max_len`` and mask padding
+    by offset. The single source of truth for this classification
+    (generate.Engine bucketing, prefill_chunked widths, and the batcher's
+    adoption/speculative gating all consult it)."""
+    return not hasattr(layer_cache, "max_len")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ModelCache:

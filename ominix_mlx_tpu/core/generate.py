@@ -140,7 +140,8 @@ class Engine:
             raise ValueError(
                 f"prompt length {T} exceeds KV cache capacity {cap}; "
                 f"create the cache with a larger max_len")
-        if any(not hasattr(lc, "max_len") for lc in cache.layers):
+        from ominix_mlx_tpu.core.cache import ingests_padding
+        if any(ingests_padding(lc) for lc in cache.layers):
             # recurrent/hybrid layers ingest every position into their state,
             # so padded bucketing would corrupt it — prefill exact length
             # (one retrace per prompt length; KV-only models keep buckets)
@@ -203,7 +204,8 @@ class Engine:
         # recurrent/hybrid layers ingest every position into their state, so
         # chunks must be EXACT-width (intermediate chunks are all chunk_size
         # anyway; only the tail costs one extra compile)
-        exact = any(not hasattr(lc, "max_len") for lc in cache.layers)
+        from ominix_mlx_tpu.core.cache import ingests_padding
+        exact = any(ingests_padding(lc) for lc in cache.layers)
         last = None
         pos = 0
         while pos < T:

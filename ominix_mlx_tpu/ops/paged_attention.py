@@ -204,6 +204,9 @@ def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
     G = H // NKV
     MP = table.shape[1]
     CP = min(cp or _CP, MP)
+    # a non-dividing chunk size would FLOOR the chunk count and silently
+    # drop the trailing pages from attention
+    assert MP % CP == 0, (MP, CP)
     NCH = MP // CP
     CHUNK = CP * PS
     quant = k_scale is not None

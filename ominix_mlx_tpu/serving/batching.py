@@ -99,9 +99,9 @@ class ContinuousBatcher:
                 "continuous batching needs per-row cache state; init the "
                 "batcher with dense KVCache layers (window masking) "
                 "instead of RotatingKVCache")
-        self._has_recurrent = any(
-            not isinstance(lc, KVCache) and not hasattr(lc, "page_table")
-            for lc in self.cache.layers)
+        from ominix_mlx_tpu.core.cache import ingests_padding
+        self._has_recurrent = any(ingests_padding(lc)
+                                  for lc in self.cache.layers)
         if self._has_recurrent and draft_forward_fn is not None:
             raise ValueError(
                 "speculative batching cannot roll back recurrent-state "
@@ -568,11 +568,13 @@ class PagedContinuousBatcher(ContinuousBatcher):
                                                      PagedKVCache,
                                                      PrefixCache)
         if getattr(cfg, "deltanet", None) is not None \
-                or getattr(cfg, "mla", None) is not None:
+                or getattr(cfg, "mla", None) is not None \
+                or getattr(cfg, "mixer_types", None) is not None:
             raise ValueError(
                 "paged batching backs uniform GQA KV layers with one page "
-                "pool; hybrid (deltanet) and MLA families use the dense "
-                "continuous batcher (--batch-slots without --batch-paged)")
+                "pool; hybrid (deltanet/GLA-mixer) and MLA families use the "
+                "dense continuous batcher (--batch-slots without "
+                "--batch-paged)")
         assert max_len % page_size == 0, (max_len, page_size)
         self.page_size = page_size
         self.prefix = PrefixCache(page_size) if prefix_cache else None

@@ -750,7 +750,8 @@ class Server:
                     with open(cfgp) as f:
                         out["quantization"] = json.load(f).get(
                             "quantization")
-            except OSError:
+            except (OSError, ValueError):
+                # a corrupt side file must not take down the whole listing
                 pass
             return out
 
@@ -836,13 +837,14 @@ class Server:
                     # server.rs:729-803): {"repo_id": "org/name"} -> local
                     # path under $OMINIX_MODELS_DIR
                     from ominix_mlx_tpu.utils import hub
+                    repo_id = body.get("repo_id")
+                    if not repo_id:
+                        return self._json(400, {"error": "repo_id required"})
                     try:
                         path = hub.download_model(
-                            body["repo_id"], revision=body.get("revision"))
-                        return self._json(200, {"id": body["repo_id"],
+                            repo_id, revision=body.get("revision"))
+                        return self._json(200, {"id": repo_id,
                                                 "path": path})
-                    except KeyError:
-                        return self._json(400, {"error": "repo_id required"})
                     except Exception as e:
                         return self._json(502, {"error": str(e)})
                 if self.path == "/v1/ocr":

@@ -16,6 +16,34 @@ import numpy as np
 MAX_SHARD_BYTES = 4 * 1024 ** 3
 
 
+def _write_shards(out_dir: str, tensors: dict, save_fn) -> None:
+    """Pack ``tensors`` into <=MAX_SHARD_BYTES shards and ALWAYS write
+    model.safetensors.index.json (even single-shard): the loader prefers
+    the index, so a fresh index also neutralizes any stale one left from a
+    previous multi-shard layout in the same directory."""
+    shards, cur, cur_bytes = [], {}, 0
+    for k, v in tensors.items():
+        nbytes = int(np.asarray(v).nbytes)
+        if cur_bytes + nbytes > MAX_SHARD_BYTES and cur:
+            shards.append(cur)
+            cur, cur_bytes = {}, 0
+        cur[k] = v
+        cur_bytes += nbytes
+    if cur:
+        shards.append(cur)
+    n = len(shards)
+    weight_map: Dict[str, str] = {}
+    for i, shard in enumerate(shards):
+        fname = (f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+                 if n > 1 else "model.safetensors")
+        save_fn(os.path.join(out_dir, fname), shard)
+        for k in shard:
+            weight_map[k] = fname
+    with open(os.path.join(out_dir, "model.safetensors.index.json"),
+              "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+
+
 def convert_torch_checkpoint(src_path: str, out_dir: str,
                              rename: Optional[Callable[[str], str]] = None,
                              dtype: Optional[str] = None):
@@ -32,8 +60,7 @@ def convert_torch_checkpoint(src_path: str, out_dir: str,
         raise ValueError("expected a state dict")
     os.makedirs(out_dir, exist_ok=True)
 
-    shards, cur, cur_bytes = [], {}, 0
-    weight_map: Dict[str, str] = {}
+    tensors = {}
     for name, t in sd.items():
         out_name = rename(name) if rename else name
         if out_name is None:
@@ -46,26 +73,8 @@ def convert_torch_checkpoint(src_path: str, out_dir: str,
             np_arr = np_arr.view(ml_dtypes.bfloat16)
         else:
             np_arr = arr.numpy()
-        nbytes = np_arr.nbytes
-        if cur_bytes + nbytes > MAX_SHARD_BYTES and cur:
-            shards.append(cur)
-            cur, cur_bytes = {}, 0
-        cur[out_name] = np_arr
-        cur_bytes += nbytes
-    if cur:
-        shards.append(cur)
-
-    n = len(shards)
-    for i, shard in enumerate(shards):
-        fname = (f"model-{i + 1:05d}-of-{n:05d}.safetensors"
-                 if n > 1 else "model.safetensors")
-        save_file(shard, os.path.join(out_dir, fname))
-        for k in shard:
-            weight_map[k] = fname
-    if n > 1:
-        with open(os.path.join(out_dir,
-                               "model.safetensors.index.json"), "w") as f:
-            json.dump({"weight_map": weight_map}, f)
+        tensors[out_name] = np_arr
+    _write_shards(out_dir, tensors, lambda p, t: save_file(t, p))
 
 
 def save_quantized(model_dir: str, out_dir: str, bits: int = 4,
@@ -112,42 +121,22 @@ def save_quantized(model_dir: str, out_dir: str, bits: int = 4,
         out[stem + ".biases"] = biases
         n_q += 1
     os.makedirs(out_dir, exist_ok=True)
-
-    shards, cur, cur_bytes = [], {}, 0
-    for k, v in out.items():
-        nbytes = int(np.asarray(v).nbytes)
-        if cur_bytes + nbytes > MAX_SHARD_BYTES and cur:
-            shards.append(cur)
-            cur, cur_bytes = {}, 0
-        cur[k] = v
-        cur_bytes += nbytes
-    if cur:
-        shards.append(cur)
-    n = len(shards)
-    weight_map: Dict[str, str] = {}
-    for i, shard in enumerate(shards):
-        fname = (f"model-{i + 1:05d}-of-{n:05d}.safetensors"
-                 if n > 1 else "model.safetensors")
-        save_safetensors(os.path.join(out_dir, fname), shard)
-        for k in shard:
-            weight_map[k] = fname
-    if n > 1:
-        with open(os.path.join(out_dir,
-                               "model.safetensors.index.json"), "w") as f:
-            json.dump({"weight_map": weight_map}, f)
+    _write_shards(out_dir, out, save_safetensors)
     cfg = dict(cfg)
     cfg["quantization"] = {"group_size": group_size, "bits": bits}
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(cfg, f, indent=2)
-    # carry tokenizer/config side files over verbatim
+    # carry tokenizer/config side files over verbatim (no-op in-place)
     skip_suffixes = (".safetensors", ".bin", ".pth", ".pt")
     for name in os.listdir(model_dir):
         src = os.path.join(model_dir, name)
+        dst = os.path.join(out_dir, name)
         if (not os.path.isfile(src) or name == "config.json"
                 or name == "model.safetensors.index.json"
-                or name.endswith(skip_suffixes)):
+                or name.endswith(skip_suffixes)
+                or os.path.abspath(src) == os.path.abspath(dst)):
             continue
-        shutil.copy2(src, os.path.join(out_dir, name))
+        shutil.copy2(src, dst)
     return n_q
 
 

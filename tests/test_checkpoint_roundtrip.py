@@ -171,6 +171,32 @@ def test_save_quantized_tool_roundtrip(checkpoint_dir):
     assert corr > 0.99, corr
 
 
+def test_save_quantized_neutralizes_stale_index(checkpoint_dir):
+    """Quantizing a SHARDED checkpoint into a dir that already holds a
+    multi-shard index must leave a loadable result: the index is always
+    rewritten (the loader prefers it), so stale shard files are ignored."""
+    import shutil
+
+    d, orig_params, cfg = checkpoint_dir
+    from ominix_mlx_tpu.utils.convert import save_quantized
+
+    qd = d + "-inplace"
+    shutil.copytree(d, qd)        # qd now holds 2 shards + their index
+    save_quantized(qd, qd, bits=8, group_size=16)
+    with open(os.path.join(qd, "model.safetensors.index.json")) as f:
+        files = set(json.load(f)["weight_map"].values())
+    assert files == {"model.safetensors"}, files
+    mod, params, lcfg = registry.load_model(qd)
+    tokens = jnp.asarray([[1, 5, 9]])
+    c1 = base.init_cache(cfg, 1, 16, jnp.float32)
+    want, _ = base.forward(orig_params, cfg, tokens, c1)
+    c2 = mod.init_cache(lcfg, 1, 16, jnp.float32)
+    got, _ = mod.forward(params, lcfg, tokens, c2)
+    corr = np.corrcoef(np.asarray(got).ravel(),
+                       np.asarray(want).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
 @pytest.mark.slow
 def test_generate_cli_end_to_end(checkpoint_dir):
     """Drive examples/generate.py exactly as a user would (subprocess)."""
