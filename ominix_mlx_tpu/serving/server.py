@@ -624,9 +624,13 @@ class Server:
         }
 
     def audio_speech(self, body: dict) -> bytes:
-        """POST /v1/audio/speech -> WAV bytes. The model must expose
-        synthesize(text, voice=None) -> (samples float32, rate)
-        (reference contract: README.md:472-490)."""
+        """POST /v1/audio/speech -> WAV bytes. The model exposes either
+        synthesize(text, voice=None) -> (samples float32, rate) (TTS) or a
+        VoiceCloner-style synthesize(text) -> samples with
+        set_reference_audio (clone mode: optional "ref_audio" b64 wav in
+        the body) — the reference contract's speech(+clone) surface
+        (README.md:472-490, voice_clone.rs)."""
+        import inspect
         import io
         import wave as wave_mod
 
@@ -639,7 +643,30 @@ class Server:
                                                   "synthesize"):
             raise KeyError(f"model {name!r} has no TTS capability")
         m = self.models[name]
-        samples, rate = m.synthesize(body["input"], voice=body.get("voice"))
+        if body.get("ref_audio") and hasattr(m, "set_reference_audio"):
+            import base64
+            with wave_mod.open(io.BytesIO(
+                    base64.b64decode(body["ref_audio"])), "rb") as w:
+                ref_rate = w.getframerate()
+                raw = w.readframes(w.getnframes())
+                ch = w.getnchannels()
+            from ominix_mlx_tpu import native
+            ref = native.pcm16_to_float(np.frombuffer(raw, np.int16))
+            if ch > 1:
+                ref = ref.reshape(-1, ch).mean(-1)
+            m.set_reference_audio(ref, ref_rate)
+        sig = inspect.signature(m.synthesize).parameters
+        if "voice" in sig:
+            out = m.synthesize(body["input"], voice=body.get("voice"))
+        else:
+            out = m.synthesize(body["input"])
+        if isinstance(out, tuple):
+            samples, rate = out
+        else:  # clone path returns a bare waveform at the decoder's rate
+            samples = out
+            rate = int(getattr(getattr(m, "vits_cfg", None),
+                               "sampling_rate", 0) or
+                       getattr(m, "sample_rate", 0) or 24000)
         buf = io.BytesIO()
         with wave_mod.open(buf, "wb") as w:
             w.setnchannels(1)

@@ -731,3 +731,46 @@ def test_model_download_endpoint(server, tmp_path_factory, monkeypatch):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_audio_speech_clone_mode(server):
+    """/v1/audio/speech with ref_audio drives a VoiceCloner-style model:
+    bare-waveform return, set_reference_audio from the uploaded wav."""
+    import base64
+    import io
+    import wave
+
+    import numpy as np
+
+    class FakeCloner:
+        dir = "<memory>"
+        tokenizer = FakeTokenizer()
+
+        class vits_cfg:
+            sampling_rate = 32000
+
+        def __init__(self):
+            self.ref = None
+
+        def set_reference_audio(self, samples, rate):
+            self.ref = (len(samples), rate)
+
+        def synthesize(self, text):
+            assert self.ref is not None
+            return np.zeros(640, np.float32)
+
+    server.models.pop("tts", None)
+    server.add_model("cloner", FakeCloner())
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.zeros(1600, np.int16).tobytes())
+    r = _post("/v1/audio/speech", {
+        "model": "cloner", "input": "hello",
+        "ref_audio": base64.b64encode(buf.getvalue()).decode()}, raw=True)
+    data = r.read()
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getframerate() == 32000 and w.getnframes() == 640
+    assert server.models["cloner"].ref == (1600, 16000)
