@@ -116,39 +116,42 @@ class PagedKVCache:
         """Write [B, n_kv, T, D] at logical position ``offset`` (scalar or
         [B]) through the page table; returns the new cache. Positions past
         the allocated pages of a row land in that row's table entries
-        verbatim (the allocator must have extended the table first)."""
+        verbatim (the allocator must have extended the table first);
+        positions past the table WIDTH (capacity) are redirected to the
+        null page, matching the dense cache's drop-on-overflow (a clipped
+        index would silently corrupt the row's last real page)."""
         B, n_kv, T, d = k_new.shape
         ps = self.page_size
         off = offset.astype(jnp.int32)
         if off.ndim == 0:
             off = jnp.broadcast_to(off, (B,))
         pos = off[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
-        logical = jnp.clip(pos // ps, 0, self.page_table.shape[1] - 1)
+        mp = self.page_table.shape[1]
+        logical = jnp.clip(pos // ps, 0, mp - 1)
         pages = jnp.take_along_axis(self.page_table, logical, axis=1)  # [B,T]
+        pages = jnp.where(pos // ps >= mp, 0, pages)   # OOB -> null page
         within = pos % ps
         if self.quantized:
-            kq, ks = quantize_kv_tokens(k_new)          # [B,n_kv,T,D]/[B,n_kv,T]
-            vq, vs = quantize_kv_tokens(v_new)
-            k_pool = self.k_pool.at[:, pages, :, within].set(
-                jnp.transpose(kq, (0, 2, 1, 3)))
-            v_pool = self.v_pool.at[:, pages, within].set(
-                jnp.transpose(vq, (1, 0, 2, 3)))
-            k_scale = self.k_scale.at[:, pages, within].set(
-                jnp.transpose(ks, (1, 0, 2)))
-            v_scale = self.v_scale.at[:, pages, within].set(
-                jnp.transpose(vs, (1, 0, 2)))
-            return PagedKVCache(k_pool=k_pool, v_pool=v_pool,
-                                page_table=self.page_table,
-                                k_scale=k_scale, v_scale=v_scale)
+            k_src, k_sc = quantize_kv_tokens(k_new)  # [B,n_kv,T,D]/[B,n_kv,T]
+            v_src, v_sc = quantize_kv_tokens(v_new)
+        else:
+            k_src, v_src = k_new, v_new
         # k: scatter at [j, pages[b,t], :, within[b,t]] <- [b, t, j, :]
         # (non-adjacent advanced indices move the [B, T] dims to the front)
         k_pool = self.k_pool.at[:, pages, :, within].set(
-            jnp.transpose(k_new, (0, 2, 1, 3)).astype(self.k_pool.dtype))
+            jnp.transpose(k_src, (0, 2, 1, 3)).astype(self.k_pool.dtype))
         # v: scatter at [j, pages[b,t], within[b,t], :] <- [j, b, t, :]
         v_pool = self.v_pool.at[:, pages, within].set(
-            jnp.transpose(v_new, (1, 0, 2, 3)).astype(self.v_pool.dtype))
-        return PagedKVCache(k_pool=k_pool, v_pool=v_pool,
-                            page_table=self.page_table)
+            jnp.transpose(v_src, (1, 0, 2, 3)).astype(self.v_pool.dtype))
+        if not self.quantized:
+            return PagedKVCache(k_pool=k_pool, v_pool=v_pool,
+                                page_table=self.page_table)
+        return PagedKVCache(
+            k_pool=k_pool, v_pool=v_pool, page_table=self.page_table,
+            k_scale=self.k_scale.at[:, pages, within].set(
+                jnp.transpose(k_sc, (1, 0, 2))),
+            v_scale=self.v_scale.at[:, pages, within].set(
+                jnp.transpose(v_sc, (1, 0, 2))))
 
 
 def quantize_kv_tokens(x: jax.Array):
@@ -250,12 +253,20 @@ class PrefixCache:
             h = m.digest()
             yield h
 
-    def lookup(self, tokens, max_pages: int) -> List[int]:
+    def chain(self, tokens) -> List[bytes]:
+        """Materialized digest chain for a prompt — compute ONCE per
+        request and pass to lookup/register (lookup runs on every batcher
+        step while a request queues; re-hashing a 100k-token prompt per
+        step would burn the serving thread's host CPU)."""
+        return list(self._chain(tokens))
+
+    def lookup(self, tokens, max_pages: int,
+               digests: Optional[List[bytes]] = None) -> List[int]:
         """Longest chain of cached pages covering a prefix of ``tokens``,
         capped at ``max_pages`` (callers cap at (T-1)//ps so at least one
         real token remains for the suffix prefill)."""
         pages: List[int] = []
-        for h in self._chain(tokens):
+        for h in (digests if digests is not None else self._chain(tokens)):
             if len(pages) >= max_pages:
                 break
             p = self.entries.get(h)
@@ -274,10 +285,12 @@ class PrefixCache:
         else:
             self.misses += 1
 
-    def register(self, tokens, pages: List[int], alloc: PageAllocator):
+    def register(self, tokens, pages: List[int], alloc: PageAllocator,
+                 digests: Optional[List[bytes]] = None):
         """Record ``pages`` (the slot's in-order page list) as holding the
         full pages of ``tokens``; the cache takes a ref on each new entry."""
-        for h, p in zip(self._chain(tokens), pages):
+        for h, p in zip(digests if digests is not None
+                        else self._chain(tokens), pages):
             if h in self.entries:
                 continue
             self.entries[h] = p

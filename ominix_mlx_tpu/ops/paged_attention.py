@@ -43,8 +43,11 @@ def supported() -> bool:
 def use_paged_kernel(n_kv: int, page_size: int, max_pages: int,
                      head_dim: int) -> bool:
     cp = min(_CP, max_pages)
+    # double-buffered K+V slabs: 2 slots x 2 pools x NKV x D x CHUNK x 2B
+    # must fit comfortably under the kernel's VMEM budget
+    vmem = 8 * n_kv * head_dim * cp * page_size
     return (supported() and page_size == 128 and head_dim % 128 == 0
-            and max_pages % cp == 0)
+            and max_pages % cp == 0 and vmem <= 64 * 1024 * 1024)
 
 
 def _pa_kernel(*refs, B: int, NKV: int, G: int, D: int, PS: int, CP: int,
@@ -108,9 +111,14 @@ def _pa_kernel(*refs, B: int, NKV: int, G: int, D: int, PS: int, CP: int,
         b = jax.lax.div(t, NCH)
         c = jax.lax.rem(t, NCH)
 
-        @pl.when((t + 1 < B * NCH) & valid(t + 1))
+        # clamp the lookahead index: `&` does not short-circuit in traced
+        # code, so valid(t+1) at the final iteration would read
+        # len_ref[B, 0] one row past the SMEM buffer
+        tn = jnp.minimum(t + 1, B * NCH - 1)
+
+        @pl.when((t + 1 < B * NCH) & valid(tn))
         def _():
-            for op in dmas(jax.lax.rem(t + 1, 2), t + 1):
+            for op in dmas(jax.lax.rem(tn, 2), tn):
                 op.start()
 
         @pl.when(c == 0)
@@ -193,12 +201,12 @@ def _block_diag_q(q: jax.Array, n_kv: int, scale: float) -> jax.Array:
     return qbd.reshape(B, H, n_kv * D)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret",
-                                             "window", "cp"))
-def _paged_decode_call(qbd, k_pool, v_pool, table, lengths, scale: float,
+@functools.partial(jax.jit, static_argnames=("interpret", "window", "cp"))
+def _paged_decode_call(qbd, k_pool, v_pool, table, lengths,
                        k_scale=None, v_scale=None,
                        interpret: bool = False, window: int = 0,
                        cp: int = 0):
+    # NOTE: the softmax scale is already folded into qbd (_block_diag_q)
     NKV, P, D, PS = k_pool.shape
     B, H, _ = qbd.shape
     G = H // NKV
@@ -284,7 +292,7 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array,
     NKV = k_pool.shape[0]
     qbd = _block_diag_q(q.astype(jnp.bfloat16), NKV, scale)
     out = _paged_decode_call(qbd, k_pool, v_pool, page_table, lengths,
-                             scale, k_scale=k_scale, v_scale=v_scale,
+                             k_scale=k_scale, v_scale=v_scale,
                              interpret=interpret, window=window,
                              cp=pages_per_chunk)
     return out.astype(q.dtype)

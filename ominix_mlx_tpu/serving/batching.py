@@ -44,6 +44,7 @@ class _Request:
     #                                     emit(None) exactly once on finish
     sampler: Optional[SamplerConfig] = None   # None -> greedy
     seed: int = 0
+    chain: Optional[list] = None    # memoized prefix-cache digest chain
 
 
 class ContinuousBatcher:
@@ -709,7 +710,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
             self.prefix.record(skip)
             # full pages of the prompt are immutable from here on (decode
             # writes land at positions >= T): register them for reuse
-            self.prefix.register(req.tokens, owned[:T // ps], self.alloc)
+            self.prefix.register(req.tokens, owned[:T // ps], self.alloc,
+                                 digests=req.chain)
         from ominix_mlx_tpu.core.paged_cache import PagedKVCache
         self.cache = ModelCache(
             layers=[PagedKVCache(k_pool=p[0], v_pool=p[1],
@@ -731,8 +733,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
             return bool(self.queue) and self._can_adopt(self.queue[0])
         hit = []
         if self.prefix is not None:
+            if req.chain is None:      # hash the prompt ONCE per request
+                req.chain = self.prefix.chain(req.tokens)
             hit = self.prefix.lookup(req.tokens,
-                                     (T - 1) // self.page_size)
+                                     (T - 1) // self.page_size,
+                                     digests=req.chain)
         self._adopt_hit = hit          # consumed by _run_prefill/_adopt
         need -= len(hit)
         lack = need - len(self.alloc.free)
