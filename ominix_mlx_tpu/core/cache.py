@@ -122,7 +122,12 @@ def ingests_padding(layer_cache) -> bool:
     (dense, rotating, paged, sparse) expose ``max_len`` and mask padding
     by offset. The single source of truth for this classification
     (generate.Engine bucketing, prefill_chunked widths, and the batcher's
-    adoption/speculative gating all consult it)."""
+    adoption/speculative gating all consult it). RotatingKVCache exposes
+    ``window`` instead of ``max_len`` (it wraps — no capacity bound), but
+    padding it is safe: pad slots carry FUTURE positions in slot_pos, which
+    the by-position mask excludes until real tokens overwrite them."""
+    if isinstance(layer_cache, RotatingKVCache):
+        return False
     return not hasattr(layer_cache, "max_len")
 
 

@@ -98,6 +98,7 @@ class Engine:
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,),
                                    static_argnames=("sampler",))
         self._chunk_jits: dict = {}
+        self._batch_jits: dict = {}
 
     # --- jitted bodies ---------------------------------------------------
 
@@ -248,20 +249,28 @@ class Engine:
             prompt = prompt[None]
         B = prompt.shape[0]
         cap = _kv_capacity(cache)
-        if cap is not None and prompt.shape[1] + max_tokens > cap:
+        # resuming a non-empty cache: count its history against capacity
+        # and route prefill through the non-flash path (fresh_prefill
+        # attends ONLY the fresh tokens)
+        off = (int(cache.offset)
+               if getattr(cache.offset, "ndim", 0) == 0 else 0)
+        if cap is not None and off + prompt.shape[1] + max_tokens > cap:
             # decode past capacity would make dynamic_update_slice clamp its
             # start index and silently overwrite the last KV slot
             raise ValueError(
-                f"prompt ({prompt.shape[1]}) + max_tokens ({max_tokens}) "
-                f"exceeds KV cache capacity {cap}")
+                f"offset ({off}) + prompt ({prompt.shape[1]}) + max_tokens "
+                f"({max_tokens}) exceeds KV cache capacity {cap}")
         if key is None:
             key = jax.random.PRNGKey(0)
         recent = jnp.full((B, self.sampler.repetition_context), -1, jnp.int32)
 
         t0 = time.perf_counter()
-        logits, cache = self.prefill(prompt, cache)
+        logits, cache = self.prefill(prompt, cache, fresh=(off == 0))
         key, sub = jax.random.split(key)
         tok = sample(logits, sub, self.sampler, recent)
+        # the prefill-sampled token joins the repetition-penalty window
+        # (it would otherwise permanently escape the penalty)
+        recent = recent.at[:, -1].set(tok)
         pending_host = None
         if stats is not None:
             # block_until_ready is a no-op through the TPU tunnel — time
@@ -298,43 +307,65 @@ class Engine:
     def generate_batch(self, prompts: jax.Array, cache: ModelCache,
                        max_tokens: int = 256, stop_tokens: tuple = (),
                        pad_id: int = 0,
-                       key: Optional[jax.Array] = None):
+                       key: Optional[jax.Array] = None,
+                       prompt_lengths=None):
         """Batched decode with per-sequence finish flags (reference:
         minicpm-sala-mlx/examples/batch_generate.rs:62-84).
 
-        prompts: [B, T] same-length (left-pad upstream). Returns
-        (tokens [B, max_tokens] with pad_id after each EOS, lengths [B]).
-        """
-        B = prompts.shape[0]
+        prompts: [B, T] RIGHT-padded to a common width; ``prompt_lengths``
+        [B] gives each row's true length (None = all rows are length T).
+        Right padding keeps every real token at its true RoPE position and
+        the pads' garbage KV beyond each row's offset, where the causal
+        mask never exposes it and decode overwrites it — decode then runs
+        at per-row vector offsets. Returns (tokens [B, max_tokens] with
+        pad_id after each EOS, lengths [B])."""
+        B, T = prompts.shape
         if key is None:
             key = jax.random.PRNGKey(0)
-        logits, cache = self.prefill(prompts, cache)
-        key, sub = jax.random.split(key)
-        tok = sample(logits, sub, self.sampler)
+        lengths = (jnp.full((B,), T, jnp.int32) if prompt_lengths is None
+                   else jnp.asarray(prompt_lengths, jnp.int32))
         stops = jnp.asarray(list(stop_tokens) or [-1], jnp.int32)
-        sampler = self.sampler
+        fn = self._batch_jits.get(max_tokens)
+        if fn is None:
+            sampler = self.sampler
 
-        # NOTE: no cache donation here — the final cache is not returned,
-        # so a donated input would have no aliasing target (XLA warns
-        # "donated buffers were not usable")
-        @jax.jit
-        def run(params, cache, tok, key):
-            def step(carry, _):
-                cache, tok, done, key = carry
+            # NOTE: no cache donation here — the final cache is not
+            # returned, so a donated input would have no aliasing target
+            # (XLA warns "donated buffers were not usable")
+            def run(params, prompts, cache, lengths, stops, pad, key):
+                logits, cache = self.prefill_forward_fn(params, prompts,
+                                                        cache)
+                cache = ModelCache(layers=cache.layers, offset=lengths)
+                last = jax.vmap(lambda lg, n: jax.lax.dynamic_index_in_dim(
+                    lg, n - 1, axis=0, keepdims=False))(logits, lengths)
                 key, sub = jax.random.split(key)
-                lg, cache = self.forward_fn(params, tok[:, None], cache)
-                nxt = sample(lg[:, -1], sub, sampler)
-                done = done | jnp.any(tok[:, None] == stops[None], -1)
-                out = jnp.where(done, pad_id, tok)
-                nxt = jnp.where(done, tok, nxt)
-                return (cache, nxt, done, key), (out, done)
+                tok = sample(last, sub, sampler)
 
-            (_, _, _, _), (toks, dones) = jax.lax.scan(
-                step, (cache, tok, jnp.zeros((B,), bool), key),
-                length=max_tokens)
-            return toks.T, (~dones.T).sum(-1)
+                def step(carry, _):
+                    cache, tok, done, key = carry
+                    key, sub = jax.random.split(key)
+                    lg, cache = self.forward_fn(params, tok[:, None], cache)
+                    nxt = sample(lg[:, -1], sub, sampler)
+                    done = done | jnp.any(tok[:, None] == stops[None], -1)
+                    out = jnp.where(done, pad, tok)
+                    nxt = jnp.where(done, tok, nxt)
+                    # finished rows hold their offset (writes overwrite one
+                    # garbage slot); live rows advance
+                    cache = ModelCache(
+                        layers=cache.layers,
+                        offset=jnp.where(done, cache.offset - 1,
+                                         cache.offset))
+                    return (cache, nxt, done, key), (out, done)
 
-        return run(self.params, cache, tok, key)
+                (_, _, _, _), (toks, dones) = jax.lax.scan(
+                    step, (cache, tok, jnp.zeros((B,), bool), key),
+                    length=max_tokens)
+                return toks.T, (~dones.T).sum(-1)
+
+            fn = jax.jit(run)
+            self._batch_jits[max_tokens] = fn
+        return fn(self.params, prompts, cache, lengths, stops,
+                  jnp.int32(pad_id), key)
 
     def generate_scan(self, prompt: jax.Array, cache: ModelCache,
                       max_tokens: int, key: Optional[jax.Array] = None):
@@ -353,7 +384,8 @@ class Engine:
         if key is None:
             key = jax.random.PRNGKey(0)
         logits, cache = self.prefill(prompt, cache)
-        tok = sample(logits, key, self.sampler)
+        key, sub = jax.random.split(key)
+        tok = sample(logits, sub, self.sampler)
         return self._scan_jit(self.params, cache, tok, key, max_tokens)
 
     @functools.partial(jax.jit, static_argnames=("self", "max_tokens"),

@@ -113,6 +113,15 @@ class SpeculativeEngine:
                  stats: Optional[SpecStats] = None) -> Iterator[int]:
         if prompt.ndim == 1:
             prompt = prompt[None]
+        caps = [lc.max_len for lc in t_cache.layers
+                if hasattr(lc, "max_len")]
+        if caps and prompt.shape[1] + max_tokens + self.nd + 1 > min(caps):
+            # a verify round writes nd+1 transient KV entries; past capacity
+            # the dynamic_update_slice would clamp and corrupt real slots
+            raise ValueError(
+                f"prompt ({prompt.shape[1]}) + max_tokens ({max_tokens}) + "
+                f"draft headroom ({self.nd + 1}) exceeds KV cache capacity "
+                f"{min(caps)}")
         # prefill both models on the full prompt
         t_logits, t_cache = self._prefill_t(self.tp, prompt, t_cache)
         _, d_cache = self._prefill_d(self.dp, prompt, d_cache)
@@ -140,13 +149,18 @@ class SpeculativeEngine:
                 stats.rounds += 1
                 stats.drafted += self.nd
                 stats.accepted += n
-            # emitted tokens: accepted drafts + the target's correction
-            toks = [int(x) for x in tgt[0, :n + 1]]
+            # emitted tokens: accepted drafts + the target's correction —
+            # fetched in ONE transfer (per-element int() costs a ~25ms
+            # tunnel RPC each); stop tokens are not emitted
+            toks = np.asarray(tgt[0, :n + 1]).tolist()
             stop = False
             for t in toks:
+                if t in stop_tokens:
+                    stop = True
+                    break
                 yield t
                 produced += 1
-                if t in stop_tokens or produced >= max_tokens:
+                if produced >= max_tokens:
                     stop = True
                     break
             if stop:

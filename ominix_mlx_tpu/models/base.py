@@ -460,10 +460,12 @@ def quantize_params(params: dict, group_size: int = 64, bits: int = 4,
     if quantize_embed and isinstance(params.get("embed"), jax.Array):
         # tied lm_head reads the embedding as a linear; quantizing it also
         # shrinks the biggest single tensor. Lookup dequantizes rows.
-        out["embed"] = q(out, "embed")
+        # consume must clear the CALLER's reference (q(out, ...) would only
+        # null the copy, keeping the dense tensor alive)
+        out["embed"] = q(params, "embed")
     if "lm_head" in params:
         out["lm_head"] = {**params["lm_head"],
-                          "w": q(dict(params["lm_head"]), "w")}
+                          "w": q(params["lm_head"], "w")}
     return out
 
 

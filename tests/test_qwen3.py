@@ -266,3 +266,23 @@ def test_prefill_chunked_kv_limit_matches_single_shot():
         np.testing.assert_allclose(np.asarray(l1.k[:, :, :22]),
                                    np.asarray(l2.k[:, :, :22]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_generate_batch_unequal_prompt_lengths():
+    """Right-padded prompts with per-row lengths: each row must match its
+    single-sequence greedy decode exactly (pads must not contaminate
+    attention or RoPE positions)."""
+    params = tiny_model()
+    engine = Engine(lambda p, t, c: base.forward(p, TINY, t, c), params)
+    rows = [[1, 2, 3, 4, 5], [9, 8], [6, 6, 6, 2]]
+    T = max(len(r) for r in rows)
+    prompts = jnp.asarray([r + [0] * (T - len(r)) for r in rows])
+    lengths = [len(r) for r in rows]
+    cache = base.init_cache(TINY, 3, 64, jnp.float32)
+    toks, _ = engine.generate_batch(prompts, cache, max_tokens=8,
+                                    pad_id=-1, prompt_lengths=lengths)
+    for b, r in enumerate(rows):
+        c = base.init_cache(TINY, 1, 64, jnp.float32)
+        want = list(engine.generate(jnp.asarray(r), c, max_tokens=8))
+        got = [int(t) for t in toks[b] if int(t) != -1]
+        assert got == want, (b, got, want)
