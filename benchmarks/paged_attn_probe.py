@@ -27,6 +27,8 @@ from ominix_mlx_tpu.core.paged_cache import PagedKVCache, quantize_kv_tokens
 B, H, NKV, S, D = 8, 32, 8, 2048, 128
 PS = 128
 CP = 0       # kernel pages-per-chunk override (0 = library default)
+FILL = 1.0   # fraction of S actually written (kernel skips unwritten pages;
+             # the XLA paged view always pays O(capacity))
 
 
 def attn(q, k, v, length):
@@ -51,7 +53,7 @@ def _paged(key):
 
 def run(kind, steps):
     key = jax.random.PRNGKey(0)
-    lengths = jnp.full((B,), S - 1, jnp.int32)
+    lengths = jnp.full((B,), max(int(S * FILL) - 1, 1), jnp.int32)
     qs = jax.random.normal(jax.random.PRNGKey(1), (steps, B, H, D),
                            jnp.bfloat16)
 

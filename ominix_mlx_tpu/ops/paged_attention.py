@@ -26,6 +26,7 @@ its own kv head in a single MXU op instead of n_kv small ones.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,16 +34,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
-_CP = 4          # pages per chunk (CHUNK = _CP * page_size tokens)
+_CP = 8          # pages per chunk (CHUNK = _CP * page_size tokens); v5e
+                 # sweep at B=8/S=2048: cp=2 258us, 4 248, 8 245, 16 265
 
 
 def supported() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _pick_cp(max_pages: int, cp: int = 0) -> int:
+    """Largest chunk size <= the requested/default _CP that divides
+    max_pages (a non-dividing CP would floor NCH and drop tail pages)."""
+    want = min(cp or _CP, max_pages)
+    while want > 1 and max_pages % want:
+        want -= 1
+    return max(want, 1)
+
+
 def use_paged_kernel(n_kv: int, page_size: int, max_pages: int,
                      head_dim: int) -> bool:
-    cp = min(_CP, max_pages)
+    # Measured on v5e (B=8, S=2048, GQA 32/8, benchmarks/paged_attn_probe.py,
+    # 2026-08-18): XLA over the gathered page view beats this kernel at every
+    # fill fraction (fill 1.0: 217 vs 245us; 0.5: 170 vs 213; 0.25: 177 vs
+    # 216). GQA decode is MXU-tile-bound (G=4 useful rows per 128-row tile),
+    # so the kernel's single-pass HBM advantage never materializes as time.
+    # Default OFF; set OMINIX_PAGED_KERNEL=1 to opt in (e.g. future shapes
+    # where the gather view's O(capacity) cost dominates).
+    if os.environ.get("OMINIX_PAGED_KERNEL", "0") != "1":
+        return False
+    cp = _pick_cp(max_pages)
     # double-buffered K+V slabs: 2 slots x 2 pools x NKV x D x CHUNK x 2B
     # must fit comfortably under the kernel's VMEM budget
     vmem = 8 * n_kv * head_dim * cp * page_size
@@ -211,7 +231,7 @@ def _paged_decode_call(qbd, k_pool, v_pool, table, lengths,
     B, H, _ = qbd.shape
     G = H // NKV
     MP = table.shape[1]
-    CP = min(cp or _CP, MP)
+    CP = _pick_cp(MP, cp)
     # a non-dividing chunk size would FLOOR the chunk count and silently
     # drop the trailing pages from attention
     assert MP % CP == 0, (MP, CP)
