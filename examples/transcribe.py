@@ -6,8 +6,9 @@ Usage:
 
 Any registry model exposing ``transcribe(samples, rate)`` works
 (paraformer, qwen3-asr, funasr-nano/qwen4b); ``--long`` uses the chunked
-long-audio path when the model provides one; ``--punc`` restores
-punctuation with the CT-Transformer model.
+long-audio path when the model provides one; ``--translate`` emits English
+directly (funasr-qwen4b style one-pass speech translation); ``--punc``
+restores punctuation with the CT-Transformer model.
 """
 
 import argparse
@@ -25,6 +26,9 @@ def main():
                     help="CT-Transformer punctuation model dir")
     ap.add_argument("--long", action="store_true",
                     help="chunked long-audio transcription")
+    ap.add_argument("--translate", action="store_true",
+                    help="translate speech directly to English "
+                         "(models exposing translate())")
     args = ap.parse_args()
 
     import numpy as np
@@ -37,7 +41,13 @@ def main():
         f"{args.model} has no ASR capability (got {cap})"
     samples, rate = load_wav(args.audio, target_rate=16000)
     samples = np.asarray(samples)
-    if args.long and hasattr(asr, "transcribe_long"):
+    if args.translate:
+        assert hasattr(asr, "translate"), \
+            f"{args.model} does not support speech translation"
+        text = (asr.translate_long(samples, rate)
+                if args.long and hasattr(asr, "translate_long")
+                else asr.translate(samples, rate))
+    elif args.long and hasattr(asr, "transcribe_long"):
         text = asr.transcribe_long(samples, rate)
     else:
         text = asr.transcribe(samples, rate)

@@ -71,6 +71,11 @@ def _mha(lp, x, heads):
 # 1062-1098 — system + instruction + <|startofspeech|>AUDIO<|endofspeech|>)
 DEFAULT_SYSTEM = "You are a helpful assistant."
 DEFAULT_INSTRUCTION = "语音转写成中文："
+# direct speech-to-English translation rides the SAME model with a different
+# instruction (reference: funasr-qwen4b model.rs:764 translate_samples_to_
+# english -> transcribe_samples_with_prompt("Translate the speech to
+# English:"))
+TRANSLATE_INSTRUCTION = "Translate the speech to English:"
 
 
 @dataclasses.dataclass
@@ -170,6 +175,33 @@ class FunASRNano:
             overlap_secs=overlap_secs, max_tokens=max_tokens,
             stop_tokens=stops)
         return sep.join(self._detok(ids) for ids in outs)
+
+    def transcribe_batch(self, samples_list, max_tokens: int = 256,
+                         instruction=None) -> List[str]:
+        """Transcribe [(samples, rate), ...] sequentially (reference:
+        transcribe_samples_batch, funasr-nano model.rs:455 — also a
+        sequential loop; true cross-utterance batching rides the server's
+        continuous batcher instead)."""
+        return [self.transcribe(s, r, max_tokens=max_tokens,
+                                instruction=instruction)
+                for s, r in samples_list]
+
+    def translate(self, samples, rate: int = 16000,
+                  max_tokens: int = 256) -> str:
+        """Direct speech -> English text, one pass (reference:
+        funasr-qwen4b model.rs:758-770)."""
+        return self.transcribe(samples, rate, max_tokens=max_tokens,
+                               instruction=TRANSLATE_INSTRUCTION)
+
+    def translate_long(self, samples, rate: int = 16000,
+                       chunk_secs: float = 30.0, max_tokens: int = 256,
+                       sep: str = " ") -> str:
+        """Chunked long-audio speech translation (reference:
+        translate_long_samples, funasr-qwen4b model.rs:410)."""
+        return self.transcribe_long(samples, rate, chunk_secs=chunk_secs,
+                                    max_tokens=max_tokens,
+                                    instruction=TRANSLATE_INSTRUCTION,
+                                    sep=sep)
 
 
 def init_adaptor(acfg: AdaptorConfig, key, dtype=jnp.float32) -> dict:

@@ -9,6 +9,8 @@ README.md:360-366, 444-490):
   GET  /health                   (version info)
   POST /v1/audio/speech          (TTS -> WAV)
   POST /v1/audio/transcriptions  (ASR)
+  POST /v1/audio/translations    (speech -> English, one pass)
+  POST /v1/describe              (simple VLM image description)
 
 Design mirrors the reference's concurrency discipline: HTTP threads enqueue
 requests to ONE dedicated inference thread (server.rs:971-1010) — on TPU the
@@ -437,13 +439,28 @@ class Server:
                     "choices": [{"index": 0, "message": {
                         "role": "assistant", "content": text},
                         "finish_reason": "stop"}]}
-        prompt_text = (m.tokenizer.apply_chat_template(body["messages"])
-                       if m.tokenizer else chatml(body["messages"]))
+        # OpenAI tool calling: fold the request's tools into the system
+        # turn as the GLM/Qwen "# Tools" block, and (below) parse emitted
+        # <tool_call> spans back into OpenAI tool_calls (reference flow:
+        # glm-4.7-flash-mlx/examples/tool_use.py). Non-streaming only —
+        # agent loops call with stream=false.
+        from ominix_mlx_tpu.utils.tools import (finalize_tool_response,
+                                                inject_tools)
+        messages = body.get("messages", [])
+        tools = body.get("tools") or None
+        if body.get("tool_choice") == "none":
+            tools = None
+        if tools:
+            messages = inject_tools(messages, tools)
+        prompt_text = (m.tokenizer.apply_chat_template(messages)
+                       if m.tokenizer else chatml(messages))
         tokens = m.tokenizer.encode(prompt_text)
         sampler = SamplerConfig(
             temperature=float(body.get("temperature", 0.0)),
             top_p=float(body.get("top_p", 1.0)),
-            top_k=int(body.get("top_k", 0)))
+            top_k=int(body.get("top_k", 0)),
+            min_p=float(body.get("min_p", 0.0)),
+            repetition_penalty=float(body.get("repetition_penalty", 1.0)))
         max_tokens = int(body.get("max_tokens", DEFAULT_MAX_TOKENS))
         stops = ({m.tokenizer.eos_token_id}
                  if m.tokenizer.eos_token_id is not None else set())
@@ -461,11 +478,13 @@ class Server:
                 and sampler.temperature > 0:
             batcher = None
         if batcher is not None:
-            return self._chat_batched(
+            resp = self._chat_batched(
                 batcher, m, name, tokens, max_tokens, stops, send_chunk,
                 float(body.get("timeout_s", self.request_timeout_s)),
                 rid, created, sampler=sampler,
                 seed=int(body.get("seed", 0)), stop_strs=stop_strs)
+            return (resp if send_chunk is not None
+                    else finalize_tool_response(resp, tools))
 
         # speculative path: greedy requests on a spec-enabled model decode
         # draft-then-verify, token-for-token equal to plain greedy
@@ -549,7 +568,7 @@ class Server:
             raise TimeoutError(f"request exceeded {timeout_s:.0f}s")
         if err:
             raise err[0]
-        return {
+        resp = {
             "id": rid, "object": "chat.completion", "created": created,
             "model": name,
             "choices": [{"index": 0,
@@ -560,6 +579,8 @@ class Server:
                       "completion_tokens": result["n"],
                       "total_tokens": len(tokens) + result["n"]},
         }
+        return (resp if send_chunk is not None
+                else finalize_tool_response(resp, tools))
 
     def _chat_batched(self, batcher, m, name, tokens, max_tokens, stops,
                       send_chunk, timeout_s, rid, created, sampler=None,
@@ -677,20 +698,27 @@ class Server:
                 np.asarray(samples, np.float32)).tobytes())
         return buf.getvalue()
 
-    def audio_transcription(self, wav_bytes: bytes, model_name=None) -> dict:
+    def audio_transcription(self, wav_bytes: bytes, model_name=None,
+                            task: str = "transcribe") -> dict:
         """POST /v1/audio/transcriptions -> {"text": ...}. The model must
-        expose transcribe(samples, rate) -> str."""
+        expose transcribe(samples, rate) -> str. task="translate" serves
+        POST /v1/audio/translations (speech -> English in one pass,
+        reference: funasr-qwen4b model.rs:758-770) via the model's
+        translate()/translate_long() when it has them."""
         import io
         import wave as wave_mod
 
         import numpy as np
 
+        want = "translate" if task == "translate" else "transcribe"
         if model_name is None:
             model_name = next((n for n, m in self.models.items()
-                               if hasattr(m, "transcribe")), None)
+                               if hasattr(m, want)), None)
         if model_name is None or model_name not in self.models:
-            raise KeyError("no ASR-capable model loaded")
+            raise KeyError(f"no {want}-capable model loaded")
         m = self.models[model_name]
+        if not hasattr(m, want):
+            raise KeyError(f"model {model_name!r} cannot {want}")
         with wave_mod.open(io.BytesIO(wav_bytes), "rb") as w:
             rate = w.getframerate()
             raw = w.readframes(w.getnframes())
@@ -701,9 +729,10 @@ class Server:
             samples = samples.reshape(-1, ch).mean(-1)
         # long uploads ride the chunked path when the family has one
         # (reference transcribe_long, funasr-qwen4b model.rs:388-459)
-        if len(samples) > 30 * rate and hasattr(m, "transcribe_long"):
-            return {"text": m.transcribe_long(samples, rate)}
-        return {"text": m.transcribe(samples, rate)}
+        long_fn = want + "_long"
+        if len(samples) > 30 * rate and hasattr(m, long_fn):
+            return {"text": getattr(m, long_fn)(samples, rate)}
+        return {"text": getattr(m, want)(samples, rate)}
 
     def image_generation(self, body: dict) -> dict:
         """POST /v1/images/generations -> {"data": [{"b64_json": ...}]}.
@@ -757,6 +786,37 @@ class Server:
         img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
         arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
         return {"text": m.ocr(arr, prompt, max_tokens=max_tokens)}
+
+    def describe(self, body: dict) -> dict:
+        """POST /v1/describe {"image": b64, "prompt"?, "max_tokens"?} ->
+        {"description": ...} — the reference moxin server's simple
+        image-description endpoint (moxin-vlm-mlx examples/server.rs:393,
+        response :430) as sugar over a VLM's chat(prompt, image01)."""
+        import base64
+        import io
+        import time as _time
+
+        import numpy as np
+
+        name = body.get("model") or next(
+            (n for n, m in self.models.items()
+             if hasattr(m, "chat") and hasattr(m, "encode_image")), "")
+        m = self.models.get(name)
+        if m is None or not hasattr(m, "chat"):
+            raise KeyError(f"model {name!r} has no image-chat capability")
+        from PIL import Image
+        img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
+        arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+        prompt = body.get("prompt", "Describe this image in detail.")
+        t0 = _time.time()
+        text = m.chat(prompt, arr,
+                      max_tokens=int(body.get("max_tokens", 256)))
+        n_tok = (len(m.tokenizer.encode(text))
+                 if getattr(m, "tokenizer", None) else None)
+        dt = _time.time() - t0
+        return {"description": text, "tokens": n_tok,
+                "tokens_per_second": (round(n_tok / dt, 2)
+                                      if n_tok and dt > 0 else None)}
 
     def list_models(self) -> dict:
         """Reference contract: path/size/quantization/loaded per model
@@ -840,9 +900,12 @@ class Server:
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(length)
-                if self.path == "/v1/audio/transcriptions":
+                if self.path in ("/v1/audio/transcriptions",
+                                 "/v1/audio/translations"):
+                    task = ("translate" if self.path.endswith("translations")
+                            else "transcribe")
                     try:
-                        out = server.audio_transcription(raw)
+                        out = server.audio_transcription(raw, task=task)
                         return self._json(200, out)
                     except KeyError as e:
                         return self._json(404, {"error": str(e)})
@@ -881,6 +944,13 @@ class Server:
                         return self._json(404, {"error": str(e)})
                     except Exception as e:
                         return self._json(500, {"error": str(e)})
+                if self.path == "/v1/describe":
+                    try:
+                        return self._json(200, server.describe(body))
+                    except KeyError as e:
+                        return self._json(404, {"error": str(e)})
+                    except Exception as e:
+                        return self._json(500, {"error": str(e)})
                 if self.path == "/v1/audio/speech":
                     try:
                         wav = server.audio_speech(body)
@@ -910,6 +980,17 @@ class Server:
                             self.wfile.flush()
 
                         out = server.chat_completion(body, send_chunk)
+                        # OpenAI stream contract: a terminal chunk with an
+                        # empty delta carries finish_reason before [DONE]
+                        fin = (out.get("choices") or
+                               [{}])[0].get("finish_reason", "stop")
+                        send_chunk({
+                            "id": out.get("id"),
+                            "object": "chat.completion.chunk",
+                            "created": out.get("created"),
+                            "model": out.get("model"),
+                            "choices": [{"index": 0, "delta": {},
+                                         "finish_reason": fin or "stop"}]})
                         self.wfile.write(b"data: [DONE]\n\n")
                     else:
                         out = server.chat_completion(body)

@@ -72,10 +72,38 @@ def _raise(msg):
 
 
 def chatml(messages: List[dict], add_generation_prompt: bool = True) -> str:
-    """ChatML prompt format (reference: minicpm-sala-mlx/src/lib.rs:24)."""
+    """ChatML prompt format (reference: minicpm-sala-mlx/src/lib.rs:24).
+
+    Tool-aware: role="tool" observations render as <tool_response> spans
+    inside a user turn, and assistant messages carrying ``tool_calls``
+    re-emit their <tool_call> JSON spans — the GLM/Qwen wire convention
+    (reference glm-4.7-flash-mlx/examples/tool_use.py feed-back loop)."""
+    import json as _json
     out = []
     for m in messages:
-        out.append(f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n")
+        role = m["role"]
+        if role == "tool":
+            out.append("<|im_start|>user\n<tool_response>\n"
+                       f"{m.get('content') or ''}\n"
+                       "</tool_response><|im_end|>\n")
+            continue
+        content = m.get("content") or ""
+        if role == "assistant" and m.get("tool_calls"):
+            spans = []
+            for call in m["tool_calls"]:
+                fn = call.get("function", {})
+                args = fn.get("arguments", {})
+                if isinstance(args, str):
+                    try:
+                        args = _json.loads(args)
+                    except _json.JSONDecodeError:
+                        pass
+                spans.append(
+                    "<tool_call>\n" + _json.dumps(
+                        {"name": fn.get("name", ""), "arguments": args},
+                        ensure_ascii=False) + "\n</tool_call>")
+            content = (content + "\n" if content else "") + "\n".join(spans)
+        out.append(f"<|im_start|>{role}\n{content}<|im_end|>\n")
     if add_generation_prompt:
         out.append("<|im_start|>assistant\n")
     return "".join(out)

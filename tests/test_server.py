@@ -108,6 +108,9 @@ def test_chat_completion_stream(server):
     assert r.headers["Content-Type"].startswith("text/event-stream")
     events = [ln for ln in r.read().decode().splitlines() if ln.startswith("data: ")]
     assert events[-1] == "data: [DONE]"
+    # terminal chunk: empty delta + finish_reason (OpenAI stream contract)
+    last = json.loads(events[-2][6:])["choices"][0]
+    assert last["delta"] == {} and last["finish_reason"] == "stop"
     text = "".join(
         json.loads(e[6:])["choices"][0]["delta"].get("content", "")
         for e in events[:-1])
@@ -159,6 +162,35 @@ def test_audio_endpoints(server):
         f"http://127.0.0.1:{PORT}/v1/audio/transcriptions", data)
     out = json.loads(urllib.request.urlopen(req).read())
     assert out["text"].startswith("heard 1600 samples")
+
+
+def test_audio_translation_endpoint(server):
+    import io
+    import wave
+
+    import numpy as np
+
+    class FakeST(FakeASR):
+        def translate(self, samples, rate):
+            return f"english for {len(samples)} samples"
+
+    server.add_model("asr", FakeASR())      # transcribe-only: must be skipped
+    server.add_model("st", FakeST())
+    try:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(np.zeros(1600, np.int16).tobytes())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{PORT}/v1/audio/translations", buf.getvalue())
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert out["text"] == "english for 1600 samples"
+    finally:
+        # the server fixture is shared: don't leak a transcribe-capable
+        # model into later tests' first-capable-model selection
+        server.models.pop("st", None)
 
 
 def test_audio_transcription_long_uses_chunked_path(server):
@@ -618,6 +650,51 @@ def test_vlm_image_chat(server):
     msg = out["choices"][0]["message"]
     assert msg["role"] == "assistant" and isinstance(msg["content"], str)
     assert msg["content"]
+
+    # /v1/describe: the reference moxin server's simple image-description
+    # endpoint (moxin-vlm-mlx examples/server.rs:393) over the same model
+    body = {"model": "tiny-vlm", "max_tokens": 3,
+            "image": base64.b64encode(buf.getvalue()).decode()}
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/v1/describe",
+        json.dumps(body).encode(), {"Content-Type": "application/json"})
+    out = json.loads(urllib.request.urlopen(req).read())
+    assert isinstance(out["description"], str) and out["description"]
+
+
+def test_chat_tool_calls(server):
+    """OpenAI tools flow over HTTP: the tools block is folded into the
+    system turn, and emitted <tool_call> spans come back as tool_calls."""
+    class ToolTok(FakeTokenizer):
+        captured = {}
+
+        def apply_chat_template(self, messages, add_generation_prompt=True):
+            ToolTok.captured["messages"] = messages
+            return " ".join(m.get("content") or "" for m in messages)
+
+        def decode(self, ids, skip_special_tokens=True):
+            return ('I will check.\n<tool_call>\n{"name": "get_time", '
+                    '"arguments": {"tz": "UTC"}}\n</tool_call>')
+
+    mdl = FakeModel()
+    mdl.tokenizer = ToolTok()
+    server.add_model("tool-tiny", mdl)
+    try:
+        out = _post("/v1/chat/completions", {
+            "model": "tool-tiny", "max_tokens": 4,
+            "messages": [{"role": "user", "content": "time?"}],
+            "tools": [{"type": "function", "function": {
+                "name": "get_time", "parameters": {}}}]})
+        choice = out["choices"][0]
+        assert choice["finish_reason"] == "tool_calls"
+        assert choice["message"]["content"] == "I will check."
+        call = choice["message"]["tool_calls"][0]
+        assert call["function"]["name"] == "get_time"
+        assert json.loads(call["function"]["arguments"]) == {"tz": "UTC"}
+        sysmsg = ToolTok.captured["messages"][0]
+        assert sysmsg["role"] == "system" and "<tools>" in sysmsg["content"]
+    finally:
+        server.models.pop("tool-tiny", None)
 
 
 def test_batched_chat_sampled(server):
