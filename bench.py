@@ -257,8 +257,24 @@ def main():
         else:
             err = r.stderr.strip()[-200:] if r else "metric timeout"
             print(json.dumps({"metric": name, "error": err}), flush=True)
-    # re-print the headline as the FINAL line (the driver parses the last
-    # JSON line of stdout)
+        # re-print the headline after EVERY metric: the driver records only
+        # a short tail of stdout and parses its last JSON line, and it may
+        # kill this process at an unknown deadline — this way the last line
+        # is the headline at ANY kill point after the first metric lands
+        if HEADLINE in results and name != HEADLINE:
+            print(results[HEADLINE], flush=True)
+    # compact all-rows summary (single line, survives a short tail window),
+    # then the headline one final time as the parsed last line
+    summary = {}
+    for name, line in results.items():
+        try:
+            d = json.loads(line)
+            summary[name] = {"value": d.get("value"),
+                             "vs_baseline": d.get("vs_baseline")}
+        except (ValueError, KeyError):
+            pass
+    print(json.dumps({"metric": "all_results", "results": summary}),
+          flush=True)
     if HEADLINE in results:
         print(results[HEADLINE], flush=True)
 
