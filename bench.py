@@ -200,6 +200,12 @@ HEADLINE = "qwen3_4b_w4a8_decode"
 # + params init + timed runs (measured r3: bf16 4B needs >420s cold; warm
 # server-side compile cache cuts this to ~2-3min)
 PER_METRIC_TIMEOUT_S = 900
+# the headline's Pallas quant kernels compile several shapes remotely;
+# measured COLD it exceeds 900s (r3 validation run), so it gets a larger
+# budget — and if it still times out, it is retried once at the END of the
+# run, where the server-side compile cache warmed by the first attempt
+# makes the retry cheap.
+HEADLINE_TIMEOUT_S = 1800
 # overall budget: once spent, remaining metrics are skipped (not timed out)
 # so the run always ends cleanly with the headline re-printed last
 TOTAL_BUDGET_S = 3000
@@ -236,33 +242,49 @@ def main():
         return
     results = {}
     t_start = time.monotonic()
-    for name in METRICS:
-        if name != HEADLINE and \
-                time.monotonic() - t_start > TOTAL_BUDGET_S:
-            print(json.dumps({"metric": name, "error": "skipped: budget"}),
-                  flush=True)
-            continue
+
+    def _run_metric(name):
+        budget = HEADLINE_TIMEOUT_S if name == HEADLINE \
+            else PER_METRIC_TIMEOUT_S
         try:
             r = subprocess.run([sys.executable, __file__, "--metric", name],
                                capture_output=True, text=True,
-                               timeout=PER_METRIC_TIMEOUT_S,
+                               timeout=budget,
                                cwd=os.path.dirname(os.path.abspath(__file__)))
             line = next((ln for ln in r.stdout.splitlines()
                          if ln.startswith("{")), None)
         except subprocess.TimeoutExpired:
             line, r = None, None
+            # the killed child may leave remote compiles in flight and its
+            # HBM held ~1-2 min; launching the next child immediately has
+            # been observed to FAILED_PRECONDITION mid-run (r3 validation),
+            # so let the tunnel settle first
+            time.sleep(120)
         if line:
             results[name] = line
             print(line, flush=True)
         else:
             err = r.stderr.strip()[-200:] if r else "metric timeout"
             print(json.dumps({"metric": name, "error": err}), flush=True)
+
+    for name in METRICS:
+        if name != HEADLINE and \
+                time.monotonic() - t_start > TOTAL_BUDGET_S:
+            print(json.dumps({"metric": name, "error": "skipped: budget"}),
+                  flush=True)
+            continue
+        _run_metric(name)
         # re-print the headline after EVERY metric: the driver records only
         # a short tail of stdout and parses its last JSON line, and it may
         # kill this process at an unknown deadline — this way the last line
         # is the headline at ANY kill point after the first metric lands
         if HEADLINE in results and name != HEADLINE:
             print(results[HEADLINE], flush=True)
+    # the headline must never be the row that's missing: if its first
+    # (cold-compile) attempt timed out, retry once now — the remote compile
+    # cache it warmed makes the second attempt minutes, not half an hour
+    if HEADLINE not in results:
+        _run_metric(HEADLINE)
     # compact all-rows summary (single line, survives a short tail window),
     # then the headline one final time as the parsed last line
     summary = {}
