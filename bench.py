@@ -169,14 +169,23 @@ def emit(metric, value, unit, baseline):
 # name: (kind, cfg, quant_bits, batch, baseline)
 # HEADLINE FIRST: the 4-bit decode axis the reference's table leads with
 # (README.md:578, 45 tok/s on M3 Max). A driver timeout trims the tail,
-# never the head.
+# never the head. Pipeline (non-LLM) rows are interleaved EARLY so the
+# driver's unknown kill deadline still captures ASR/TTS/image evidence
+# (round-3 lost them entirely); their bodies live in
+# benchmarks/pipelines_bench.py and print their own baselined JSON line.
 METRICS = {
     "qwen3_4b_w4a8_decode": ("decode", QWEN3_4B, 4, 1, 45.0),
+    # Paraformer-large ASR RTF vs 18x real-time (reference README.md:583)
+    "paraformer_large_rtf": ("pipeline", "paraformer", None, None, None),
     "qwen3_4b_bf16_decode": ("decode", QWEN3_4B, None, 1, 45.0),
+    # Qwen3-TTS talker ms/frame vs 35ms @12Hz (reference README.md:586)
+    "qwen3_tts_1p7b_ms_per_frame": ("pipeline", "tts", None, None, None),
     # batched serving axis: channelwise w8a8 (XLA int8 MXU matmul) at B=8.
     # baseline = 8 reference decode streams (8 x 45); bf16 B=8 measured
     # 644-694 aggregate this round — w8a8 beats it at 1122 (round-3 run).
     "qwen3_4b_w8a8_b8_decode": ("decode_ch8", QWEN3_4B, 8, 8, 360.0),
+    # FLUX.2-klein 1024px 4-step vs ~5 s/image (reference README.md:589)
+    "flux_klein_1024px_s_per_image": ("pipeline", "flux", None, None, None),
     # same serving config over the PAGED pool + fused Pallas decode
     # attention (ops/paged_attention.py): attention streams only written
     # pages, one pass over K/V
@@ -243,7 +252,7 @@ def main():
     results = {}
     t_start = time.monotonic()
 
-    def _run_metric(name):
+    def _run_metric(name, settle=True):
         budget = HEADLINE_TIMEOUT_S if name == HEADLINE \
             else PER_METRIC_TIMEOUT_S
         try:
@@ -258,14 +267,32 @@ def main():
             # the killed child may leave remote compiles in flight and its
             # HBM held ~1-2 min; launching the next child immediately has
             # been observed to FAILED_PRECONDITION mid-run (r3 validation),
-            # so let the tunnel settle first
-            time.sleep(120)
+            # so let the tunnel settle first — unless no further child will
+            # launch (settle=False on the final end-of-run retry), where
+            # sleeping only risks losing the summary prints to a driver kill
+            if settle:
+                time.sleep(120)
         if line:
             results[name] = line
             print(line, flush=True)
         else:
             err = r.stderr.strip()[-200:] if r else "metric timeout"
             print(json.dumps({"metric": name, "error": err}), flush=True)
+
+    def _print_summary():
+        # compact cumulative all-rows summary: ONE line, reprinted after
+        # every metric so any driver kill point preserves every completed
+        # row in the recorded tail (round-3 lost 5 of 8 rows to a kill)
+        summary = {}
+        for name, line in results.items():
+            try:
+                d = json.loads(line)
+                summary[name] = {"value": d.get("value"),
+                                 "vs_baseline": d.get("vs_baseline")}
+            except (ValueError, KeyError):
+                pass
+        print(json.dumps({"metric": "all_results", "results": summary}),
+              flush=True)
 
     for name in METRICS:
         if name != HEADLINE and \
@@ -274,6 +301,7 @@ def main():
                   flush=True)
             continue
         _run_metric(name)
+        _print_summary()
         # re-print the headline after EVERY metric: the driver records only
         # a short tail of stdout and parses its last JSON line, and it may
         # kill this process at an unknown deadline — this way the last line
@@ -282,28 +310,32 @@ def main():
             print(results[HEADLINE], flush=True)
     # the headline must never be the row that's missing: if its first
     # (cold-compile) attempt timed out, retry once now — the remote compile
-    # cache it warmed makes the second attempt minutes, not half an hour
+    # cache it warmed makes the second attempt minutes, not half an hour.
+    # This retry deliberately runs PAST TOTAL_BUDGET_S (worst case ~+1800s):
+    # it relies on the driver-kill + headline-tagged-last-line contract
+    # rather than an internal deadline. Print a headline-tagged status line
+    # FIRST so that if the driver kills us mid-retry, the last JSON line is
+    # still headline-tagged (not the previous metric's row).
     if HEADLINE not in results:
-        _run_metric(HEADLINE)
-    # compact all-rows summary (single line, survives a short tail window),
-    # then the headline one final time as the parsed last line
-    summary = {}
-    for name, line in results.items():
-        try:
-            d = json.loads(line)
-            summary[name] = {"value": d.get("value"),
-                             "vs_baseline": d.get("vs_baseline")}
-        except (ValueError, KeyError):
-            pass
-    print(json.dumps({"metric": "all_results", "results": summary}),
-          flush=True)
+        print(json.dumps({"metric": HEADLINE,
+                          "error": "cold-compile timeout; retrying"}),
+              flush=True)
+        _run_metric(HEADLINE, settle=False)
+    _print_summary()
     if HEADLINE in results:
         print(results[HEADLINE], flush=True)
 
 
 def run_one(name: str):
     kind, cfg, bits, arg, baseline = METRICS[name]
-    if kind == "prefill":
+    if kind == "pipeline":
+        # non-LLM pipeline rows: bodies live in benchmarks/pipelines_bench
+        # (cfg holds the BENCHES key); they print their own baselined line
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import pipelines_bench
+        pipelines_bench.BENCHES[cfg]()
+    elif kind == "prefill":
         emit(name, prefill_tps(cfg, prompt_len=arg, quant_bits=bits),
              "tokens/sec", baseline)
     elif kind == "prefill_ch8":

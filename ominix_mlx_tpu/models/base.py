@@ -144,10 +144,17 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
                     cache: KVCache, offset: jax.Array,
                     mask: jax.Array, rope: RopeConfig,
                     fresh_prefill: bool = False,
-                    kv_limit: Optional[int] = None):
+                    kv_limit: Optional[int] = None,
+                    ring_axis: Optional[str] = None):
     """GQA attention with optional QK-RMSNorm and partial RoPE.
 
     x: [B, T, D_model]. Returns ([B, T, D_model], new KVCache).
+
+    ring_axis (static): name of a sequence-parallel mesh axis — the call is
+    running INSIDE shard_map with x/cache holding this device's sequence
+    shard; attention runs as ring attention over the axis (ICI ppermute,
+    parallel/ring_attention.py) and RoPE positions are globalized by the
+    device's axis index. Context-parallel prefill, SURVEY §5.7.
     """
     B, T, _ = x.shape
     hd = cfg.hd
@@ -173,11 +180,19 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
     v = v.transpose(0, 2, 1, 3)
     positions = (offset[:, None] if getattr(offset, "ndim", 0) == 1
                  else offset) + jnp.arange(T, dtype=jnp.int32)
+    if ring_axis is not None:
+        # globalize positions: this device holds sequence shard [idx*T,
+        # (idx+1)*T) of the fresh prompt
+        positions = positions + jax.lax.axis_index(ring_axis) * T
     q = apply_rope(q, positions, rope)
     k = apply_rope(k, positions, rope)
     cache = cache.update(k, v, offset)
     from ominix_mlx_tpu.ops import flash_attention as fa
-    if fresh_prefill and T > 1 and fa.use_flash(T, hd) \
+    if ring_axis is not None and T > 1:
+        from ominix_mlx_tpu.parallel.ring_attention import ring_attention
+        out = ring_attention(q, k, v, axis_name=ring_axis, causal=True,
+                             scale=hd ** -0.5)
+    elif fresh_prefill and T > 1 and fa.use_flash(T, hd) \
             and cfg.sliding_window is None:
         # first prefill: queries attend exactly the fresh tokens — use the
         # Pallas flash kernel instead of materializing the [T, S] mask
@@ -233,7 +248,8 @@ def mlp_block(lp: dict, cfg: TransformerConfig, x: jax.Array) -> jax.Array:
 
 def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
                   rope, fresh_prefill: bool = False,
-                  kv_limit: Optional[int] = None):
+                  kv_limit: Optional[int] = None,
+                  ring_axis: Optional[str] = None):
     h_in = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
     if "linear_attn" in lp:                # GatedDeltaNet (Qwen3-Next hybrid)
         from ominix_mlx_tpu.models import deltanet
@@ -243,7 +259,7 @@ def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
         h, cache = mla.attention_block(lp, cfg.mla, h_in, cache, offset, mask)
     else:
         h, cache = attention_block(lp, cfg, h_in, cache, offset, mask, rope,
-                                   fresh_prefill, kv_limit)
+                                   fresh_prefill, kv_limit, ring_axis)
     if "post_self_attn_layernorm" in lp:   # GLM4 sandwich norm
         h = rms_norm(lp["post_self_attn_layernorm"], h, cfg.rms_norm_eps)
     x = x + h
@@ -260,7 +276,8 @@ def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
 
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
             cache: ModelCache, fresh_prefill: bool = False,
-            kv_limit: Optional[int] = None, skip_logits: bool = False):
+            kv_limit: Optional[int] = None, skip_logits: bool = False,
+            ring_axis: Optional[str] = None):
     """tokens: [B, T] -> (logits [B, T, V], new ModelCache).
 
     fresh_prefill=True (static) asserts the cache is empty, enabling the
@@ -268,15 +285,19 @@ def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
     attended cache prefix during chunked prefill. skip_logits=True
     (static) returns the final hidden states instead of logits — non-final
     chunks of a long prefill only need the KV writes, and the lm_head is
-    ~1.6 TFLOP + a [T, V] HBM write per 2k chunk on a 150k vocab."""
+    ~1.6 TFLOP + a [T, V] HBM write per 2k chunk on a 150k vocab.
+    ring_axis (static): running inside shard_map with tokens/cache holding
+    this device's sequence shard — see parallel/context_parallel.py."""
     return forward_embeds(params, cfg, embedding(params["embed"], tokens),
-                          cache, fresh_prefill, kv_limit, skip_logits)
+                          cache, fresh_prefill, kv_limit, skip_logits,
+                          ring_axis)
 
 
 def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
                    cache: ModelCache, fresh_prefill: bool = False,
                    kv_limit: Optional[int] = None,
-                   skip_logits: bool = False):
+                   skip_logits: bool = False,
+                   ring_axis: Optional[str] = None):
     """Like ``forward`` but takes input embeddings [B, T, D] directly —
     the splice point for multimodal prompts (audio features, image patches;
     reference: deepseek-ocr2 prepare_inputs lib.rs:522, qwen3-asr)."""
@@ -294,7 +315,7 @@ def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
     new_layers = []
     for lp, lc in zip(params["layers"], cache.layers):
         x, lc = decoder_layer(lp, cfg, x, lc, cache.offset, mask, rope,
-                              fresh_prefill, kv_limit)
+                              fresh_prefill, kv_limit, ring_axis)
         new_layers.append(lc)
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     if skip_logits:

@@ -20,6 +20,7 @@ large; a capacity-bucketed sorted dispatch is the later optimization.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -78,6 +79,61 @@ def route(lp: dict, mcfg: MoEConfig, x: jax.Array):
         w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
     w = w * mcfg.routed_scaling_factor
     return w, idx
+
+
+def _group_matmul(xs: jax.Array, w_eid: jax.Array, gs: jax.Array,
+                  use_gmm: bool, tm: int = 128) -> jax.Array:
+    """Grouped matmul over expert-sorted rows: rows of ``xs`` [S, K] are
+    sorted by expert; ``gs`` [E] gives each expert's row count; ``w_eid``
+    is the stacked expert weight [E, N, K] (HF layout, output-major).
+    Returns f32 [S, N]. On TPU this rides the Mosaic megablox gmm kernel
+    (one pass over each expert's weight slab, MXU-dense); elsewhere
+    ``jax.lax.ragged_dot`` (XLA-native grouped dot).
+
+    tm: row-tile size. Group row counts are ceil-quantized to tm, so at
+    many groups a small tm wastes less MXU work (measured v5e E=64 M=2048
+    k=8: tm=128 -> 5.8ms vs tm=512 -> 8.5ms per 3-matmul MoE layer)."""
+    if use_gmm:
+        from jax.experimental.pallas.ops.tpu.megablox import gmm
+        # transpose_rhs contracts lhs lanes against rhs's LAST axis, so the
+        # HF [E, N, K] layout is consumed natively (no transposed copy)
+        return gmm(xs, w_eid, gs, preferred_element_type=jnp.float32,
+                   tiling=(tm, 512, 512), transpose_rhs=True)
+    return jax.lax.ragged_dot(xs, jnp.swapaxes(w_eid, 1, 2), gs,
+                              preferred_element_type=jnp.float32)
+
+
+def sorted_expert_mlp(xt: jax.Array, ex: dict, w: jax.Array, idx: jax.Array,
+                      num_experts: int, act) -> jax.Array:
+    """Sort-by-expert dispatch for MoE prefill (TPU-native counterpart of
+    the reference's coalesced sorted gather_qmm, qwen3-mlx/src/qwen3_moe.rs:339).
+
+    Token copies are sorted by routed expert id so each expert's matmul
+    contracts a CONTIGUOUS row block against its weight slab: total MXU
+    FLOPs are the routed k/E fraction of the dense all-expert pass instead
+    of running every expert on every token. Exact (no capacity dropping):
+    group sizes are data-dependent but every shape is static, so the whole
+    thing jits.
+
+    xt: [M, D] tokens; w/idx: [M, k] routing weights/expert ids;
+    ex: stacked bf16 expert weights {gate_proj/up_proj [E, I, D],
+    down_proj [E, D, I]}. Returns f32 [M, D].
+    """
+    M, D = xt.shape
+    k = idx.shape[1]
+    flat_e = idx.reshape(-1)                        # [M*k]
+    order = jnp.argsort(flat_e)                     # stable: ties keep token order
+    tok = order // k                                # source token per sorted copy
+    xs = jnp.take(xt, tok, axis=0)                  # [M*k, D] expert-sorted
+    gs = jnp.bincount(flat_e, length=num_experts).astype(jnp.int32)
+    use_gmm = (jax.default_backend() == "tpu"
+               and os.environ.get("OMINIX_MOE_GMM", "1") == "1")
+    g = _group_matmul(xs, ex["gate_proj"], gs, use_gmm)      # f32 [M*k, I]
+    u = _group_matmul(xs, ex["up_proj"], gs, use_gmm)
+    h = (act(g) * u).astype(xt.dtype)
+    ys = _group_matmul(h, ex["down_proj"], gs, use_gmm)      # f32 [M*k, D]
+    wf = jnp.take(w.reshape(-1).astype(jnp.float32), order)
+    return jnp.zeros((M, D), jnp.float32).at[tok].add(ys * wf[:, None])
 
 
 def _expert_mlp(wg, wu, wd, x, act):
@@ -176,6 +232,11 @@ def moe_block(lp: dict, mcfg: MoEConfig, x: jax.Array) -> jax.Array:
                 return acc + ye * comb[:, e][:, None], None
             y, _ = jax.lax.scan(step, jnp.zeros((M, D), jnp.float32),
                                 jnp.arange(mcfg.num_experts))
+        elif os.environ.get("OMINIX_MOE_SORTED", "1") == "1":
+            # sorted dispatch: k/E of the dense pass's FLOPs (the dense
+            # all-expert fallback below wastes ~E/k x MXU work at scale —
+            # ~20x at GLM4-MoE's top-8-of-160)
+            y = sorted_expert_mlp(xt, ex, w, idx, mcfg.num_experts, act)
         else:
             g = jnp.einsum("md,eid->mei", xt, ex["gate_proj"])
             u = jnp.einsum("md,eid->mei", xt, ex["up_proj"])

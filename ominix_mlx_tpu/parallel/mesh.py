@@ -28,13 +28,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: int = 1, tp: Optional[int] = None,
-              devices=None) -> Mesh:
-    """Create a (dp, tp) mesh. tp defaults to n_devices // dp."""
+              devices=None, sp: int = 1) -> Mesh:
+    """Create a (dp, tp[, sp]) mesh. tp defaults to n_devices // (dp*sp).
+    sp > 1 adds a sequence/context-parallel axis (ring attention,
+    parallel/context_parallel.py) as the innermost dim so its ppermute
+    hops ride nearest-neighbor ICI links."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if tp is None:
-        tp = n // dp
-    assert dp * tp == n, f"dp*tp={dp * tp} != devices={n}"
+        tp = n // (dp * sp)
+    assert dp * tp * sp == n, f"dp*tp*sp={dp * tp * sp} != devices={n}"
+    if sp > 1:
+        arr = np.asarray(devices).reshape(dp, tp, sp)
+        return Mesh(arr, ("dp", "tp", "sp"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 

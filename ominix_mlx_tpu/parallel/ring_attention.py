@@ -31,18 +31,26 @@ NEG_INF = -1e30
 def _block_attn(q, k, v, scale, mask):
     """Partial attention returning (weighted values, running max, lse-ish).
 
-    q: [B, H, Tq, D]; k/v: [B, H, Tk, D]; mask additive [Tq, Tk] or None.
-    Returns un-normalized out [B,H,Tq,Dv], row max m [B,H,Tq], row sum s.
+    q: [B, Hq, Tq, D]; k/v: [B, Hkv, Tk, D] with Hq a multiple of Hkv
+    (GQA: query-head groups share a KV head — the repeat happens in the
+    einsum indexing, never materialized). mask additive [Tq, Tk] or None.
+    Returns un-normalized out [B,Hq,Tq,Dv], row max m [B,Hq,Tq], row sum s.
     """
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    B, Hq, Tq, D = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, Tq, D)
+    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
-        logits = logits + mask[None, None]
+        logits = logits + mask[None, None, None]
     m = jnp.max(logits, axis=-1)
     p = jnp.exp(logits - m[..., None])
     s = jnp.sum(p, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
-    return out.astype(jnp.float32), m, s
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p.astype(v.dtype), v)
+    Dv = v.shape[-1]
+    return (out.reshape(B, Hq, Tq, Dv).astype(jnp.float32),
+            m.reshape(B, Hq, Tq), s.reshape(B, Hq, Tq))
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
