@@ -62,6 +62,17 @@ class PinyinDict:
             out.append(py[0])
         return out if out else None
 
+    def lookup_lenient(self, word: str) -> List[str]:
+        """lookup() that never fails: an unknown char degrades to the
+        neutral filler 'a5' but every KNOWN char in the word keeps its
+        real reading (the reference's g2pW similarly emits best-effort
+        per-char readings; a whole-word wipeout on one rare hanzi would
+        corrupt the cloned speech far more than one filler syllable)."""
+        hit = self.lookup(word)
+        if hit is not None:
+            return hit
+        return [(self.table.get(ch) or ["a5"])[0] for ch in word]
+
 
 def split_pinyin(py: str) -> Tuple[str, str]:
     """'zhong1' -> ('zh', 'ong1'). Tone defaults to 5 (neutral)."""
@@ -75,6 +86,9 @@ def split_pinyin(py: str) -> Tuple[str, str]:
             initial = ini
             py = py[len(ini):]
             break
+    if initial in ("j", "q", "x", "y") and py.startswith("u"):
+        py = "v" + py[1:]   # ü is spelled u after j/q/x/y: ju -> j v,
+        #                     jun -> j vn, juan -> j van, yue -> y ve
     py = _FINAL_FIX.get(py, py)
     if py == "i":        # syllabic consonants: zi/ci/si -> ii, zhi -> iii
         if initial in ("z", "c", "s"):
@@ -182,10 +196,7 @@ def zh_g2p(text: str, pdict: PinyinDict) -> Tuple[List[str], List[int]]:
     words: List[Tuple[str, List[str]]] = []
     for w, is_zh in segs:
         if is_zh:
-            pys = pdict.lookup(w)
-            if pys is None:
-                pys = ["a5"] * len(w)     # unknown chars: neutral filler
-            words.append((w, pys))
+            words.append((w, pdict.lookup_lenient(w)))
         else:
             words.append((w, []))
     # sandhi over the zh words only (punctuation breaks context naturally)

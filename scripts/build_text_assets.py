@@ -80,14 +80,21 @@ def build_cmudict(src: str):
     print(f"wrote {dst}: {len(out)} entries")
 
 
-def coverage():
-    """Rank hanzi by frequency (jieba dict) and report pinyin-table
-    coverage of the top-N, listing the most frequent MISSING chars so the
-    table can be extended where it matters."""
+def _gb2312(ch: str) -> bool:
+    """GB2312-encodable filter: jieba's dict.txt contains GBK-mojibake
+    artifacts (UTF-8 text misdecoded as GBK upstream, e.g. 紝銆鐨) that rank
+    as 'frequent'; real simplified hanzi encode in GB2312, artifacts
+    almost never do."""
+    try:
+        ch.encode("gb2312")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
+def _char_freq():
     import jieba
     from collections import Counter
-
-    from ominix_mlx_tpu.text.zh_g2p import PinyinDict
 
     freq = Counter()
     with open(os.path.join(os.path.dirname(jieba.__file__), "dict.txt"),
@@ -95,15 +102,35 @@ def coverage():
         for ln in f:
             w, n = ln.split()[:2]
             for ch in w:
-                if "一" <= ch <= "鿿":
+                if "一" <= ch <= "鿿" and _gb2312(ch):
                     freq[ch] += int(n)
+    return freq
+
+
+def coverage():
+    """Rank hanzi by frequency (jieba dict, GB2312-filtered) and report
+    pinyin-table coverage of the top-N — by type AND frequency-weighted by
+    token (the production number: P(char of running text is covered)) —
+    listing the most frequent MISSING chars so the table can be extended
+    where it matters."""
+    from ominix_mlx_tpu.text.zh_g2p import PinyinDict
+
+    freq = _char_freq()
     pd = PinyinDict()           # bundled table
-    for top in (500, 1000, 1500, 2500):
+    total_tok = sum(freq.values())
+    cov_tok = sum(n for c, n in freq.items() if c in pd.table)
+    print(f"table: {sum(1 for k in pd.table if len(k) == 1)} chars, "
+          f"{sum(1 for k in pd.table if len(k) > 1)} word entries")
+    print(f"token-weighted coverage (all {len(freq)} ranked chars): "
+          f"{100 * cov_tok / total_tok:.4f}%")
+    for top in (500, 1000, 1500, 2500, 3500, 5000, 7000):
         chars = [c for c, _ in freq.most_common(top)]
         have = sum(1 for c in chars if c in pd.table)
         print(f"top-{top}: {have}/{top} covered ({100*have/top:.1f}%)")
-    missing = [c for c, _ in freq.most_common(1500) if c not in pd.table]
-    print("most frequent missing:", "".join(missing[:200]))
+    missing = [c for c, _ in freq.most_common(7000) if c not in pd.table]
+    print(f"missing among top-7000 ({len(missing)}):")
+    for i in range(0, min(len(missing), 2000), 100):
+        print("  " + "".join(missing[i:i + 100]))
 
 
 def main():

@@ -158,3 +158,48 @@ def test_mixed_language_sentence():
     # CMUdict single letters
     assert "ai4" in phones
     assert any(p.isupper() for p in phones)
+
+
+def test_zh_golden_rare_hanzi():
+    """Rarer hanzi (beyond the original top-1500 table) resolve through the
+    extended GB2312-coverage table (VERDICT r3 item 3): exact readings, not
+    the OOV filler."""
+    f = fe.TextFrontend()
+
+    def flat(text):
+        return " ".join(f.g2p(text)[0])
+
+    assert flat("魑魅魍魉") == "ch iii1 m ei4 w ang2 l iang3"   # 3-3 sandhi
+    assert flat("饕餮") == "t ao1 t ie4"
+    assert flat("耄耋之年") == "m ao4 d ie2 zh iii1 n ian2"
+    assert flat("沆瀣一气") == "h ang4 x ie4 y i2 q i4"
+    assert flat("龃龉") == "j v2 y v3"                          # 3-3 + j+u=v
+
+
+def test_zh_v_final_after_jqxy():
+    """ü spelled as u after j/q/x/y maps to the v-family finals (the
+    symbol table has v/ve/vn/van for exactly this)."""
+    f = fe.TextFrontend()
+
+    def flat(text):
+        return " ".join(f.g2p(text)[0])
+
+    assert flat("句") == "j v4"
+    assert flat("军") == "j vn1"
+    assert flat("全") == "q van2"
+    assert flat("雨") == "y v3"
+    assert flat("月") == "y ve4"
+    assert flat("论") == "l uen4"       # real u stays u
+
+
+def test_zh_oov_fallback_is_per_char():
+    """A word containing one unknown char keeps the KNOWN chars' readings;
+    only the unknown char degrades to the neutral filler (never a dropped
+    phone)."""
+    from ominix_mlx_tpu.text.zh_g2p import PinyinDict
+
+    pd = PinyinDict(bundled=False,
+                    table={"好": ["hao3"], "你": ["ni3"]})
+    assert pd.lookup_lenient("你好") == ["ni3", "hao3"]
+    got = pd.lookup_lenient("你㿘")            # second char unknown anywhere
+    assert got[0] == "ni3" and got[1] == "a5" and len(got) == 2
