@@ -28,6 +28,7 @@ SHAPES = {
     "down": (9728, 2560),
     "qkv": (2560, 6144),
     "o": (4096, 2560),
+    "lmhead": (2560, 151936),
 }
 
 
@@ -42,6 +43,13 @@ def make_variant(name, key, K, N, M):
     elif name.endswith("dq"):             # batched dq kernel (w4dq/w8dq)
         bits = 8 if name.startswith("w8") else 4
         pqt = qm.prepare(quantize_tensor(w, 64, bits), batched=True)
+        fn = lambda x: qm.quantized_matmul(x, pqt)
+        nbytes = N * K * bits // 8 + 2 * N * (K // 64) * 2
+    elif name.endswith("pt"):             # transposed-panel M=1 (w4pt/w8pt)
+        bits = 8 if name.startswith("w8") else 4
+        pqt = qm.to_panels_t(qm.prepare(quantize_tensor(w, 64, bits),
+                                        act_bits=8))
+        assert pqt.tn, (name, K, N, "to_panels_t declined the shape")
         fn = lambda x: qm.quantized_matmul(x, pqt)
         nbytes = N * K * bits // 8 + 2 * N * (K // 64) * 2
     else:

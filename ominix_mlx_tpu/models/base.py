@@ -394,10 +394,38 @@ def _stack_weights(ws: list):
     return jnp.concatenate(ws, 0)
 
 
+def transpose_packed_params(params):
+    """Re-tile every non-batched PackedQuantizedTensor into the
+    transposed-panel layout of the M=1 decode kernel (to_panels_t —
+    contiguous panel DMA + output rows on the MXU lanes; ineligible or
+    batched tensors pass through). Walks dicts/lists/tuples so it applies
+    to any model family's param tree, including the (tied) embedding —
+    gather_rows understands the tiled layout. OMINIX_QMM_TP=0 disables."""
+    import os
+
+    from ominix_mlx_tpu.ops.quant_matmul import (PackedQuantizedTensor,
+                                                 to_panels_t)
+    if os.environ.get("OMINIX_QMM_TP", "1") != "1":
+        return params
+
+    def walk(node):
+        if isinstance(node, PackedQuantizedTensor):
+            return to_panels_t(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
 def fuse_layer_projections(params: dict) -> dict:
     """Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj per layer: one
     weight stream + one kernel launch instead of three/two (TPU-native
-    version of the reference's per-proj Metal launches)."""
+    version of the reference's per-proj Metal launches). Group-quantized
+    weights additionally re-tile into the transposed-panel decode layout
+    (transpose_packed_params) after fusing."""
     out = dict(params)
     out["layers"] = []
     for lp in params["layers"]:
@@ -415,7 +443,7 @@ def fuse_layer_projections(params: dict) -> dict:
                 fused["b"] = jnp.concatenate([p["b"] for p in parts], 0)
             nlp["gate_up_proj"] = fused
         out["layers"].append(nlp)
-    return out
+    return transpose_packed_params(out)
 
 
 def quantize_params(params: dict, group_size: int = 64, bits: int = 4,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,9 +67,25 @@ class PackedQuantizedTensor:
     # batch > 1; prepare(..., batched=True))
     batched: bool = dataclasses.field(metadata=dict(static=True),
                                       default=False)
+    # transposed-panel layout (to_panels_t): data is [NCH, Kd, tn] with each
+    # [Kd, tn] panel a pre-transposed CONTIGUOUS row-tile of the row-major
+    # [N, Kd] matrix. 0 = row-major. The M=1 decode kernel (_qmm_pt) wants
+    # this: its matmuls put the 512-wide output-row tile on the MXU lanes
+    # instead of the ~40 padded-to-128 group lanes (3-6x less MXU work),
+    # while the DMA stays fully contiguous (the round-2 transposed-WHOLE
+    # layout lost to strided lane-slice DMA; per-panel pre-transposition
+    # removes the stride).
+    tn: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # padded group rows per scales/biases panel half (bits=4: each K-half's
+    # G/2 groups padded to a 32-row multiple so in-kernel sublane slices
+    # stay tile-aligned; bits=8: the whole G padded once)
+    g2p: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def shape(self):
+        if self.tn:
+            return (self.data.shape[0] * self.tn - self.n_pad,
+                    self.in_features)
         return (self.data.shape[0] - self.n_pad, self.in_features)
 
 
@@ -112,8 +129,84 @@ def prepare(qt: QuantizedTensor, act_bits: int | None = 8,
         g_pad=g_pad, n_pad=n_pad, batched=batched)
 
 
+def to_panels_t(pqt: PackedQuantizedTensor) -> PackedQuantizedTensor:
+    """Re-tile a row-major packed tensor into the transposed-panel layout
+    consumed by the M=1 decode kernel (_qmm_pt). One-time load-side cost;
+    returns the input unchanged if the shape is ineligible.
+
+    data [N, Kd] -> [NCH, Kd, TN] (each panel transposed in place, HBM
+    stream stays contiguous). scales/biases [N, G] -> [NCH, Gs, TN] with
+    the group axis split per K-half (bits=4) and padded to 32-row
+    multiples; the 4-bit +8-code bias correction (b - 8s) is folded here
+    instead of per panel in the kernel."""
+    if pqt.tn or pqt.batched:
+        return pqt
+    N, Kd = pqt.data.shape
+    K, gs, bits = pqt.in_features, pqt.group_size, pqt.bits
+    G = K // gs
+    if bits == 4:
+        kc = K // 2
+        if kc % 128 or kc % gs or (G // 2) % 1 or G % 2:
+            return pqt
+    elif bits != 8 or K % 128:
+        return pqt
+    TN = _pick_tn(N, Kd)
+    if TN < 128:
+        return pqt
+    NCH = N // TN
+    data_t = pqt.data.reshape(NCH, TN, Kd).transpose(0, 2, 1)
+    sc = pqt.scales[:, :G]                     # drop row-major g_pad
+    bs = pqt.biases[:, :G]
+    if bits == 4:
+        bs = (bs.astype(jnp.float32)
+              - 8.0 * sc.astype(jnp.float32)).astype(jnp.bfloat16)
+        G2 = G // 2
+        g2p = -(-G2 // 32) * 32
+        pad = ((0, 0), (0, g2p - G2))
+        sc = jnp.concatenate([jnp.pad(sc[:, :G2], pad),
+                              jnp.pad(sc[:, G2:], pad)], axis=1)
+        bs = jnp.concatenate([jnp.pad(bs[:, :G2], pad),
+                              jnp.pad(bs[:, G2:], pad)], axis=1)
+    else:
+        g2p = -(-G // 32) * 32
+        sc = jnp.pad(sc, ((0, 0), (0, g2p - G)))
+        bs = jnp.pad(bs, ((0, 0), (0, g2p - G)))
+    Gs = sc.shape[1]
+    sc_t = sc.reshape(NCH, TN, Gs).transpose(0, 2, 1)
+    bs_t = bs.reshape(NCH, TN, Gs).transpose(0, 2, 1)
+    return PackedQuantizedTensor(
+        data=data_t, scales=sc_t, biases=bs_t, group_size=gs, bits=bits,
+        in_features=K, act_bits=pqt.act_bits, g_pad=0, n_pad=pqt.n_pad,
+        batched=False, tn=TN, g2p=g2p)
+
+
+def _from_panels_t(pqt: PackedQuantizedTensor) -> PackedQuantizedTensor:
+    """Inverse re-tiling (CPU fallback / prefill dequant / tests)."""
+    NCH, Kd, TN = pqt.data.shape
+    N = NCH * TN
+    K, gs = pqt.in_features, pqt.group_size
+    G = K // gs
+    data = pqt.data.transpose(0, 2, 1).reshape(N, Kd)
+    sc = pqt.scales.transpose(0, 2, 1).reshape(N, -1)
+    bs = pqt.biases.transpose(0, 2, 1).reshape(N, -1)
+    if pqt.bits == 4:
+        G2 = G // 2
+        sc = jnp.concatenate([sc[:, :G2], sc[:, pqt.g2p:pqt.g2p + G2]], 1)
+        bs = jnp.concatenate([bs[:, :G2], bs[:, pqt.g2p:pqt.g2p + G2]], 1)
+        bs = (bs.astype(jnp.float32)
+              + 8.0 * sc.astype(jnp.float32)).astype(jnp.bfloat16)
+    else:
+        sc, bs = sc[:, :G], bs[:, :G]
+    return PackedQuantizedTensor(
+        data=data, scales=sc, biases=bs, group_size=gs, bits=pqt.bits,
+        in_features=K, act_bits=pqt.act_bits, g_pad=0, n_pad=pqt.n_pad,
+        batched=False)
+
+
 def unpack(pqt: PackedQuantizedTensor) -> QuantizedTensor:
     """Inverse of prepare (testing / CPU fallback / prefill dequant)."""
+    if pqt.tn:
+        pqt = _from_panels_t(pqt)
     if pqt.bits == 4:
         b = pqt.data.view(jnp.uint8).astype(jnp.int16)
         lo = (b & 15) - 8
@@ -133,14 +226,30 @@ def gather_rows(pqt: PackedQuantizedTensor, tokens: jax.Array) -> jax.Array:
     reference: nn::QuantizedEmbedding). Returns [..., K] bf16."""
     K, gs, bits = pqt.in_features, pqt.group_size, pqt.bits
     G = K // gs
-    rows = pqt.data[tokens]                      # [..., Kd] int8
+    if pqt.tn:
+        # transposed-panel layout: row r lives at data[r // tn, :, r % tn]
+        p, l = tokens // pqt.tn, tokens % pqt.tn
+        rows = pqt.data[p, :, l]                 # [..., Kd] int8
+        s_rows = pqt.scales[p, :, l].astype(jnp.float32)
+        b_rows = pqt.biases[p, :, l].astype(jnp.float32)
+        if bits == 4:
+            g2 = G // 2
+            s_rows = jnp.concatenate(
+                [s_rows[..., :g2], s_rows[..., pqt.g2p:pqt.g2p + g2]], -1)
+            b_rows = (jnp.concatenate(
+                [b_rows[..., :g2], b_rows[..., pqt.g2p:pqt.g2p + g2]], -1)
+                + 8.0 * s_rows)                  # un-fold b - 8s
+        else:
+            s_rows, b_rows = s_rows[..., :G], b_rows[..., :G]
+    else:
+        rows = pqt.data[tokens]                  # [..., Kd] int8
+        s_rows = pqt.scales[tokens].astype(jnp.float32)   # [..., G]
+        b_rows = pqt.biases[tokens].astype(jnp.float32)
     if bits == 4:
         b = rows.astype(jnp.int32)
         codes = jnp.concatenate([(b & 15) - 8, ((b >> 4) & 15) - 8], axis=-1)
     else:
         codes = rows.astype(jnp.int32)
-    s_rows = pqt.scales[tokens].astype(jnp.float32)   # [..., G]
-    b_rows = pqt.biases[tokens].astype(jnp.float32)
     grp = jnp.asarray(np.arange(K) // gs, jnp.int32)
     w = (codes.astype(jnp.float32) * jnp.take(s_rows, grp, axis=-1)
          + jnp.take(b_rows, grp, axis=-1))
@@ -509,6 +618,273 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
     return out.astype(out_dtype)
 
 
+# ------------------- transposed-panel M=1 P-kernel (_qmm_pt) ----------------
+#
+# The row-major P-kernel is COMPUTE-bound at M=1: its per-panel matmul
+# [TN, Kc] @ [Kc, G-pad-128] pays 128 output lanes for ~20-76 useful groups
+# (0.85us vs the 0.8us DMA), and the 4-bit nibble unpack adds an int32
+# VPU round-trip on top — measured 422-440 GB/s vs the w8 kernel's 849.
+# This kernel flips the matmul: weights are stored as pre-transposed
+# CONTIGUOUS panels [Kd, TN] (to_panels_t), so the group matmul becomes
+# [G2p, Kc] @ [Kc, TN] — output lanes = the full 512-row tile, sublane
+# padding only to 32 (3-6x less MXU work) — and the DMA pattern is
+# unchanged. Everything stays standard-orientation (lhs lanes x rhs
+# sublanes; the round-3 Mosaic-stall rule).
+
+def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
+               K: int, G2p: int, TN: int, NCH: int, act_ik: bool,
+               unpack_i8: bool = False):
+    Kc = K // 2 if bits == 4 else K
+    idx = 0
+    if bits == 4:
+        x_lo, x_hi = refs[0], refs[1]          # [1, Kc] (raw bf16 if act_ik)
+        idx = 2
+    else:
+        cx = refs[0]                           # [1, K] quantized (XLA-side)
+        idx = 1
+    if not act_ik:
+        xg = refs[idx]                         # [1, Gs] raw-x group sums
+        rm = refs[idx + 1]                     # [1, 1] activation scale
+        idx += 2
+    scales_t = refs[idx]
+    biases_t = refs[idx + 1]
+    data = refs[idx + 2]
+    out_ref = refs[idx + 3]
+    scratch = list(refs[idx + 4:])
+    dbuf = scratch.pop(0)
+    sems = scratch.pop(0)
+    if stream_sb:
+        sbuf = scratch.pop(0)
+        bbuf = scratch.pop(0)
+        sbsems = scratch.pop(0)
+    mxu_dt = jnp.int8 if int8_mxu else jnp.bfloat16
+
+    # ---- prologue: blockdiag^T halves + raw-x group sums -------------------
+    # sel[g, k] = 1 iff lane k belongs to group row g; both K-halves share
+    # it (global group of k+Kc is k//gs + G/2, i.e. local row k//gs again)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (G2p, Kc), 1) // gs
+    gg = jax.lax.broadcasted_iota(jnp.int32, (G2p, Kc), 0)
+    sel = kk == gg
+    rm_val = None
+    if bits == 4:
+        xga_s, xgb_s = scratch.pop(0), scratch.pop(0)
+        if act_ik:
+            xlf = x_lo[:].astype(jnp.float32)              # [1, Kc]
+            xhf = x_hi[:].astype(jnp.float32)
+            if int8_mxu:
+                mx = jnp.maximum(
+                    jnp.max(jnp.abs(xlf), axis=1, keepdims=True),
+                    jnp.max(jnp.abs(xhf), axis=1, keepdims=True))  # [1, 1]
+                sxm = mx[0, 0] / 127.0 + 1e-12
+                cxl, cxh = jnp.round(xlf / sxm), jnp.round(xhf / sxm)
+                rm_val = sxm
+            else:
+                cxl, cxh = xlf, xhf
+                rm_val = jnp.float32(1.0)
+        else:
+            cxl = x_lo[:].astype(jnp.float32)
+            cxh = x_hi[:].astype(jnp.float32)
+        xga_s[...] = (jnp.where(sel, jnp.broadcast_to(cxl, (G2p, Kc)), 0.0)
+                      .astype(jnp.int32).astype(mxu_dt) if int8_mxu else
+                      jnp.where(sel, jnp.broadcast_to(cxl, (G2p, Kc)), 0.0)
+                      .astype(mxu_dt))
+        xgb_s[...] = (jnp.where(sel, jnp.broadcast_to(cxh, (G2p, Kc)), 0.0)
+                      .astype(jnp.int32).astype(mxu_dt) if int8_mxu else
+                      jnp.where(sel, jnp.broadcast_to(cxh, (G2p, Kc)), 0.0)
+                      .astype(mxu_dt))
+        if act_ik:
+            # raw-x group sums as ONE [1, 2*G2p] row: xl @ selL + xh @ selH
+            # (selL hits columns 0..G2p-1, selH the G2p-offset block)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (Kc, 2 * G2p), 1)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (Kc, 2 * G2p), 0) // gs
+            selL = (cc == rr).astype(jnp.bfloat16)
+            selH = (cc == rr + G2p).astype(jnp.bfloat16)
+            xg_val = (jax.lax.dot_general(
+                xlf.astype(jnp.bfloat16), selL, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    xhf.astype(jnp.bfloat16), selH, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))   # [1, 2*G2p]
+        else:
+            xg_val = xg[:].astype(jnp.float32)
+            rm_val = rm[0, 0]
+    else:
+        xq_s = scratch.pop(0)
+        cxv = cx[:]
+        if int8_mxu:
+            xq_s[...] = (jnp.where(sel, jnp.broadcast_to(
+                cxv.astype(jnp.int32), (G2p, Kc)), 0).astype(jnp.int8))
+        else:
+            xq_s[...] = jnp.where(sel, jnp.broadcast_to(
+                cxv.astype(jnp.float32), (G2p, Kc)), 0.0).astype(mxu_dt)
+        xg_val = xg[:].astype(jnp.float32)
+        rm_val = rm[0, 0]
+    xg_bf = xg_val.astype(jnp.bfloat16)
+
+    def dma(slot, i):
+        ops = [pltpu.make_async_copy(data.at[i], dbuf.at[slot],
+                                     sems.at[slot])]
+        if stream_sb:
+            ops.append(pltpu.make_async_copy(
+                scales_t.at[i], sbuf.at[slot], sbsems.at[slot, 0]))
+            ops.append(pltpu.make_async_copy(
+                biases_t.at[i], bbuf.at[slot], sbsems.at[slot, 1]))
+        return ops
+
+    for j in range(min(_NBUF - 1, NCH)):
+        for op in dma(j, j):
+            op.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, _NBUF)
+
+        @pl.when(i + _NBUF - 1 < NCH)
+        def _():
+            for op in dma(jax.lax.rem(i + _NBUF - 1, _NBUF), i + _NBUF - 1):
+                op.start()
+
+        for op in dma(slot, i):
+            op.wait()
+        blk = dbuf[slot]                                   # [Kd, TN] int8
+        pan_s = (sbuf[slot] if stream_sb else scales_t[i]) # [Gs, TN] bf16
+        pan_b = bbuf[slot] if stream_sb else biases_t[i]
+        if bits == 4:
+            # nibble planes: lo = w columns 0..Kc-1, hi = Kc..K-1 (codes
+            # stored +8 unsigned; the -8 is folded into biases_t)
+            if unpack_i8:
+                # int8-native bitwise (4x denser vregs than the int32
+                # round-trip; legality probed on-device — Mosaic bans int8
+                # ARITH, shifts/ands are a separate path)
+                A = blk & jnp.int8(15)
+                B = (blk >> 4) & jnp.int8(15)
+                if not int8_mxu:
+                    A = A.astype(mxu_dt)
+                    B = B.astype(mxu_dt)
+            else:
+                b32 = blk.astype(jnp.int32)
+                A = (b32 & 15).astype(mxu_dt)
+                B = ((b32 >> 4) & 15).astype(mxu_dt)
+            acc_dt = jnp.int32 if int8_mxu else jnp.float32
+            P_A = jax.lax.dot_general(xga_s[:], A, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=acc_dt)
+            P_B = jax.lax.dot_general(xgb_s[:], B, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=acc_dt)
+            SP = (pan_s[:G2p].astype(jnp.float32) * P_A.astype(jnp.float32)
+                  + pan_s[G2p:].astype(jnp.float32) * P_B.astype(jnp.float32))
+        else:
+            acc_dt = jnp.int32 if int8_mxu else jnp.float32
+            rhs = blk if int8_mxu else blk.astype(jnp.bfloat16)
+            P = jax.lax.dot_general(xq_s[:], rhs, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=acc_dt)
+            SP = pan_s[:].astype(jnp.float32) * P.astype(jnp.float32)
+        ones = jnp.ones((1, SP.shape[0]), jnp.float32)
+        o = jax.lax.dot_general(ones, SP, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * rm_val
+        ob = jax.lax.dot_general(xg_bf, pan_b, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        out_ref[:, pl.ds(i * TN, TN)] = o + ob
+        return ()
+
+    jax.lax.fori_loop(0, NCH, body, ())
+
+
+def _qmm_pt(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
+            g2p: int, out_dtype):
+    """M=1 decode matmul over transposed panels: x [1, K] @ W^T -> [1, N].
+    data [NCH, Kd, TN] / scales / biases from to_panels_t."""
+    NCH, Kd, TN = data.shape
+    N = NCH * TN
+    Gs = scales.shape[1]
+    act_ik = _ACT_IN_KERNEL and bits == 4
+    stream_sb = N > _SB_VMEM_MAX_N
+    mxu_dt = jnp.int8 if act8 else jnp.bfloat16
+
+    ops, in_specs = [], []
+
+    def add(arr, space=pltpu.VMEM):
+        ops.append(arr)
+        in_specs.append(pl.BlockSpec(memory_space=space))
+
+    if bits == 4:
+        Kc = K // 2
+        xb = x.astype(jnp.bfloat16)
+        if act_ik:
+            add(xb[:, :Kc])
+            add(xb[:, Kc:])
+        else:
+            xf = x.astype(jnp.float32)
+            if act8:
+                s_x = jnp.max(jnp.abs(xf)) / 127.0 + 1e-12
+                cxq = jnp.round(xf / s_x)
+            else:
+                s_x = jnp.float32(1.0)
+                cxq = xf
+            add(cxq[:, :Kc].astype(jnp.bfloat16))
+            add(cxq[:, Kc:].astype(jnp.bfloat16))
+    else:
+        xf = x.astype(jnp.float32)
+        if act8:
+            s_x = jnp.max(jnp.abs(xf)) / 127.0 + 1e-12
+            add(jnp.round(xf / s_x).astype(jnp.int8))
+        else:
+            s_x = jnp.float32(1.0)
+            add(x.astype(jnp.bfloat16))
+    if not act_ik:
+        # raw-x group sums, laid out to match the scales/biases panel rows
+        G = K // gs
+        xg = jnp.sum(x.astype(jnp.float32).reshape(1, G, gs), -1)
+        if bits == 4:
+            G2 = G // 2
+            pad = ((0, 0), (0, g2p - G2))
+            xg = jnp.concatenate([jnp.pad(xg[:, :G2], pad),
+                                  jnp.pad(xg[:, G2:], pad)], axis=1)
+        else:
+            xg = jnp.pad(xg, ((0, 0), (0, Gs - G)))
+        add(xg.astype(jnp.bfloat16))
+        add(jnp.full((1, 1), s_x, jnp.float32))
+    sb_space = pl.ANY if stream_sb else pltpu.VMEM
+    add(scales, sb_space)
+    add(biases, sb_space)
+    add(data, pl.ANY)
+
+    scratch = [pltpu.VMEM((_NBUF, Kd, TN), jnp.int8),
+               pltpu.SemaphoreType.DMA((_NBUF,))]
+    if stream_sb:
+        scratch += [pltpu.VMEM((_NBUF, Gs, TN), jnp.bfloat16),
+                    pltpu.VMEM((_NBUF, Gs, TN), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((_NBUF, 2))]
+    if bits == 4:
+        scratch += [pltpu.VMEM((g2p, K // 2), mxu_dt)] * 2
+    else:
+        scratch += [pltpu.VMEM((Gs, K), mxu_dt)]
+
+    kern = functools.partial(
+        _pt_kernel, bits=bits, int8_mxu=act8, stream_sb=stream_sb, gs=gs,
+        K=K, G2p=g2p, TN=TN, NCH=NCH, act_ik=act_ik,
+        unpack_i8=os.environ.get("OMINIX_QMM_UNPACK_I8", "0") == "1")
+    out = pl.pallas_call(
+        kern,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K * Gs // (2 if bits == 4 else 1),
+            bytes_accessed=NCH * Kd * TN + N * 4, transcendentals=0),
+    )(*ops)
+    return out.astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gs", "K", "bits", "act8", "g2p",
+                                    "out_dtype"))
+def _qmm_pt_jit(x, data, scales, biases, gs, K, bits, act8, g2p, out_dtype):
+    return _qmm_pt(x, data, scales, biases, gs, K, bits, act8, g2p,
+                   out_dtype)
+
+
 # -------------------------- dq kernel (batched decode, M > 1) ---------------
 #
 # The P-kernel's MXU work scales with G*M output lanes, so it loses to bf16
@@ -783,6 +1159,20 @@ def quantized_matmul(x: jax.Array, w) -> jax.Array:
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    if isinstance(w, PackedQuantizedTensor) and w.tn:
+        # transposed-panel layout (to_panels_t): M=1 decode rides _qmm_pt;
+        # anything else (prefill, speculative M>1, CPU) reconstructs the
+        # row-major view and goes dense — XLA fuses the re-tiling transpose
+        # into the dequant chain.
+        N_out = w.data.shape[0] * w.tn - w.n_pad
+        if M == 1 and jax.default_backend() == "tpu":
+            y = _qmm_pt_jit(x2, w.data, w.scales, w.biases, w.group_size,
+                            K, w.bits, w.act_bits == 8, w.g2p, x.dtype)
+        else:
+            wd = dequantize(unpack(w), jnp.bfloat16)
+            y = jnp.dot(x2.astype(jnp.bfloat16), wd.T,
+                        preferred_element_type=x.dtype)
+        return y[:, :N_out].reshape(*lead, N_out)
     if isinstance(w, PackedQuantizedTensor) and supported(w):
         N = w.data.shape[0]
         p_ok = _p_shape_ok(N, K, w.group_size)

@@ -295,3 +295,63 @@ def test_channel_embedding_gather():
     got = embedding(cq, toks).astype(jnp.float32)
     want = w[jnp.asarray([1, 5, 63])][None]
     assert float(jnp.max(jnp.abs(got - want))) < 0.01
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_panels_t_roundtrip_gather_matmul(bits):
+    """Transposed-panel decode layout (to_panels_t): codes round-trip
+    exactly, scales/biases within the bf16 fold error, gather_rows and the
+    dense-fallback matmul match the row-major layout."""
+    rng = np.random.default_rng(0)
+    N, K = 1536, 2560
+    w = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32))
+    pq = qm.prepare(quantize_tensor(w, 64, bits), act_bits=8)
+    pt = qm.to_panels_t(pq)
+    assert pt.tn and pt.shape == pq.shape
+    u0, u1 = qm.unpack(pq), qm.unpack(pt)
+    assert int(jnp.max(jnp.abs(u0.q.astype(jnp.int32)
+                               - u1.q.astype(jnp.int32)))) == 0
+    assert float(jnp.max(jnp.abs(
+        u0.scales.astype(jnp.float32) - u1.scales.astype(jnp.float32)))) \
+        < 1e-6
+    # bits=4 folds b - 8s through bf16: one-ulp error at |b|~8s is expected
+    assert float(jnp.max(jnp.abs(
+        u0.biases.astype(jnp.float32) - u1.biases.astype(jnp.float32)))) \
+        < 0.05
+    toks = jnp.asarray(rng.integers(0, N, (7,)), jnp.int32)
+    g0 = qm.gather_rows(pq, toks).astype(jnp.float32)
+    g1 = qm.gather_rows(pt, toks).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(g0 - g1))
+                 / (jnp.max(jnp.abs(g0)) + 1e-9)) < 0.02
+    for M in (1, 4):
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        y0 = qm.quantized_matmul(x, pq).astype(jnp.float32)
+        y1 = qm.quantized_matmul(x, pt).astype(jnp.float32)
+        rel = float(jnp.max(jnp.abs(y0 - y1)) / (jnp.max(jnp.abs(y0)) + 1e-9))
+        assert rel < 0.05, (bits, M, rel)
+
+
+def test_transpose_packed_params_walks_tree():
+    """fuse_layer_projections re-tiles group-quantized trees into the
+    transposed-panel layout; model forward still matches the dense model."""
+    cfg = TransformerConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64)
+    dense = base.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qp = base.quantize_params(dict(dense), group_size=64, bits=4,
+                              consume=False)
+    qp = base.fuse_layer_projections(qp)
+    densef = base.fuse_layer_projections(dense)
+    tiled = [w for w in jax.tree.leaves(
+        qp, is_leaf=lambda x: isinstance(x, qm.PackedQuantizedTensor))
+        if isinstance(x := w, qm.PackedQuantizedTensor) and x.tn]
+    assert tiled, "no tensor was re-tiled by fuse_layer_projections"
+    toks = jnp.arange(8)[None]
+    lq, _ = base.forward(qp, cfg, toks, base.init_cache(cfg, 1, 16,
+                                                        jnp.bfloat16))
+    ld, _ = base.forward(densef, cfg, toks, base.init_cache(cfg, 1, 16,
+                                                            jnp.bfloat16))
+    rel = float(jnp.linalg.norm(lq.astype(jnp.float32)
+                                - ld.astype(jnp.float32))
+                / jnp.linalg.norm(ld.astype(jnp.float32)))
+    assert rel < 0.2, rel
