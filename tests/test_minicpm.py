@@ -196,3 +196,26 @@ def test_chunked_prefill_matches_whole_prefill():
     lg_c, _ = mc.forward(params, CFG, jnp.asarray([[2]]), cache_c)
     np.testing.assert_allclose(np.asarray(lg_c), np.asarray(lg_w),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_needle_accuracy_eval_small():
+    """The needle-retrieval eval (benchmarks/longcontext_bench.py --needle;
+    reference: minicpm-sala-mlx/examples/needle_test.rs): at a size where
+    the sparse path really prunes (middle region >> topk*ks coverage is
+    not guaranteed — the needle must WIN the compressed-score top-k),
+    sparse retrieval accuracy matches dense."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "longcontext_bench",
+        os.path.join(os.path.dirname(__file__), os.pardir, "benchmarks",
+                     "longcontext_bench.py"))
+    lb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lb)
+    scfg = SparseConfig(kernel_size=16, block_size=16, init_blocks=1,
+                        window_size=128, topk=4)
+    sa, da, rel = lb.needle_accuracy(4096, trials=8, scfg=scfg, Hkv=2,
+                                     H=4, D=32, dtype=jnp.float32)
+    assert da > 0.9, da            # dense must retrieve (sanity)
+    assert sa >= da, (sa, da)      # sparse >= dense (VERDICT r3 item 6)
