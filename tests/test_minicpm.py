@@ -219,3 +219,49 @@ def test_needle_accuracy_eval_small():
                                      H=4, D=32, dtype=jnp.float32)
     assert da > 0.9, da            # dense must retrieve (sanity)
     assert sa >= da, (sa, da)      # sparse >= dense (VERDICT r3 item 6)
+
+
+def test_gla_numpy_golden_recurrence():
+    """Hand-derived float64 numpy golden for the lightning/GLA mixer math
+    (VERDICT r3 item 7): the ALiBi slopes are HARDCODED from the published
+    formula (not computed via alibi_slopes) and the recurrence
+        S_t = exp(-slope_h) * S_{t-1} + k_t^T v_t;   o_t = q_t @ S_t
+    is written token-by-token, independent of decay_tensors — a decay-mask
+    sign/off-by-one error in the chunked form would pass the
+    chunked==recurrent self-consistency test but fail here.
+    Reference math: minicpm-sala-mlx/src/attention/lightning.rs:449-575."""
+    H = 4
+    # ALiBi for n=4: start = 2^(-2^-(log2(4)-3)) = 2^-2; ratio = start
+    hard = np.array([0.25, 0.0625, 0.015625, 0.00390625])
+    np.testing.assert_allclose(np.asarray(gla.alibi_slopes(H)), -hard,
+                               rtol=1e-7)
+    B, L, D = 2, 13, 8
+    rng = np.random.default_rng(42)
+    q64, k64, v64 = (rng.standard_normal((B, H, L, D)) for _ in range(3))
+    lam = np.exp(-hard)                                   # per-head decay
+    S = np.zeros((B, H, D, D))
+    golden = np.zeros((B, H, L, D))
+    for t in range(L):
+        S = S * lam[None, :, None, None] + np.einsum(
+            "bhd,bhe->bhde", k64[:, :, t], v64[:, :, t])
+        golden[:, :, t] = np.einsum("bhd,bhde->bhe", q64[:, :, t], S)
+
+    qj, kj, vj = (jnp.asarray(x, jnp.float32) for x in (q64, k64, v64))
+    slopes = gla.alibi_slopes(H)
+
+    # chunked prefill with a PARTIAL final chunk (13 % 4 = 1)
+    out_c, st_c = gla.gla_chunked(qj, kj, vj, slopes,
+                                  gla.GLACache.init(B, H, D), chunk=4)
+    np.testing.assert_allclose(np.asarray(out_c), golden, rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_c.state), S, rtol=2e-4,
+                               atol=2e-4)
+
+    # decode-step recurrence
+    c = gla.GLACache.init(B, H, D)
+    for t in range(L):
+        o, c = gla.gla_decode_step(qj[:, :, t:t + 1], kj[:, :, t:t + 1],
+                                   vj[:, :, t:t + 1], slopes, c)
+        np.testing.assert_allclose(np.asarray(o[:, :, 0]), golden[:, :, t],
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c.state), S, rtol=2e-4, atol=2e-4)
