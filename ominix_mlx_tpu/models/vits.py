@@ -538,6 +538,111 @@ def _tc(w) -> jax.Array:
     return jnp.transpose(jnp.asarray(w), (0, 2, 1))
 
 
+def flat_from_params(params: dict, cfg: VITSConfig) -> dict:
+    """Inverse of params_from_flat: emit the published GPT-SoVITS v2 s2
+    tensor names (the loader names in reference gpt-sovits-mlx/src/models/
+    vits.rs:2400+). Feeds utils/onnx_export.export_vits_onnx and the
+    synthetic name-map round-trip tests; weight-norm is emitted pre-folded
+    (plain .weight — fold_weight_norm passes it through)."""
+    import numpy as np
+
+    out = {}
+
+    def _ct(w):                     # our [out, k, in] -> torch [out, in, k]
+        return np.asarray(w).transpose(0, 2, 1)
+
+    def conv(name, p):
+        out[f"{name}.weight"] = _ct(p["w"])
+        if "b" in p:
+            out[f"{name}.bias"] = np.asarray(p["b"])
+
+    def lin(name, p):
+        out[f"{name}.weight"] = np.asarray(p["w"])
+        if "b" in p:
+            out[f"{name}.bias"] = np.asarray(p["b"])
+
+    def norm(name, p):
+        out[f"{name}.gamma"] = np.asarray(p["w"])
+        out[f"{name}.beta"] = np.asarray(p["b"])
+
+    def enc(name, ep):
+        for i, lp in enumerate(ep["layers"]):
+            ap = lp["attn"]
+            for nm, key in (("conv_q", "q"), ("conv_k", "k"),
+                            ("conv_v", "v"), ("conv_o", "o")):
+                w = ap[f"{key}_w"]
+                out[f"{name}.attn_layers.{i}.{nm}.weight"] = _ct(w)
+                # init_params draws bias-free attention convs; the torch
+                # checkpoint always has biases — emit zeros in that case
+                b = ap.get(f"{key}_b")
+                out[f"{name}.attn_layers.{i}.{nm}.bias"] = (
+                    np.asarray(b) if b is not None
+                    else np.zeros((np.asarray(w).shape[0],), np.float32))
+            for rel in ("emb_rel_k", "emb_rel_v"):
+                if rel in ap:
+                    out[f"{name}.attn_layers.{i}.{rel}"] = np.asarray(ap[rel])
+            norm(f"{name}.norm_layers_1.{i}", lp["norm1"])
+            conv(f"{name}.ffn_layers.{i}.conv_1", lp["ffn1"])
+            conv(f"{name}.ffn_layers.{i}.conv_2", lp["ffn2"])
+            norm(f"{name}.norm_layers_2.{i}", lp["norm2"])
+
+    def wn(name, p):
+        conv(f"{name}.cond_layer", p["cond"])
+        for i, ip in enumerate(p["in"]):
+            conv(f"{name}.in_layers.{i}", ip)
+        for i, rp in enumerate(p["res_skip"]):
+            conv(f"{name}.res_skip_layers.{i}", rp)
+
+    for fi, fp in enumerate(params["flow"]["flows"]):
+        conv(f"flow.flows.{2 * fi}.pre", fp["pre"])
+        wn(f"flow.flows.{2 * fi}.enc", fp["wn"])
+        conv(f"flow.flows.{2 * fi}.post", fp["post"])
+
+    dec = params["dec"]
+    conv("dec.conv_pre", dec["conv_pre"])
+    conv("dec.cond", dec["cond"])
+    for i, up in enumerate(dec["ups"]):
+        conv(f"dec.ups.{i}", up)
+    for i, rb in enumerate(dec["resblocks"]):
+        for j, cp in enumerate(rb["convs1"]):
+            conv(f"dec.resblocks.{i}.convs1.{j}", cp)
+        for j, cp in enumerate(rb["convs2"]):
+            conv(f"dec.resblocks.{i}.convs2.{j}", cp)
+    conv("dec.conv_post", dec["conv_post"])
+
+    ep = params["enc_p"]
+    conv("enc_p.ssl_proj", ep["ssl_proj"])
+    enc("enc_p.encoder_ssl", ep["encoder_ssl"])
+    out["enc_p.text_embedding.weight"] = np.asarray(ep["text_embedding"])
+    enc("enc_p.encoder_text", ep["encoder_text"])
+    conv("enc_p.mrte.c_pre", ep["mrte"]["c_pre"])
+    conv("enc_p.mrte.text_pre", ep["mrte"]["text_pre"])
+    conv("enc_p.mrte.c_post", ep["mrte"]["c_post"])
+    # no torch name for ge_proj: the reference MRTE adds the style vector
+    # unprojected (vits.rs:895-923) — only configs with gin==hidden round-trip
+    enc("enc_p.encoder2", ep["encoder2"])
+    conv("enc_p.proj", ep["proj"])
+
+    re = params["ref_enc"]
+    lin("ref_enc.spectral.0", re["spectral1"])
+    lin("ref_enc.spectral.3", re["spectral2"])
+    conv("ref_enc.temporal.0.conv", re["temporal1"])
+    conv("ref_enc.temporal.1.conv", re["temporal2"])
+    lin("ref_enc.slf_attn.w_qs", re["attn"]["q"])
+    lin("ref_enc.slf_attn.w_ks", re["attn"]["k"])
+    lin("ref_enc.slf_attn.w_vs", re["attn"]["v"])
+    lin("ref_enc.slf_attn.fc", re["attn"]["o"])
+    lin("ref_enc.fc", re["fc"])
+
+    out["quantizer.vq.layers.0._codebook.embed"] = np.asarray(
+        params["quantizer"]["codebook"])[None]
+    if "enc_q" in params:
+        conv("enc_q.pre", params["enc_q"]["pre"])
+        wn("enc_q.enc", params["enc_q"]["wn"])
+        conv("enc_q.proj", params["enc_q"]["proj"])
+    return out
+
+
 def params_from_flat(flat: dict, cfg: VITSConfig) -> dict:
     """Map a GPT-SoVITS v2 s2 checkpoint (torch names, weight-norm folded)
     onto the pytree init_params() produces. Uses the public module names

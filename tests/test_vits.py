@@ -108,3 +108,52 @@ def test_voice_cloner_full_stack():
     assert wav.ndim == 1 and wav.shape[0] % (2 * hop) == 0
     if wav.shape[0]:
         assert np.isfinite(wav).all()
+
+
+def test_onnx_initializer_roundtrip_bitexact(tmp_path):
+    """save_onnx_initializers -> load_onnx_initializers is bit-exact for
+    every dtype the importer maps (VERDICT r3 item 8)."""
+    from ominix_mlx_tpu.utils.onnx_export import save_onnx_initializers
+    from ominix_mlx_tpu.utils.onnx_import import load_onnx_initializers
+
+    rng = np.random.default_rng(0)
+    named = {
+        "a.weight": rng.standard_normal((3, 5, 7)).astype(np.float32),
+        "b.bias": rng.standard_normal((11,)).astype(np.float64),
+        "c.idx": rng.integers(-4, 4, (2, 6)).astype(np.int64),
+        "d.half": rng.standard_normal((4, 4)).astype(np.float16),
+        "e.scalar1d": np.asarray([2.5], np.float32),
+    }
+    path = str(tmp_path / "w.onnx")
+    save_onnx_initializers(named, path)
+    got = load_onnx_initializers(path)
+    assert set(got) == set(named)
+    for k, v in named.items():
+        assert got[k].dtype == v.dtype and got[k].shape == v.shape, k
+        np.testing.assert_array_equal(got[k], v, err_msg=k)
+
+
+@pytest.mark.slow
+def test_vits_onnx_export_import_forward_parity(tmp_path):
+    """export_vits_onnx emits the published GPT-SoVITS tensor names;
+    load_vits_from_onnx must invert it (name-for-name exercise of the
+    checkpoint map, reference examples/export_vits_onnx.rs) and the
+    re-imported params must synthesize the identical waveform."""
+    from ominix_mlx_tpu.utils.onnx_export import export_vits_onnx
+    from ominix_mlx_tpu.utils.onnx_import import load_vits_from_onnx
+
+    import dataclasses
+    cfg = dataclasses.replace(SMALL, gin_channels=SMALL.hidden_channels)
+    p0 = vits.init_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "vits.onnx")
+    n = export_vits_onnx(p0, cfg, path)
+    assert n > 100, n
+    p1 = load_vits_from_onnx(path, cfg)
+
+    codes = jnp.asarray([[3, 17, 5, 60, 2, 9]], jnp.int32)
+    text = jnp.asarray([[1, 4, 9, 2, 7]], jnp.int32)
+    spec = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, 20, cfg.spec_channels))
+    w0 = np.asarray(vits.sovits_decode(p0, cfg, codes, text, spec))
+    w1 = np.asarray(vits.sovits_decode(p1, cfg, codes, text, spec))
+    np.testing.assert_allclose(w1, w0, rtol=1e-5, atol=1e-5)
