@@ -45,7 +45,13 @@ def list_models() -> List[dict]:
 
 
 def download_model(repo_id: str, revision: Optional[str] = None) -> str:
-    """Pull a checkpoint from the HF Hub into the models dir."""
+    """Pull a checkpoint into the models dir.
+
+    ``repo_id`` is either an HF Hub repo id (goes through huggingface_hub —
+    needs egress) or a direct ``http(s)://...tar[.gz]`` archive URL (plain
+    urllib — works against any mirror/artifact store, testable offline)."""
+    if repo_id.startswith(("http://", "https://")):
+        return _download_archive(repo_id)
     target = model_path(repo_id)
     if os.path.exists(os.path.join(target, "config.json")):
         return target
@@ -59,6 +65,60 @@ def download_model(repo_id: str, revision: Optional[str] = None) -> str:
                       allow_patterns=["*.safetensors", "*.json", "*.txt",
                                       "*.model"])
     return target
+
+
+def _download_archive(url: str, sha256: Optional[str] = None) -> str:
+    """Fetch a .tar/.tar.gz model archive and unpack it into models_dir().
+    Member paths are validated (no absolute paths / parent escapes / links)
+    before extraction; the optional sha256 pins the archive bytes."""
+    import hashlib
+    import tarfile
+    import tempfile
+    import urllib.request
+
+    name = os.path.basename(url.split("?", 1)[0])
+    for suf in (".tar.gz", ".tgz", ".tar"):
+        if name.endswith(suf):
+            name = name[:-len(suf)]
+            break
+    target = model_path(name)
+    if os.path.exists(os.path.join(target, "config.json")):
+        return target
+    with tempfile.NamedTemporaryFile(suffix=".tar", delete=False) as tmp:
+        with urllib.request.urlopen(url, timeout=60) as r:
+            shutil.copyfileobj(r, tmp)
+        tmp_path = tmp.name
+    try:
+        if sha256 is not None:
+            h = hashlib.sha256()
+            with open(tmp_path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            if h.hexdigest() != sha256:
+                raise RuntimeError(f"sha256 mismatch for {url}: "
+                                   f"{h.hexdigest()} != {sha256}")
+        os.makedirs(target, exist_ok=True)
+        with tarfile.open(tmp_path) as tf:
+            for m in tf.getmembers():
+                p = os.path.normpath(m.name)
+                if (p.startswith(("/", "..")) or ".." in p.split(os.sep)
+                        or not (m.isreg() or m.isdir())):
+                    raise RuntimeError(f"unsafe archive member: {m.name}")
+            # strip a single shared top-level directory if present
+            names = [m.name for m in tf.getmembers() if m.isreg()]
+            roots = {n.split("/", 1)[0] for n in names}
+            strip = len(roots) == 1 and all("/" in n for n in names)
+            for m in tf.getmembers():
+                if not m.isreg():
+                    continue
+                rel = m.name.split("/", 1)[1] if strip else m.name
+                dst = os.path.join(target, os.path.normpath(rel))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                with tf.extractfile(m) as src, open(dst, "wb") as out:
+                    shutil.copyfileobj(src, out)
+        return target
+    finally:
+        os.unlink(tmp_path)
 
 
 def delete_model(name: str) -> bool:
