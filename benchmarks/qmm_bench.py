@@ -26,6 +26,7 @@ from ominix_mlx_tpu.ops import quant_matmul as qm
 SHAPES = {
     "gate": (2560, 9728),
     "down": (9728, 2560),
+    "gateup": (2560, 19456),   # fused gate+up (the shape the model runs)
     "qkv": (2560, 6144),
     "o": (4096, 2560),
     "lmhead": (2560, 151936),
@@ -33,50 +34,55 @@ SHAPES = {
 
 
 def make_variant(name, key, K, N, M):
+    """Returns (fn(x, wop), x0, wop, nbytes). The weight is an EXPLICIT jit
+    operand — a closed-over weight is baked into the lowering as a constant
+    (CLAUDE.md hazard: giant compile requests, and XLA may hoist it to VMEM
+    across the timing scan, inflating small shapes past the HBM roofline)."""
     wk, xk = jax.random.split(key)
     w = jax.random.normal(wk, (N, K), jnp.float32) * 0.02
     x0 = jax.random.normal(xk, (M, K), jnp.bfloat16)
+    nbytes = N * K * bits_of(name) // 8 + 2 * N * (K // 64) * 2
     if name == "bf16":
-        wd = w.astype(jnp.bfloat16)
-        fn = lambda x: jnp.dot(x, wd.T, preferred_element_type=jnp.bfloat16)
+        wop = w.astype(jnp.bfloat16)
+        fn = lambda x, wd: jnp.dot(x, wd.T,
+                                   preferred_element_type=jnp.bfloat16)
         nbytes = N * K * 2
     elif name.endswith("dq"):             # batched dq kernel (w4dq/w8dq)
-        bits = 8 if name.startswith("w8") else 4
-        pqt = qm.prepare(quantize_tensor(w, 64, bits), batched=True)
-        fn = lambda x: qm.quantized_matmul(x, pqt)
-        nbytes = N * K * bits // 8 + 2 * N * (K // 64) * 2
+        wop = qm.prepare(quantize_tensor(w, 64, bits_of(name)), batched=True)
+        fn = qm.quantized_matmul
     elif name.endswith("pt"):             # transposed-panel M=1 (w4pt/w8pt)
-        bits = 8 if name.startswith("w8") else 4
-        pqt = qm.to_panels_t(qm.prepare(quantize_tensor(w, 64, bits),
+        wop = qm.to_panels_t(qm.prepare(quantize_tensor(w, 64,
+                                                        bits_of(name)),
                                         act_bits=8))
-        assert pqt.tn, (name, K, N, "to_panels_t declined the shape")
-        fn = lambda x: qm.quantized_matmul(x, pqt)
-        nbytes = N * K * bits // 8 + 2 * N * (K // 64) * 2
+        assert wop.tn, (name, K, N, "to_panels_t declined the shape")
+        fn = qm.quantized_matmul
     else:
-        bits = 8 if name.startswith("w8") else 4
         act = None if name.endswith("a16") else 8
-        pqt = qm.prepare(quantize_tensor(w, 64, bits), act_bits=act)
-        fn = lambda x: qm.quantized_matmul(x, pqt)
-        nbytes = N * K * bits // 8 + 2 * N * (K // 64) * 2
-    return fn, x0, nbytes
+        wop = qm.prepare(quantize_tensor(w, 64, bits_of(name)), act_bits=act)
+        fn = qm.quantized_matmul
+    return fn, x0, wop, nbytes
 
 
-def timed(fn, x0, iters):
-    def run(x, n):
+def bits_of(name):
+    return 8 if name.startswith("w8") else 4
+
+
+def timed(fn, x0, wop, iters):
+    def run(x, w, n):
         def step(x, _):
-            y = fn(x)
+            y = fn(x, w)
             return (x + (jnp.sum(y) * 1e-30).astype(x.dtype), ())
         x, _ = jax.lax.scan(step, x, length=n)
         return jnp.sum(x.astype(jnp.float32))
 
     runs = {}
     for n in (64, 320):
-        r = jax.jit(lambda x: run(x, n))
-        float(r(x0))  # compile + warm
+        r = jax.jit(lambda x, w: run(x, w, n))
+        float(r(x0, wop))  # compile + warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(r(x0))
+            float(r(x0, wop))
             ts.append(time.perf_counter() - t0)
         runs[n] = min(ts)
     return (runs[320] - runs[64]) / (320 - 64)
@@ -99,8 +105,8 @@ def main():
     for sname in args.shapes.split(","):
         K, N = SHAPES[sname]
         for vname in args.variants.split(","):
-            fn, x0, nbytes = make_variant(vname, jax.random.PRNGKey(0),
-                                          K, N, args.m)
+            fn, x0, wop, nbytes = make_variant(vname, jax.random.PRNGKey(0),
+                                               K, N, args.m)
             if args.check and vname != "bf16":
                 import numpy as np
 
@@ -111,11 +117,11 @@ def main():
                 qt = quantize_tensor(w, 64, bits)
                 ref = x0.astype(jnp.float32) @ dequantize(
                     qt, jnp.float32).T
-                got = fn(x0).astype(jnp.float32)
+                got = fn(x0, wop).astype(jnp.float32)
                 err = float(jnp.max(jnp.abs(got - ref))
                             / (jnp.max(jnp.abs(ref)) + 1e-9))
                 print(f"{sname:5s} {vname:6s} rel_err={err:.4f}")
-            t = timed(fn, x0, 320)
+            t = timed(fn, x0, wop, 320)
             print(f"{sname:5s} K={K:5d} N={N:5d} {vname:6s} "
                   f"{t * 1e6:8.1f} us  {nbytes / t / 1e9:7.1f} GB/s",
                   flush=True)
