@@ -102,6 +102,17 @@ def categorize(name):
     return "other"
 
 
+def is_container(name):
+    """Module/control-flow container events whose duration INCLUDES their
+    children (XLA Modules lane 'jit_*' entries, HLO while/conditional
+    wrappers). Summing them double-counts every leaf op, so they are
+    excluded from totals and the rollup (still shown in the top list,
+    tagged)."""
+    low = name.lower()
+    return (low.startswith("jit_") or low.startswith("while")
+            or low.startswith("conditional") or low.startswith("call."))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=32)
@@ -144,19 +155,21 @@ def main():
         agg = by_name[name]
         agg[0] += dur
         agg[1] += 1
-    total = sum(v[0] for v in by_name.values())
-    print(f"\ndevice total: {total / 1e3:.2f} ms "
+    total = sum(v[0] for n, v in by_name.items() if not is_container(n))
+    print(f"\ndevice total (leaf ops): {total / 1e3:.2f} ms "
           f"({total / args.steps:.0f} us/token over {args.steps} steps, "
           f"{len(evs)} events)\n")
     print(f"{'us/tok':>8} {'count':>6}  name")
     rows = sorted(by_name.items(), key=lambda kv: -kv[1][0])
     for name, (dur, cnt) in rows[:args.top]:
-        print(f"{dur / args.steps:8.1f} {cnt:6d}  {name[:100]}")
+        tag = " [container]" if is_container(name) else ""
+        print(f"{dur / args.steps:8.1f} {cnt:6d}  {name[:100]}{tag}")
 
     cats = collections.defaultdict(float)
     for name, (dur, _) in by_name.items():
-        cats[categorize(name)] += dur
-    print("\ncategory rollup (us/token):")
+        if not is_container(name):
+            cats[categorize(name)] += dur
+    print("\ncategory rollup (us/token, leaf ops only):")
     for label, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {label:16s} {dur / args.steps:8.1f}  "
               f"({100 * dur / total:4.1f}%)")
