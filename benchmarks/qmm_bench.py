@@ -50,12 +50,23 @@ def make_variant(name, key, K, N, M):
     elif name.endswith("dq"):             # batched dq kernel (w4dq/w8dq)
         wop = qm.prepare(quantize_tensor(w, 64, bits_of(name)), batched=True)
         fn = qm.quantized_matmul
-    elif name.endswith("pt"):             # transposed-panel M=1 (w4pt/w8pt)
+    elif name.rstrip("0").endswith("pt"):  # transposed-panel M=1
+        # w4pt/w8pt = module default unpack mode; trailing "0" (w4pt0)
+        # forces the int32 unpack round-trip for A/B against the MXU
+        # hi-nibble reconstruction in ONE process (shared tunnel noise).
+        unpack = qm._UNPACK_I8 and not name.endswith("0")
         wop = qm.to_panels_t(qm.prepare(quantize_tensor(w, 64,
                                                         bits_of(name)),
                                         act_bits=8))
         assert wop.tn, (name, K, N, "to_panels_t declined the shape")
-        fn = qm.quantized_matmul
+
+        def fn(x, wd, _u=unpack):
+            old = qm._UNPACK_I8
+            qm._UNPACK_I8 = _u
+            try:
+                return qm.quantized_matmul(x, wd)
+            finally:
+                qm._UNPACK_I8 = old
     else:
         act = None if name.endswith("a16") else 8
         wop = qm.prepare(quantize_tensor(w, 64, bits_of(name)), act_bits=act)
@@ -67,7 +78,11 @@ def bits_of(name):
     return 8 if name.startswith("w8") else 4
 
 
-def timed(fn, x0, wop, iters):
+def timed(fn, x0, wop, loops=(64, 320)):
+    """Difference quotient between two scan lengths. The default (64, 320)
+    gives a ~4ms signal for a 16us kernel — fine when the tunnel RPC time
+    is stable, but swamped on jittery days (measured negative/impossible
+    rates). Use --loops 640,3200 to push the signal over the jitter."""
     def run(x, w, n):
         def step(x, _):
             y = fn(x, w)
@@ -75,8 +90,9 @@ def timed(fn, x0, wop, iters):
         x, _ = jax.lax.scan(step, x, length=n)
         return jnp.sum(x.astype(jnp.float32))
 
+    n_lo, n_hi = loops
     runs = {}
-    for n in (64, 320):
+    for n in (n_lo, n_hi):
         r = jax.jit(lambda x, w: run(x, w, n))
         float(r(x0, wop))  # compile + warm
         ts = []
@@ -85,7 +101,7 @@ def timed(fn, x0, wop, iters):
             float(r(x0, wop))
             ts.append(time.perf_counter() - t0)
         runs[n] = min(ts)
-    return (runs[320] - runs[64]) / (320 - 64)
+    return (runs[n_hi] - runs[n_lo]) / (n_hi - n_lo)
 
 
 def main():
@@ -97,7 +113,10 @@ def main():
                     help="in-kernel activation quantization variant")
     ap.add_argument("--check", action="store_true",
                     help="numeric check vs XLA dequant reference")
+    ap.add_argument("--loops", default="64,320",
+                    help="scan lengths for the difference quotient")
     args = ap.parse_args()
+    loops = tuple(int(v) for v in args.loops.split(","))
     if args.act_ik:
         qm._ACT_IN_KERNEL = True
     print(f"backend={jax.default_backend()} M={args.m} "
@@ -121,7 +140,7 @@ def main():
                 err = float(jnp.max(jnp.abs(got - ref))
                             / (jnp.max(jnp.abs(ref)) + 1e-9))
                 print(f"{sname:5s} {vname:6s} rel_err={err:.4f}")
-            t = timed(fn, x0, wop, 320)
+            t = timed(fn, x0, wop, loops)
             print(f"{sname:5s} K={K:5d} N={N:5d} {vname:6s} "
                   f"{t * 1e6:8.1f} us  {nbytes / t / 1e9:7.1f} GB/s",
                   flush=True)

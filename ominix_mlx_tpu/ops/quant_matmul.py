@@ -277,6 +277,10 @@ _SB_VMEM_MAX_N = 32768   # above this N, scales/biases stream per chunk
 # against the first panel's compute while the 8-bit path was already
 # DMA-bound. Applied to bits==4 only.
 _ACT_IN_KERNEL = True
+# 4-bit pt-kernel: reconstruct the hi-nibble partials on the MXU instead of
+# the per-element int32 unpack round-trip (see _pt_kernel body). Read once
+# here; threaded as a static jit arg so A/B probes can flip it per call.
+_UNPACK_I8 = os.environ.get("OMINIX_QMM_UNPACK_I8", "1") == "1"
 
 
 def _pm_kernel(*refs, bits: int, int8_mxu: bool, m1: bool, split: bool,
@@ -692,6 +696,14 @@ def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
                       .astype(jnp.int32).astype(mxu_dt) if int8_mxu else
                       jnp.where(sel, jnp.broadcast_to(cxh, (G2p, Kc)), 0.0)
                       .astype(mxu_dt))
+        if unpack_i8:
+            # 128 * rowsum(xgb_s): the constant term of the MXU-side
+            # hi-nibble reconstruction (see body). [G2p, 1], broadcast
+            # along lanes against each [G2p, TN] panel product.
+            rsum_b = jnp.sum(
+                xgb_s[:].astype(jnp.int32 if int8_mxu else jnp.float32),
+                axis=1, keepdims=True) * (128 if int8_mxu
+                                          else jnp.float32(128.0))
         if act_ik:
             # raw-x group sums as ONE [1, 2*G2p] row: xl @ selL + xh @ selH
             # (selL hits columns 0..G2p-1, selH the G2p-offset block)
@@ -751,24 +763,44 @@ def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
         if bits == 4:
             # nibble planes: lo = w columns 0..Kc-1, hi = Kc..K-1 (codes
             # stored +8 unsigned; the -8 is folded into biases_t)
+            acc_dt = jnp.int32 if int8_mxu else jnp.float32
             if unpack_i8:
-                # int8-native bitwise (4x denser vregs than the int32
-                # round-trip; legality probed on-device — Mosaic bans int8
-                # ARITH, shifts/ands are a separate path)
-                A = blk & jnp.int8(15)
-                B = (blk >> 4) & jnp.int8(15)
+                # MXU-side hi-nibble reconstruction: Mosaic bans shifts on
+                # i8/i16 vectors (arith.shrsi fails to legalize), so the hi
+                # plane is never materialized. bx = blk XOR 0x80 equals the
+                # unsigned packed byte minus 128 = lo + 16*hi - 128, hence
+                # xgb @ bx = 16*P_B + P_A' - 128*rowsum(xgb): one extra int8
+                # matmul replaces the per-element int32 unpack round-trip
+                # (VPU cost: 2 int8 ops/elem vs ~5 i32 ops at 4x vreg size).
+                bx = blk ^ jnp.int8(-128)
+                A = bx & jnp.int8(15)
                 if not int8_mxu:
                     A = A.astype(mxu_dt)
-                    B = B.astype(mxu_dt)
+                    bx = bx.astype(mxu_dt)
+                P_A = jax.lax.dot_general(
+                    xga_s[:], A, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt)
+                P_A2 = jax.lax.dot_general(
+                    xgb_s[:], A, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt)
+                P_bx = jax.lax.dot_general(
+                    xgb_s[:], bx, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt)
+                num = P_bx - P_A2 + rsum_b  # = 16 * P_B, exactly
+                if int8_mxu:
+                    P_B = jax.lax.shift_right_arithmetic(num, 4)
+                else:
+                    P_B = num * jnp.float32(0.0625)
             else:
                 b32 = blk.astype(jnp.int32)
                 A = (b32 & 15).astype(mxu_dt)
                 B = ((b32 >> 4) & 15).astype(mxu_dt)
-            acc_dt = jnp.int32 if int8_mxu else jnp.float32
-            P_A = jax.lax.dot_general(xga_s[:], A, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=acc_dt)
-            P_B = jax.lax.dot_general(xgb_s[:], B, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=acc_dt)
+                P_A = jax.lax.dot_general(
+                    xga_s[:], A, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt)
+                P_B = jax.lax.dot_general(
+                    xgb_s[:], B, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt)
             SP = (pan_s[:G2p].astype(jnp.float32) * P_A.astype(jnp.float32)
                   + pan_s[G2p:].astype(jnp.float32) * P_B.astype(jnp.float32))
         else:
@@ -789,7 +821,7 @@ def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
 
 
 def _qmm_pt(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
-            g2p: int, out_dtype):
+            g2p: int, out_dtype, unpack_i8: bool = False):
     """M=1 decode matmul over transposed panels: x [1, K] @ W^T -> [1, N].
     data [NCH, Kd, TN] / scales / biases from to_panels_t."""
     NCH, Kd, TN = data.shape
@@ -861,7 +893,7 @@ def _qmm_pt(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
     kern = functools.partial(
         _pt_kernel, bits=bits, int8_mxu=act8, stream_sb=stream_sb, gs=gs,
         K=K, G2p=g2p, TN=TN, NCH=NCH, act_ik=act_ik,
-        unpack_i8=os.environ.get("OMINIX_QMM_UNPACK_I8", "0") == "1")
+        unpack_i8=unpack_i8 and bits == 4)
     out = pl.pallas_call(
         kern,
         in_specs=in_specs,
@@ -879,10 +911,11 @@ def _qmm_pt(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
 
 @functools.partial(jax.jit,
                    static_argnames=("gs", "K", "bits", "act8", "g2p",
-                                    "out_dtype"))
-def _qmm_pt_jit(x, data, scales, biases, gs, K, bits, act8, g2p, out_dtype):
+                                    "out_dtype", "unpack_i8"))
+def _qmm_pt_jit(x, data, scales, biases, gs, K, bits, act8, g2p, out_dtype,
+                unpack_i8=False):
     return _qmm_pt(x, data, scales, biases, gs, K, bits, act8, g2p,
-                   out_dtype)
+                   out_dtype, unpack_i8)
 
 
 # -------------------------- dq kernel (batched decode, M > 1) ---------------
@@ -1167,7 +1200,8 @@ def quantized_matmul(x: jax.Array, w) -> jax.Array:
         N_out = w.data.shape[0] * w.tn - w.n_pad
         if M == 1 and jax.default_backend() == "tpu":
             y = _qmm_pt_jit(x2, w.data, w.scales, w.biases, w.group_size,
-                            K, w.bits, w.act_bits == 8, w.g2p, x.dtype)
+                            K, w.bits, w.act_bits == 8, w.g2p, x.dtype,
+                            unpack_i8=_UNPACK_I8)
         else:
             wd = dequantize(unpack(w), jnp.bfloat16)
             y = jnp.dot(x2.astype(jnp.bfloat16), wd.T,
