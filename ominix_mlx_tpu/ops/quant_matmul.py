@@ -229,9 +229,30 @@ def gather_rows(pqt: PackedQuantizedTensor, tokens: jax.Array) -> jax.Array:
     if pqt.tn:
         # transposed-panel layout: row r lives at data[r // tn, :, r % tn]
         p, l = tokens // pqt.tn, tokens % pqt.tn
-        rows = pqt.data[p, :, l]                 # [..., Kd] int8
-        s_rows = pqt.scales[p, :, l].astype(jnp.float32)
-        b_rows = pqt.biases[p, :, l].astype(jnp.float32)
+        if int(np.prod(tokens.shape)) <= 64:
+            # decode-size lookups: extract the lane with a one-hot
+            # CONTRACTION instead of a lane-axis gather. The gather makes
+            # XLA prefer a Kd-minor layout for the table, which conflicts
+            # with the Pallas matmul's default layout on the SAME (tied)
+            # tensor — measured as a 196MB relayout copy of the whole
+            # lm_head INSIDE the decode scan body (693us/token, 14% of the
+            # step). The one-hot dot is layout-neutral and reads only the
+            # gathered panels (~0.8MB/token).
+            oh = (l[..., None] == jnp.arange(pqt.tn)).astype(jnp.bfloat16)
+            dp = pqt.data[p].astype(jnp.bfloat16)      # [..., Kd, TN]
+            rows = jnp.einsum("...kt,...t->...k", dp, oh,
+                              preferred_element_type=jnp.float32)
+            rows = rows.astype(jnp.int32)              # exact: |codes|<256
+            s_rows = jnp.einsum("...gt,...t->...g",
+                                pqt.scales[p].astype(jnp.float32), oh
+                                .astype(jnp.float32))
+            b_rows = jnp.einsum("...gt,...t->...g",
+                                pqt.biases[p].astype(jnp.float32), oh
+                                .astype(jnp.float32))
+        else:
+            rows = pqt.data[p, :, l]                 # [..., Kd] int8
+            s_rows = pqt.scales[p, :, l].astype(jnp.float32)
+            b_rows = pqt.biases[p, :, l].astype(jnp.float32)
         if bits == 4:
             g2 = G // 2
             s_rows = jnp.concatenate(
