@@ -174,6 +174,15 @@ def to_panels_t(pqt: PackedQuantizedTensor) -> PackedQuantizedTensor:
     Gs = sc.shape[1]
     sc_t = sc.reshape(NCH, TN, Gs).transpose(0, 2, 1)
     bs_t = bs.reshape(NCH, TN, Gs).transpose(0, 2, 1)
+    if bits == 4:
+        # tn-layout invariant: 4-bit bytes are stored PRE-XORed with 0x80
+        # (int8 value = packed byte - 128). The pt kernel's hi-nibble
+        # reconstruction needs bx = byte ^ 0x80 as its matmul operand;
+        # storing bx directly drops the per-element XOR from the kernel's
+        # streamed-data path (2 -> 1 VPU int8 ops/elem, which is the HBM
+        # stream rate). Consumers (_pt_kernel, gather_rows, _from_panels_t)
+        # all decode this form.
+        data_t = data_t ^ jnp.int8(-128)
     return PackedQuantizedTensor(
         data=data_t, scales=sc_t, biases=bs_t, group_size=gs, bits=bits,
         in_features=K, act_bits=pqt.act_bits, g_pad=0, n_pad=pqt.n_pad,
@@ -187,6 +196,8 @@ def _from_panels_t(pqt: PackedQuantizedTensor) -> PackedQuantizedTensor:
     K, gs = pqt.in_features, pqt.group_size
     G = K // gs
     data = pqt.data.transpose(0, 2, 1).reshape(N, Kd)
+    if pqt.bits == 4:
+        data = data ^ jnp.int8(-128)   # undo the tn-layout pre-XOR
     sc = pqt.scales.transpose(0, 2, 1).reshape(N, -1)
     bs = pqt.biases.transpose(0, 2, 1).reshape(N, -1)
     if pqt.bits == 4:
@@ -268,7 +279,10 @@ def gather_rows(pqt: PackedQuantizedTensor, tokens: jax.Array) -> jax.Array:
         b_rows = pqt.biases[tokens].astype(jnp.float32)
     if bits == 4:
         b = rows.astype(jnp.int32)
-        codes = jnp.concatenate([(b & 15) - 8, ((b >> 4) & 15) - 8], axis=-1)
+        hi = (b >> 4) & 15
+        if pqt.tn:
+            hi = hi ^ 8   # tn pre-XOR (byte - 128) flips the hi bit 3
+        codes = jnp.concatenate([(b & 15) - 8, hi - 8], axis=-1)
     else:
         codes = rows.astype(jnp.int32)
     grp = jnp.asarray(np.arange(K) // gs, jnp.int32)
@@ -288,7 +302,7 @@ def gather_rows(pqt: PackedQuantizedTensor, tokens: jax.Array) -> jax.Array:
 # 24.5us / 508 GB/s on the gate shape (vs 35.7us auto, 19us DMA floor).
 # Small operands (scales/biases/Xg) load whole into VMEM once.
 
-_NBUF = 2
+_NBUF = int(os.environ.get("OMINIX_QMM_NBUF", "2"))  # 2 measured best r2
 _SB_VMEM_MAX_N = 32768   # above this N, scales/biases stream per chunk
 # M=1 path: quantize the activation vector inside the kernel prologue
 # (saves the XLA-side abs-max/round/group-sum/Rm ops per projection call).
@@ -788,12 +802,15 @@ def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
             if unpack_i8:
                 # MXU-side hi-nibble reconstruction: Mosaic bans shifts on
                 # i8/i16 vectors (arith.shrsi fails to legalize), so the hi
-                # plane is never materialized. bx = blk XOR 0x80 equals the
+                # plane is never materialized. bx = byte XOR 0x80 equals the
                 # unsigned packed byte minus 128 = lo + 16*hi - 128, hence
                 # xgb @ bx = 16*P_B + P_A' - 128*rowsum(xgb): one extra int8
-                # matmul replaces the per-element int32 unpack round-trip
-                # (VPU cost: 2 int8 ops/elem vs ~5 i32 ops at 4x vreg size).
-                bx = blk ^ jnp.int8(-128)
+                # matmul replaces the per-element int32 unpack round-trip.
+                # The tn layout stores bx PRE-XORed (to_panels_t), so the
+                # streamed panel is the matmul operand as-is and the only
+                # per-element VPU work left is the lo-nibble AND (1 int8
+                # op/elem = the HBM stream rate).
+                bx = blk
                 A = bx & jnp.int8(15)
                 if not int8_mxu:
                     A = A.astype(mxu_dt)
@@ -813,9 +830,11 @@ def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
                 else:
                     P_B = num * jnp.float32(0.0625)
             else:
+                # blk holds byte - 128 (tn pre-XOR): the low nibble is
+                # unaffected; the hi nibble comes back with bit 3 flipped
                 b32 = blk.astype(jnp.int32)
                 A = (b32 & 15).astype(mxu_dt)
-                B = ((b32 >> 4) & 15).astype(mxu_dt)
+                B = (((b32 >> 4) & 15) ^ 8).astype(mxu_dt)
                 P_A = jax.lax.dot_general(
                     xga_s[:], A, (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_dt)
