@@ -145,7 +145,8 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
                     mask: jax.Array, rope: RopeConfig,
                     fresh_prefill: bool = False,
                     kv_limit: Optional[int] = None,
-                    ring_axis: Optional[str] = None):
+                    ring_axis: Optional[str] = None,
+                    in_norm: Optional[tuple] = None):
     """GQA attention with optional QK-RMSNorm and partial RoPE.
 
     x: [B, T, D_model]. Returns ([B, T, D_model], new KVCache).
@@ -159,8 +160,9 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
     B, T, _ = x.shape
     hd = cfg.hd
     if "qkv_proj" in lp:
-        # fused projection: one weight stream instead of three
-        qkv = linear(lp["qkv_proj"], x)
+        # fused projection: one weight stream instead of three; in_norm
+        # rides the kernel prologue at decode (norm-fused qmm)
+        qkv = linear(lp["qkv_proj"], x, norm=in_norm)
         qd = cfg.num_heads * hd
         kvd = cfg.num_kv_heads * hd
         q, k, v = (qkv[..., :qd], qkv[..., qd:qd + kvd], qkv[..., qd + kvd:])
@@ -168,9 +170,12 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
         k = k.reshape(B, T, cfg.num_kv_heads, hd)
         v = v.reshape(B, T, cfg.num_kv_heads, hd)
     else:
-        q = linear(lp["q_proj"], x).reshape(B, T, cfg.num_heads, hd)
-        k = linear(lp["k_proj"], x).reshape(B, T, cfg.num_kv_heads, hd)
-        v = linear(lp["v_proj"], x).reshape(B, T, cfg.num_kv_heads, hd)
+        q = linear(lp["q_proj"], x, norm=in_norm).reshape(
+            B, T, cfg.num_heads, hd)
+        k = linear(lp["k_proj"], x, norm=in_norm).reshape(
+            B, T, cfg.num_kv_heads, hd)
+        v = linear(lp["v_proj"], x, norm=in_norm).reshape(
+            B, T, cfg.num_kv_heads, hd)
     if cfg.use_qk_norm:
         q = rms_norm(lp["q_norm"], q, cfg.rms_norm_eps)
         k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
@@ -232,43 +237,50 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
             out = sdpa(q, cache.k, cache.v, scale=hd ** -0.5, mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.num_heads * hd)
     if "g_proj" in lp:  # gated attention output (Qwen3-Next attention.rs:24)
-        out = out * jax.nn.sigmoid(linear(lp["g_proj"], x))
+        out = out * jax.nn.sigmoid(linear(lp["g_proj"], x, norm=in_norm))
     return linear(lp["o_proj"], out), cache
 
 
-def mlp_block(lp: dict, cfg: TransformerConfig, x: jax.Array) -> jax.Array:
+def mlp_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
+              norm: Optional[tuple] = None) -> jax.Array:
     act = ACTIVATIONS[cfg.hidden_act]
     if "gate_up_proj" in lp:
-        gu = linear(lp["gate_up_proj"], x)
+        gu = linear(lp["gate_up_proj"], x, norm=norm)
         gate, up = jnp.split(gu, 2, axis=-1)
         return linear(lp["down_proj"], act(gate) * up)
     return linear(lp["down_proj"],
-                  act(linear(lp["gate_proj"], x)) * linear(lp["up_proj"], x))
+                  act(linear(lp["gate_proj"], x, norm=norm))
+                  * linear(lp["up_proj"], x, norm=norm))
 
 
 def decoder_layer(lp: dict, cfg: TransformerConfig, x, cache, offset, mask,
                   rope, fresh_prefill: bool = False,
                   kv_limit: Optional[int] = None,
                   ring_axis: Optional[str] = None):
-    h_in = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+    in_norm = (lp["input_layernorm"], cfg.rms_norm_eps)
     if "linear_attn" in lp:                # GatedDeltaNet (Qwen3-Next hybrid)
         from ominix_mlx_tpu.models import deltanet
+        h_in = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
         h, cache = deltanet.block(lp["linear_attn"], cfg.deltanet, h_in, cache)
     elif "kv_a_proj_with_mqa" in lp:       # MLA attention (DeepSeek/GLM-4.7)
         from ominix_mlx_tpu.models import mla
+        h_in = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
         h, cache = mla.attention_block(lp, cfg.mla, h_in, cache, offset, mask)
     else:
-        h, cache = attention_block(lp, cfg, h_in, cache, offset, mask, rope,
-                                   fresh_prefill, kv_limit, ring_axis)
+        # norm threaded into the projections (fused-prologue qmm at decode)
+        h, cache = attention_block(lp, cfg, x, cache, offset, mask, rope,
+                                   fresh_prefill, kv_limit, ring_axis,
+                                   in_norm=in_norm)
     if "post_self_attn_layernorm" in lp:   # GLM4 sandwich norm
         h = rms_norm(lp["post_self_attn_layernorm"], h, cfg.rms_norm_eps)
     x = x + h
-    h2 = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+    post_norm = (lp["post_attention_layernorm"], cfg.rms_norm_eps)
     if "moe" in lp:
         from ominix_mlx_tpu.models.moe import moe_block
+        h2 = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         h2 = moe_block(lp["moe"], cfg.moe, h2)
     else:
-        h2 = mlp_block(lp, cfg, h2)
+        h2 = mlp_block(lp, cfg, x, norm=post_norm)
     if "post_mlp_layernorm" in lp:         # GLM4 sandwich norm
         h2 = rms_norm(lp["post_mlp_layernorm"], h2, cfg.rms_norm_eps)
     return x + h2, cache
@@ -317,13 +329,15 @@ def forward_embeds(params: dict, cfg: TransformerConfig, x: jax.Array,
         x, lc = decoder_layer(lp, cfg, x, lc, cache.offset, mask, rope,
                               fresh_prefill, kv_limit, ring_axis)
         new_layers.append(lc)
-    x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     if skip_logits:
+        x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
         return x, cache.with_layers(new_layers).advance(T)
+    # final norm fused into the lm_head projection at decode
+    f_norm = (params["norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:
-        logits = embedding_as_linear(params["embed"], x)
+        logits = embedding_as_linear(params["embed"], x, norm=f_norm)
     else:
-        logits = linear(params["lm_head"], x)
+        logits = linear(params["lm_head"], x, norm=f_norm)
     if cfg.logits_scale != 1.0:
         logits = logits * cfg.logits_scale
     return logits, cache.with_layers(new_layers).advance(T)

@@ -24,16 +24,26 @@ from ominix_mlx_tpu.ops.quant_matmul import (ChannelQuantizedTensor,
 
 # ---------------------------------------------------------------- linear ----
 
-def linear(params: dict, x: jax.Array) -> jax.Array:
+def linear(params: dict, x: jax.Array, norm: tuple | None = None) -> jax.Array:
     """y = x @ W^T (+ b). params: {"w": [out,in] | QuantizedTensor, "b"?}.
 
     Equivalent of reference nn::Linear / nn::QuantizedLinear (mlx-rs/src/nn/).
-    """
+
+    norm (optional (weight, eps)): rmsnorm x first. Quantized decode paths
+    fuse it into the Pallas kernel prologue (ops/quant_matmul.py); dense and
+    prefill paths apply it inline — identical math to a separate rms_norm
+    call, and XLA CSE merges the repeats when several projections of one
+    layer share the same normed input."""
     w = params["w"]
     if isinstance(w, (QuantizedTensor, PackedQuantizedTensor,
                       ChannelQuantizedTensor)):
-        y = quantized_matmul(x, w)
+        if norm is not None:
+            y = quantized_matmul(x, w, norm_w=norm[0], norm_eps=norm[1])
+        else:
+            y = quantized_matmul(x, w)
     else:
+        if norm is not None:
+            x = rms_norm(norm[0], x, norm[1])
         y = jnp.dot(x, w.T, preferred_element_type=x.dtype)
     b = params.get("b")
     if b is not None:
@@ -110,12 +120,18 @@ def embedding(weight, tokens: jax.Array) -> jax.Array:
     return weight[tokens]
 
 
-def embedding_as_linear(weight, x: jax.Array) -> jax.Array:
+def embedding_as_linear(weight, x: jax.Array,
+                        norm: tuple | None = None) -> jax.Array:
     """Tied lm_head: x @ E^T (reference: embed.as_linear,
-    qwen3-mlx/src/model.rs:478-486)."""
+    qwen3-mlx/src/model.rs:478-486). norm: see ``linear``."""
     if isinstance(weight, (QuantizedTensor, PackedQuantizedTensor,
                            ChannelQuantizedTensor)):
+        if norm is not None:
+            return quantized_matmul(x, weight, norm_w=norm[0],
+                                    norm_eps=norm[1])
         return quantized_matmul(x, weight)
+    if norm is not None:
+        x = rms_norm(norm[0], x, norm[1])
     return jnp.dot(x, weight.T, preferred_element_type=x.dtype)
 
 

@@ -670,14 +670,27 @@ def _qmm_p(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
 # unchanged. Everything stays standard-orientation (lhs lanes x rhs
 # sublanes; the round-3 Mosaic-stall rule).
 
+def _rms_norm_xla(x, w, eps: float):
+    """Same op order as nn.layers.rms_norm (kept local: ops must not import
+    nn). Used when a caller passes norm_w but the fused-prologue path
+    doesn't apply (prefill M>1, CPU, act-quant disabled)."""
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv).astype(x.dtype) * w
+
+
 def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
                K: int, G2p: int, TN: int, NCH: int, act_ik: bool,
-               unpack_i8: bool = False):
+               unpack_i8: bool = False, fuse_norm: bool = False,
+               eps: float = 1e-6):
     Kc = K // 2 if bits == 4 else K
     idx = 0
     if bits == 4:
         x_lo, x_hi = refs[0], refs[1]          # [1, Kc] (raw bf16 if act_ik)
         idx = 2
+        if fuse_norm:
+            nw_lo, nw_hi = refs[2], refs[3]    # rmsnorm weight halves, bf16
+            idx = 4
     else:
         cx = refs[0]                           # [1, K] quantized (XLA-side)
         idx = 1
@@ -706,10 +719,30 @@ def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
     sel = kk == gg
     rm_val = None
     if bits == 4:
-        xga_s, xgb_s = scratch.pop(0), scratch.pop(0)
+        if unpack_i8:
+            # single stacked scratch [2*G2p, Kc]: rows 0..G2p-1 = xga, rows
+            # G2p.. = xgb. The body's lo-plane matmul then computes xga@A
+            # and xgb@A in ONE MXU pass over A (2 rhs streams per panel
+            # instead of 3; lhs rows 2*G2p still fit one 128-row tile for
+            # model K<=8k shapes).
+            xgab_s = scratch.pop(0)
+            xga_s = xgab_s.at[pl.ds(0, G2p)]
+            xgb_s = xgab_s.at[pl.ds(G2p, G2p)]
+        else:
+            xga_s, xgb_s = scratch.pop(0), scratch.pop(0)
         if act_ik:
             xlf = x_lo[:].astype(jnp.float32)              # [1, Kc]
             xhf = x_hi[:].astype(jnp.float32)
+            if fuse_norm:
+                # fused rmsnorm: same op order as nn.layers.rms_norm
+                # ((x*inv).astype(bf16) * w, w bf16) so the fused and
+                # unfused paths round identically
+                inv = jax.lax.rsqrt(
+                    (jnp.sum(xlf * xlf) + jnp.sum(xhf * xhf)) / K + eps)
+                xlf = ((xlf * inv).astype(jnp.bfloat16)
+                       * nw_lo[:]).astype(jnp.float32)
+                xhf = ((xhf * inv).astype(jnp.bfloat16)
+                       * nw_hi[:]).astype(jnp.float32)
             if int8_mxu:
                 mx = jnp.maximum(
                     jnp.max(jnp.abs(xlf), axis=1, keepdims=True),
@@ -815,16 +848,16 @@ def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
                 if not int8_mxu:
                     A = A.astype(mxu_dt)
                     bx = bx.astype(mxu_dt)
-                P_A = jax.lax.dot_general(
-                    xga_s[:], A, (((1,), (0,)), ((), ())),
+                # one stacked pass over A yields xga@A (rows :G2p) and
+                # xgb@A (rows G2p:) — 2 rhs streams per panel, not 3
+                P_AA = jax.lax.dot_general(
+                    xgab_s[:], A, (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_dt)
-                P_A2 = jax.lax.dot_general(
-                    xgb_s[:], A, (((1,), (0,)), ((), ())),
-                    preferred_element_type=acc_dt)
+                P_A = P_AA[:G2p]
                 P_bx = jax.lax.dot_general(
                     xgb_s[:], bx, (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_dt)
-                num = P_bx - P_A2 + rsum_b  # = 16 * P_B, exactly
+                num = P_bx - P_AA[G2p:] + rsum_b  # = 16 * P_B, exactly
                 if int8_mxu:
                     P_B = jax.lax.shift_right_arithmetic(num, 4)
                 else:
@@ -861,13 +894,22 @@ def _pt_kernel(*refs, bits: int, int8_mxu: bool, stream_sb: bool, gs: int,
 
 
 def _qmm_pt(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
-            g2p: int, out_dtype, unpack_i8: bool = False):
+            g2p: int, out_dtype, unpack_i8: bool = False, norm_w=None,
+            norm_eps: float = 1e-6):
     """M=1 decode matmul over transposed panels: x [1, K] @ W^T -> [1, N].
-    data [NCH, Kd, TN] / scales / biases from to_panels_t."""
+    data [NCH, Kd, TN] / scales / biases from to_panels_t.
+
+    norm_w (optional [K] rmsnorm weight): fused into the kernel prologue on
+    the act-in-kernel 4-bit path (saves one XLA fusion launch per
+    projection at decode — ~4us each, 2-3 per layer); other paths apply it
+    XLA-side with identical rounding."""
     NCH, Kd, TN = data.shape
     N = NCH * TN
     Gs = scales.shape[1]
     act_ik = _ACT_IN_KERNEL and bits == 4
+    fuse_norm = norm_w is not None and act_ik
+    if norm_w is not None and not fuse_norm:
+        x = _rms_norm_xla(x, norm_w, norm_eps)
     stream_sb = N > _SB_VMEM_MAX_N
     mxu_dt = jnp.int8 if act8 else jnp.bfloat16
 
@@ -883,6 +925,10 @@ def _qmm_pt(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
         if act_ik:
             add(xb[:, :Kc])
             add(xb[:, Kc:])
+            if fuse_norm:
+                nwb = norm_w.astype(jnp.bfloat16).reshape(1, K)
+                add(nwb[:, :Kc])
+                add(nwb[:, Kc:])
         else:
             xf = x.astype(jnp.float32)
             if act8:
@@ -926,14 +972,19 @@ def _qmm_pt(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
                     pltpu.VMEM((_NBUF, Gs, TN), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA((_NBUF, 2))]
     if bits == 4:
-        scratch += [pltpu.VMEM((g2p, K // 2), mxu_dt)] * 2
+        if unpack_i8:
+            # stacked [xga; xgb] scratch — one lo-plane MXU pass (kernel)
+            scratch += [pltpu.VMEM((2 * g2p, K // 2), mxu_dt)]
+        else:
+            scratch += [pltpu.VMEM((g2p, K // 2), mxu_dt)] * 2
     else:
         scratch += [pltpu.VMEM((Gs, K), mxu_dt)]
 
     kern = functools.partial(
         _pt_kernel, bits=bits, int8_mxu=act8, stream_sb=stream_sb, gs=gs,
         K=K, G2p=g2p, TN=TN, NCH=NCH, act_ik=act_ik,
-        unpack_i8=unpack_i8 and bits == 4)
+        unpack_i8=unpack_i8 and bits == 4, fuse_norm=fuse_norm,
+        eps=norm_eps)
     out = pl.pallas_call(
         kern,
         in_specs=in_specs,
@@ -951,11 +1002,11 @@ def _qmm_pt(x, data, scales, biases, gs: int, K: int, bits: int, act8: bool,
 
 @functools.partial(jax.jit,
                    static_argnames=("gs", "K", "bits", "act8", "g2p",
-                                    "out_dtype", "unpack_i8"))
+                                    "out_dtype", "unpack_i8", "norm_eps"))
 def _qmm_pt_jit(x, data, scales, biases, gs, K, bits, act8, g2p, out_dtype,
-                unpack_i8=False):
+                unpack_i8=False, norm_w=None, norm_eps=1e-6):
     return _qmm_pt(x, data, scales, biases, gs, K, bits, act8, g2p,
-                   out_dtype, unpack_i8)
+                   out_dtype, unpack_i8, norm_w, norm_eps)
 
 
 # -------------------------- dq kernel (batched decode, M > 1) ---------------
@@ -1109,10 +1160,14 @@ def _qmm_dq(x, data, scales, biases, gs: int, K: int, bits: int, out_dtype):
 
 
 def _pick_tn(N: int, Kd: int = 0) -> int:
-    """Panel row count. TN=512 measured best across gate/down/qkv shapes
-    (larger panels regressed small-K shapes; N-padding at prepare() gives
-    huge-N weights a 512-divisible row count)."""
-    TN = 512
+    """Panel row count. Measured (v5e, r4 sweep): TN=512 best for small-N
+    (qkv/o/down — 256 regressed ~20%, per-panel overhead) and for huge-N
+    (lm_head — 1024/2048 regressed 5-10%); TN=1024 wins ~4% on mid-N
+    gateup-class shapes (fewer per-panel fixed costs, panels still small
+    enough not to disturb the VMEM working set). OMINIX_QMM_TN overrides
+    for probes (layout is prepare-time, so set before quantize_params)."""
+    env = os.environ.get("OMINIX_QMM_TN")
+    TN = int(env) if env else (1024 if 8192 <= N <= _SB_VMEM_MAX_N else 512)
     while N % TN:
         TN //= 2
     return TN
@@ -1219,13 +1274,22 @@ def _p_shape_ok(N: int, K: int, gs: int) -> bool:
     return True
 
 
-def quantized_matmul(x: jax.Array, w) -> jax.Array:
+def quantized_matmul(x: jax.Array, w, norm_w=None,
+                     norm_eps: float = 1e-6) -> jax.Array:
     """x [..., K] @ W^T -> [..., N].
 
     w: PackedQuantizedTensor (Pallas paths on TPU) or QuantizedTensor (XLA
     dequant fallback). Decode-size M routes to the fused kernels; prefill
     dequantizes once and uses the dense MXU path.
+
+    norm_w (optional [K]): rmsnorm the activation first — fused into the
+    pt-kernel prologue at M=1 (one fewer XLA launch per projection per
+    decode step), applied XLA-side with identical op order everywhere else.
     """
+    if norm_w is not None and not (isinstance(w, PackedQuantizedTensor)
+                                   and w.tn):
+        x = _rms_norm_xla(x, norm_w, norm_eps)
+        norm_w = None
     if isinstance(w, ChannelQuantizedTensor):
         return channel_matmul(x, w)
     lead = x.shape[:-1]
@@ -1241,7 +1305,13 @@ def quantized_matmul(x: jax.Array, w) -> jax.Array:
         if M == 1 and jax.default_backend() == "tpu":
             y = _qmm_pt_jit(x2, w.data, w.scales, w.biases, w.group_size,
                             K, w.bits, w.act_bits == 8, w.g2p, x.dtype,
-                            unpack_i8=_UNPACK_I8)
+                            unpack_i8=_UNPACK_I8, norm_w=norm_w,
+                            norm_eps=norm_eps)
+        elif norm_w is not None:
+            wd = dequantize(unpack(w), jnp.bfloat16)
+            xn = _rms_norm_xla(x2, norm_w, norm_eps)
+            y = jnp.dot(xn.astype(jnp.bfloat16), wd.T,
+                        preferred_element_type=x.dtype)
         else:
             wd = dequantize(unpack(w), jnp.bfloat16)
             y = jnp.dot(x2.astype(jnp.bfloat16), wd.T,
