@@ -222,9 +222,10 @@ TOTAL_BUDGET_S = 3000
 
 def _tunnel_alive(timeout_s: int = 240) -> bool:
     """One trivial device op in a subprocess. The remote compile service
-    has been observed to wedge INDEFINITELY (even trivial ops hang) after
-    a bad client; in that state every metric would burn its full timeout,
-    so probe once up front and fail fast instead."""
+    has been observed to wedge (even trivial ops hang) after a bad client;
+    in that state every metric would burn its full timeout, so probe up
+    front — but a wedge sometimes RECOVERS (a >5h wedge did), so the
+    caller keeps re-probing rather than failing fast."""
     probe = ("import jax, jax.numpy as jnp; "
              "x = jnp.ones((128, 128), jnp.bfloat16); "
              "print(float(jnp.dot(x, x)[0, 0]))")
@@ -237,18 +238,36 @@ def _tunnel_alive(timeout_s: int = 240) -> bool:
         return False
 
 
+# keep probing a wedged tunnel this long before giving up: wedges have been
+# observed to recover (round-3: >5h wedge recovered); round-4 gave up after
+# 2 probes (~9 min) with its budget unspent and lost every number.
+PROBE_BUDGET_S = 2400
+PROBE_RETRY_SLEEP_S = 180
+
+
 def main():
     """Each metric runs in its own subprocess: model buffers don't free
     reliably within one process (jit static-arg caches pin them). The child
     handles tunnel HBM-release lag itself by poll-retrying its first
     allocation, so the parent never sleeps."""
-    alive = _tunnel_alive() or _tunnel_alive(300)
-    if not alive:
-        for name in METRICS:
-            print(json.dumps({"metric": name,
-                              "error": "device tunnel unresponsive "
-                                       "(trivial op hung 2x)"}), flush=True)
-        return
+    probe_start = time.monotonic()
+    attempt = 0
+    while not _tunnel_alive():
+        attempt += 1
+        waited = time.monotonic() - probe_start
+        print(json.dumps({"metric": "tunnel_probe",
+                          "error": f"probe {attempt} hung "
+                                   f"({int(waited)}s elapsed); retrying"}),
+              flush=True)
+        if waited > PROBE_BUDGET_S:
+            for name in METRICS:
+                print(json.dumps(
+                    {"metric": name,
+                     "error": f"device tunnel unresponsive for "
+                              f"{int(waited)}s ({attempt} probes)"}),
+                    flush=True)
+            return
+        time.sleep(PROBE_RETRY_SLEEP_S)
     results = {}
     t_start = time.monotonic()
 

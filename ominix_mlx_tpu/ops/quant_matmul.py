@@ -146,7 +146,7 @@ def to_panels_t(pqt: PackedQuantizedTensor) -> PackedQuantizedTensor:
     G = K // gs
     if bits == 4:
         kc = K // 2
-        if kc % 128 or kc % gs or (G // 2) % 1 or G % 2:
+        if kc % 128 or kc % gs or G % 2:
             return pqt
     elif bits != 8 or K % 128:
         return pqt
@@ -1298,15 +1298,29 @@ def quantized_matmul(x: jax.Array, w, norm_w=None,
     M = x2.shape[0]
     if isinstance(w, PackedQuantizedTensor) and w.tn:
         # transposed-panel layout (to_panels_t): M=1 decode rides _qmm_pt;
-        # anything else (prefill, speculative M>1, CPU) reconstructs the
-        # row-major view and goes dense — XLA fuses the re-tiling transpose
-        # into the dequant chain.
+        # decode-size M>1 (speculative verify) reconstructs the row-major
+        # PACKED view (int8 transpose+XOR only — never the bf16 weights,
+        # which would be ~4x the bytes) and rides the dq kernel; prefill /
+        # CPU reconstruct and go dense.
         N_out = w.data.shape[0] * w.tn - w.n_pad
         if M == 1 and jax.default_backend() == "tpu":
             y = _qmm_pt_jit(x2, w.data, w.scales, w.biases, w.group_size,
                             K, w.bits, w.act_bits == 8, w.g2p, x.dtype,
                             unpack_i8=_UNPACK_I8, norm_w=norm_w,
                             norm_eps=norm_eps)
+        elif 1 < M <= DECODE_M_MAX and jax.default_backend() == "tpu" \
+                and (w.bits != 4 or K % 2 == 0):
+            if norm_w is not None:
+                x2 = _rms_norm_xla(x2, norm_w, norm_eps)
+            wr = _from_panels_t(w)
+            sc, bs = wr.scales, wr.biases
+            N_all = wr.data.shape[0]
+            G = K // w.group_size
+            if N_all > _SB_VMEM_MAX_N and G % 128:
+                pad = ((0, 0), (0, 128 - G % 128))
+                sc, bs = jnp.pad(sc, pad), jnp.pad(bs, pad)
+            y = _qmm_dq(x2, wr.data, sc, bs, w.group_size, K, w.bits,
+                        x.dtype)
         elif norm_w is not None:
             wd = dequantize(unpack(w), jnp.bfloat16)
             xn = _rms_norm_xla(x2, norm_w, norm_eps)

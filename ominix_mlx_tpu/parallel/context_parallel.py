@@ -64,6 +64,11 @@ def prefill_context_parallel(params: dict, cfg, tokens: jax.Array,
     n = mesh.shape[axis]
     B, T = tokens.shape
     assert T % n == 0, (T, n)
+    # the ring branch in base.attention_block runs FULL causal ring
+    # attention; a sliding-window model would silently get wrong (unwindowed)
+    # attention here until windowed ring attention exists
+    assert getattr(cfg, "sliding_window", None) is None, \
+        "context-parallel prefill does not support sliding-window attention"
     caps = [lc.max_len for lc in cache.layers]
     assert all(c == T for c in caps), (
         f"cp prefill wants cache capacity == prompt length ({T}), got {caps}")
@@ -96,11 +101,16 @@ def prefill_context_parallel(params: dict, cfg, tokens: jax.Array,
     return logits, out_cache
 
 
-def gather_cache(cache: ModelCache) -> ModelCache:
+def gather_cache(cache: ModelCache,
+                 mesh: Optional[Mesh] = None) -> ModelCache:
     """Replicate a sequence-sharded prefill cache (e.g. to hand off to a
-    single-chip or tp-sharded decode). One all-gather per layer, inserted
-    by XLA when the sharded buffers are device_put to replicated."""
-    dev = jax.devices()[0]
+    single-chip or tp-sharded decode). With ``mesh``, buffers land on a
+    replicated NamedSharding over the whole mesh (one all-gather per layer,
+    inserted by XLA) — ready for a sharded decode without another transfer.
+    Without, they gather onto device 0 (single-device handoff)."""
+    from jax.sharding import NamedSharding
+    dst = (NamedSharding(mesh, P()) if mesh is not None
+           else jax.devices()[0])
     return jax.tree.map(
-        lambda x: jax.device_put(x, dev) if isinstance(x, jax.Array) else x,
+        lambda x: jax.device_put(x, dst) if isinstance(x, jax.Array) else x,
         cache)

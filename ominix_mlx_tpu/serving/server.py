@@ -932,7 +932,8 @@ class Server:
                         return self._json(400, {"error": "repo_id required"})
                     try:
                         path = hub.download_model(
-                            repo_id, revision=body.get("revision"))
+                            repo_id, revision=body.get("revision"),
+                            sha256=body.get("sha256"))
                         return self._json(200, {"id": repo_id,
                                                 "path": path})
                     except Exception as e:

@@ -22,8 +22,9 @@ _FINAL_FIX = {
 }
 
 
-BUNDLED_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "assets", "pinyin_base.txt")
+_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+BUNDLED_TABLE = os.path.join(_ASSETS, "pinyin_base.txt")
+POLYPHONE_TABLE = os.path.join(_ASSETS, "polyphone_words.txt")
 
 
 class PinyinDict:
@@ -37,7 +38,8 @@ class PinyinDict:
                  table: Optional[Dict[str, List[str]]] = None,
                  bundled: bool = True):
         self.table: Dict[str, List[str]] = {}
-        paths = ([BUNDLED_TABLE] if bundled else []) + ([path] if path else [])
+        paths = ([BUNDLED_TABLE, POLYPHONE_TABLE] if bundled else []) \
+            + ([path] if path else [])
         for pth in paths:
             if not os.path.exists(pth):
                 continue
@@ -63,15 +65,28 @@ class PinyinDict:
         return out if out else None
 
     def lookup_lenient(self, word: str) -> List[str]:
-        """lookup() that never fails: an unknown char degrades to the
-        neutral filler 'a5' but every KNOWN char in the word keeps its
-        real reading (the reference's g2pW similarly emits best-effort
-        per-char readings; a whole-word wipeout on one rare hanzi would
-        corrupt the cloned speech far more than one filler syllable)."""
-        hit = self.lookup(word)
-        if hit is not None:
-            return hit
-        return [(self.table.get(ch) or ["a5"])[0] for ch in word]
+        """lookup() that never fails: greedy longest-submatch against the
+        table (jieba emits long idiom/compound tokens like 的确如此 or
+        首都机场 that miss whole-word entries — the polyphone words INSIDE
+        them must still resolve), then per-char default, then the neutral
+        filler 'a5' for unknown hanzi (a whole-word wipeout on one rare
+        char would corrupt cloned speech far more than one filler
+        syllable)."""
+        if word in self.table:
+            return self.table[word]
+        out: List[str] = []
+        i, n = 0, len(word)
+        while i < n:
+            for ln in range(min(4, n - i), 1, -1):
+                sub = self.table.get(word[i:i + ln])
+                if sub is not None:
+                    out.extend(sub)
+                    i += ln
+                    break
+            else:
+                out.append((self.table.get(word[i]) or ["a5"])[0])
+                i += 1
+        return out
 
 
 def split_pinyin(py: str) -> Tuple[str, str]:
@@ -180,32 +195,52 @@ def apply_erhua(word: str, pys: List[str]) -> Tuple[str, List[str]]:
 _RE_ZH = re.compile(r"[一-鿿]+")
 
 
+def _segment(text: str, pdict: PinyinDict, sandhi: bool = True
+             ) -> List[Tuple[str, List[str]]]:
+    """jieba POS-tagged cut -> per-word pinyin lookup -> polyphone context
+    rules (text/polyphone.py) -> tone sandhi. Shared front half of zh_g2p;
+    also drives the polyphone eval
+    (tests/assets/zh_polyphone_golden.tsv)."""
+    import jieba.posseg as pseg
+
+    from ominix_mlx_tpu.text.polyphone import apply_polyphone_rules
+
+    toks: List[list] = []
+    for p in pseg.cut(text):
+        if _RE_ZH.fullmatch(p.word):
+            toks.append([p.word, pdict.lookup_lenient(p.word), p.flag])
+        else:
+            toks.append([p.word, [], p.flag])
+    words = apply_polyphone_rules(toks, pdict)
+    zh_words = [(w, p) for w, p in words if p]
+    if sandhi:
+        zh_words = tone_sandhi(zh_words)
+    it = iter(zh_words)
+    return [(next(it) if p else (w, p)) for w, p in words]
+
+
+def per_char_pinyin(text: str, pdict: PinyinDict, sandhi: bool = False
+                    ) -> List[Tuple[str, str]]:
+    """(hanzi, pinyin-with-tone) for every Chinese char of ``text``, after
+    segmentation + polyphone rules (no erhua merge). The unit the
+    polyphone-accuracy eval scores; sandhi defaults OFF there so the eval
+    measures reading CHOICE, not tone-context rewriting."""
+    out: List[Tuple[str, str]] = []
+    for w, pys in _segment(text, pdict, sandhi=sandhi):
+        if pys:
+            out.extend(zip(w, pys))
+    return out
+
+
 def zh_g2p(text: str, pdict: PinyinDict) -> Tuple[List[str], List[int]]:
     """Chinese text -> (phoneme symbols, word2ph per input char).
 
     Pipeline (reference: preprocessor.rs): jieba cut -> pinyin lookup ->
     tone sandhi -> erhua -> initial/final split.
     """
-    import jieba
-
     phones: List[str] = []
     word2ph: List[int] = []
-    segs = [(w, True) if _RE_ZH.fullmatch(w) else (w, False)
-            for w in jieba.cut(text)]
-    # collect pinyins per zh word
-    words: List[Tuple[str, List[str]]] = []
-    for w, is_zh in segs:
-        if is_zh:
-            words.append((w, pdict.lookup_lenient(w)))
-        else:
-            words.append((w, []))
-    # sandhi over the zh words only (punctuation breaks context naturally)
-    zh_words = [(w, p) for w, p in words if p]
-    zh_words = tone_sandhi(zh_words)
-    it = iter(zh_words)
-    out_words = [(next(it) if p else (w, p)) for w, p in words]
-
-    for w, pys in out_words:
+    for w, pys in _segment(text, pdict):
         if not pys:
             for ch in w:
                 if ch.strip():

@@ -44,14 +44,20 @@ def list_models() -> List[dict]:
     return out
 
 
-def download_model(repo_id: str, revision: Optional[str] = None) -> str:
+def download_model(repo_id: str, revision: Optional[str] = None,
+                   sha256: Optional[str] = None) -> str:
     """Pull a checkpoint into the models dir.
 
     ``repo_id`` is either an HF Hub repo id (goes through huggingface_hub —
     needs egress) or a direct ``http(s)://...tar[.gz]`` archive URL (plain
-    urllib — works against any mirror/artifact store, testable offline)."""
+    urllib — works against any mirror/artifact store, testable offline).
+    ``sha256`` pins archive-URL downloads; plain-http URLs REQUIRE it (no
+    transport integrity without TLS)."""
     if repo_id.startswith(("http://", "https://")):
-        return _download_archive(repo_id)
+        if repo_id.startswith("http://") and sha256 is None:
+            raise RuntimeError(
+                "plain-http model archives require a sha256 pin")
+        return _download_archive(repo_id, sha256=sha256)
     target = model_path(repo_id)
     if os.path.exists(os.path.join(target, "config.json")):
         return target

@@ -56,12 +56,16 @@ def test_download_archive_roundtrip(models_dir):
     srv = _serve(payload)
     try:
         url = f"http://127.0.0.1:{srv.server_port}/tiny-model.tar.gz"
-        path = hub.download_model(url)
+        # plain-http without an integrity pin is rejected outright
+        with pytest.raises(RuntimeError, match="sha256"):
+            hub.download_model(url)
+        digest = hashlib.sha256(payload).hexdigest()
+        path = hub.download_model(url, sha256=digest)
         assert os.path.exists(os.path.join(path, "config.json"))
         assert open(os.path.join(path, "sub", "weights.bin"), "rb").read() \
             == b"\x01" * 64
         # cached: second call returns without re-downloading
-        assert hub.download_model(url) == path
+        assert hub.download_model(url, sha256=digest) == path
         # listed with the repo-id convention
         ids = [m["id"] for m in hub.list_models()]
         assert "tiny-model" in ids

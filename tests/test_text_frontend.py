@@ -3,6 +3,8 @@ split, tone sandhi, erhua, language segmentation, en G2P — the reference's
 text/ test strategy (gpt-sovits-mlx/src/text/) with an embedded mini
 pinyin table standing in for the runtime asset."""
 
+import os
+
 from ominix_mlx_tpu.text import frontend as fe
 from ominix_mlx_tpu.text import normalizer as nz
 from ominix_mlx_tpu.text import zh_g2p as zg
@@ -203,3 +205,64 @@ def test_zh_oov_fallback_is_per_char():
     assert pd.lookup_lenient("你好") == ["ni3", "hao3"]
     got = pd.lookup_lenient("你㿘")            # second char unknown anywhere
     assert got[0] == "ni3" and got[1] == "a5" and len(got) == 2
+
+
+# ------------------------------------------------- polyphone accuracy ------
+
+GOLDEN_TSV = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "assets", "zh_polyphone_golden.tsv")
+
+
+def polyphone_eval():
+    """Score per_char_pinyin against the hand-curated golden set.
+    Returns (accuracy, failures) where each failure is
+    (sentence, target_char, expected, got)."""
+    from ominix_mlx_tpu.text.zh_g2p import PinyinDict, per_char_pinyin
+
+    pdict = PinyinDict()
+    total, hits, failures = 0, 0, []
+    with open(GOLDEN_TSV, encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.rstrip("\n")
+            if not ln or ln.startswith("#"):
+                continue
+            marked, expected = ln.split("\t")
+            i = marked.index("【")
+            target = marked[i + 1]
+            text = marked.replace("【", "").replace("】", "")
+            chars = per_char_pinyin(text, pdict)
+            # i is the char index of the target in the unmarked text among
+            # zh chars only when the sentence is pure zh; map by position:
+            zh_pos = [j for j, ch in enumerate(text) if ch == target]
+            occurrence = sum(1 for ch in text[:i] if ch == target)
+            got = None
+            seen = 0
+            for ch, py in chars:
+                if ch == target:
+                    if seen == occurrence:
+                        got = py
+                        break
+                    seen += 1
+            total += 1
+            if got == expected:
+                hits += 1
+            else:
+                failures.append((text, target, expected, got))
+    return hits / max(total, 1), failures
+
+
+def test_polyphone_accuracy():
+    """多音字 disambiguation vs the golden set (VERDICT r4 #5). The
+    reference resolves these with a neural g2pW model; the dict+rules
+    pipeline must stay above the asserted floor."""
+    acc, failures = polyphone_eval()
+    assert acc >= 0.95, (
+        f"polyphone accuracy {acc:.3f} below floor; first failures: "
+        f"{failures[:10]}")
+
+
+if __name__ == "__main__":
+    acc, failures = polyphone_eval()
+    print(f"polyphone accuracy: {acc:.4f} ({len(failures)} failures)")
+    for text, ch, exp, got in failures:
+        print(f"  {text}  【{ch}】 expected {exp} got {got}")
