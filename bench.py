@@ -186,6 +186,13 @@ METRICS = {
     "qwen3_4b_w8a8_b8_decode": ("decode_ch8", QWEN3_4B, 8, 8, 360.0),
     # FLUX.2-klein 1024px 4-step vs ~5 s/image (reference README.md:589)
     "flux_klein_1024px_s_per_image": ("pipeline", "flux", None, None, None),
+    # MoE decode via gather_qmm + sorted dispatch (VERDICT r4 #4):
+    # deepseek-ocr2 3B-A570M decoder vs the 25-45 tok/s reference MoE class
+    "deepseek_ocr2_moe_w4_decode": ("pipeline", "moe4", None, None, None),
+    # Qwen3-ASR 0.6B RTF vs 50x real-time (reference README.md:585)
+    "qwen3_asr_0p6b_rtf": ("pipeline", "asr", None, None, None),
+    # GPT-SoVITS voice-clone RTF vs 4x real-time (reference README.md:587)
+    "gpt_sovits_clone_rtf": ("pipeline", "sovits", None, None, None),
     # same serving config over the PAGED pool + fused Pallas decode
     # attention (ops/paged_attention.py): attention streams only written
     # pages, one pass over K/V
@@ -193,6 +200,10 @@ METRICS = {
                                       360.0),
     "mistral_7b_w4a8_decode": ("decode", MISTRAL_7B, 4, 1, 82.8),
     "glm4_9b_w4a8_decode": ("decode", GLM4_9B, 4, 1, 35.0),
+    # Z-Image Turbo 1024px 9-step vs ~3 s/image (reference README.md:588);
+    # 1024px has crashed the remote compile helper before (infra) — the
+    # bench body composes per-step jits, and any error is recorded as a row
+    "zimage_1024px_s_per_image": ("pipeline", "zimage", None, None, None),
     # prefill axis (round-3): no published reference prefill figure exists;
     # baseline is the reference's decode rate (prefill is strictly faster
     # than decode per token, so >1.0 here is a floor, not an achievement —
@@ -217,7 +228,9 @@ PER_METRIC_TIMEOUT_S = 900
 HEADLINE_TIMEOUT_S = 1800
 # overall budget: once spent, remaining metrics are skipped (not timed out)
 # so the run always ends cleanly with the headline re-printed last
-TOTAL_BUDGET_S = 3000
+# (raised r5: 15 metrics now; the all_results + headline-reprint contract
+# keeps any driver kill point safe regardless)
+TOTAL_BUDGET_S = 4500
 
 
 def _tunnel_alive(timeout_s: int = 240) -> bool:

@@ -415,6 +415,57 @@ def bench_moxin_decoder():
     emit("moxin_vlm_decoder_w8a8", tps, "tokens/sec", tps / 30.0)
 
 
+def bench_moe_w4():
+    """MoE decode through gather_qmm + sorted dispatch (VERDICT r4 #4):
+    DeepSeek-OCR2's 3B-A570M MoE decoder (64 experts top-6 + 2 shared,
+    deepseek-ocr2-mlx lib.rs:59-130) at 4-bit — the largest MoE family
+    here that fits one 16GB v5e chip quantized (GLM-4.7-Flash/Qwen3-30B
+    at w4 are ~17GB and need the 2-chip EP sharding, dryrun-verified).
+    Reference MoE decode class: 25-45 tok/s (README.md:580)."""
+    from ominix_mlx_tpu.core.generate import Engine
+    from ominix_mlx_tpu.models import base, deepseek_ocr2 as do
+    from ominix_mlx_tpu.models.moe import init_moe_params
+
+    cfg = do.config_from_hf({})
+    key = jax.random.PRNGKey(0)
+    params = base.init_params(cfg, key, jnp.bfloat16)
+    ks = iter(jax.random.split(jax.random.PRNGKey(1), cfg.num_layers * 4))
+    for i, lp in enumerate(params["layers"]):
+        if i == 0:
+            continue                      # first_k_dense=1: layer 0 dense
+        moe = init_moe_params(next(ks), cfg.hidden_size, cfg.moe,
+                              jnp.bfloat16)
+        I = cfg.moe.moe_intermediate_size * cfg.moe.n_shared_experts
+        s = cfg.hidden_size ** -0.5
+        moe["shared_expert"] = {
+            n: {"w": jax.random.uniform(next(ks), shape, jnp.bfloat16,
+                                        -s, s)}
+            for n, shape in (("gate_proj", (I, cfg.hidden_size)),
+                             ("up_proj", (I, cfg.hidden_size)),
+                             ("down_proj", (cfg.hidden_size, I)))}
+        for n in ("gate_proj", "up_proj", "down_proj"):
+            del lp[n]
+        lp["moe"] = moe
+    params = base.quantize_params(params, 64, 4)
+    params = base.fuse_layer_projections(params)
+    engine = Engine(lambda p, t, c: base.forward(p, cfg, t, c), params)
+    prompt = jnp.ones((1, 64), jnp.int32)
+
+    def run(n):
+        cache = base.init_cache(cfg, 1, 640, jnp.bfloat16)
+        t0 = time.perf_counter()
+        toks, _ = engine.generate_scan(prompt, cache, max_tokens=n)
+        int(toks[0, -1])
+        return time.perf_counter() - t0
+
+    run(64)
+    run(256)
+    t_short = min(run(64) for _ in range(2))
+    t_long = min(run(256) for _ in range(2))
+    tps = 192 / (t_long - t_short)
+    emit("deepseek_ocr2_moe_w4_decode", tps, "tokens/sec", tps / 45.0)
+
+
 def bench_zimage():
     """Z-Image Turbo 1024px 9-step vs the reference's ~3 s/image
     (README.md:588; conditions unstated there — this measures the full
@@ -483,7 +534,8 @@ BENCHES = {"paraformer": bench_paraformer, "asr": bench_qwen3_asr,
            "tts": bench_qwen3_tts, "tts_e2e": bench_qwen3_tts_e2e,
            "flux": bench_flux_klein,
            "sovits": bench_sovits, "sala8": bench_sala_w8,
-           "moxin": bench_moxin_decoder, "zimage": bench_zimage}
+           "moxin": bench_moxin_decoder, "zimage": bench_zimage,
+           "moe4": bench_moe_w4}
 
 
 def main():

@@ -170,18 +170,31 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     ap = argparse.ArgumentParser(
-        description="checkpoint conversion: torch->safetensors, or "
-                    "--quantize an HF/MLX safetensors dir in place")
-    ap.add_argument("src", help=".bin/.pth file, or model dir w/ --quantize")
-    ap.add_argument("out", help="output directory")
+        description="checkpoint conversion: torch->safetensors, "
+                    "--quantize an HF/MLX safetensors dir, or --verify a "
+                    "checkpoint dir (name map + forward + HF logit parity)")
+    ap.add_argument("src", help=".bin/.pth file, or model dir w/ "
+                               "--quantize/--verify")
+    ap.add_argument("out", nargs="?", default=None,
+                    help="output directory (conversion modes)")
     ap.add_argument("--quantize", action="store_true",
                     help="group-quantize a safetensors checkpoint dir to "
                          "the MLX layout (loadable by registry.load_model)")
+    ap.add_argument("--verify", action="store_true",
+                    help="run the real-checkpoint parity harness "
+                         "(utils/verify.py): load via the family name map, "
+                         "forward, compare logits vs transformers; skips "
+                         "cleanly when the checkpoint is absent")
     ap.add_argument("--bits", type=int, default=4, choices=(4, 8))
     ap.add_argument("--group-size", type=int, default=64)
     ap.add_argument("--dtype", default=None,
                     help="cast during torch conversion")
     args = ap.parse_args()
+    if args.verify:
+        from ominix_mlx_tpu.utils.verify import main as verify_main
+        raise SystemExit(verify_main([args.src]))
+    if args.out is None:
+        ap.error("out directory required for conversion modes")
     if args.quantize:
         n = save_quantized(args.src, args.out, bits=args.bits,
                            group_size=args.group_size)

@@ -45,3 +45,30 @@ def test_convert_paraformer_rename():
     assert paraformer_rename("decoder.output_layer.weight") == \
         "output_layer.weight"
     assert paraformer_rename("untouched.name") == "untouched.name"
+
+
+def test_verify_checkpoint_roundtrip(tmp_path):
+    """The --verify parity harness end-to-end (VERDICT r4 #8): save a tiny
+    random HF qwen3 checkpoint to disk, run verify_checkpoint through the
+    registry name map, and require logit parity vs transformers."""
+    import torch
+    from transformers import Qwen3Config
+    from transformers.models.qwen3 import Qwen3ForCausalLM
+
+    from ominix_mlx_tpu.utils.verify import verify_checkpoint
+
+    hf_cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True)
+    torch.manual_seed(0)
+    hf = Qwen3ForCausalLM(hf_cfg).eval()
+    d = tmp_path / "tiny-qwen3"
+    hf.save_pretrained(d, safe_serialization=True)
+
+    res = verify_checkpoint(str(d))
+    assert res["status"] == "parity_ok", res
+
+    # skip-guard: absent checkpoint must skip, never raise
+    res = verify_checkpoint(str(tmp_path / "nope"))
+    assert res["status"] == "skipped"
