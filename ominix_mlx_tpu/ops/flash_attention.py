@@ -14,12 +14,33 @@ O(T^2) compute this kernel saves from never materializing.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 MIN_FLASH_LEN = 128          # below this the XLA path wins (kernel overhead)
 _SUPPORTED = None
+
+
+def _block_sizes(Tq: int, S: int):
+    """v5e-tuned tile sizes (the library default is 128 everywhere, left
+    as a TODO heuristic upstream). Env-overridable for sweeps
+    (benchmarks/flash_block_probe.py): OMINIX_FLASH_BQ / _BKM / _BK."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    # defaults pinned to the library's 128/128 until the sweep
+    # (flash_block_probe.py) lands a measured winner on this chip
+    bq = min(int(os.environ.get("OMINIX_FLASH_BQ", "128")), Tq)
+    bkm = min(int(os.environ.get("OMINIX_FLASH_BKM", "128")), S)
+    while Tq % bq:
+        bq //= 2
+    while S % bkm:
+        bkm //= 2
+    bk = min(int(os.environ.get("OMINIX_FLASH_BK", str(bkm))), bkm)
+    while bkm % bk:
+        bk //= 2
+    return BlockSizes(block_q=bq, block_k_major=bkm, block_k=bk, block_b=1)
 
 
 def supported() -> bool:
@@ -36,13 +57,11 @@ def supported() -> bool:
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash(q, k, v, scale: float):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, flash_attention)
+        flash_attention)
 
     B, H, T, D = q.shape
-    bs = BlockSizes.get_default(batch_size=B, num_heads=H, q_seq_len=T,
-                                kv_len=T, d_model=D)
     return flash_attention(q * scale, k, v, causal=True, sm_scale=1.0,
-                           block_sizes=bs)
+                           block_sizes=_block_sizes(T, T))
 
 
 def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -95,7 +114,7 @@ def _merge_partials(o1, l1, m1, o2, l2, m2):
 @functools.partial(jax.jit, static_argnames=("scale", "pos"))
 def _flash_chunk(q, k, v, scale: float, pos: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, _flash_attention_impl)
+        _flash_attention_impl)
 
     B, H, T, D = q.shape
     Hkv = k.shape[1]
@@ -105,8 +124,7 @@ def _flash_chunk(q, k, v, scale: float, pos: int):
     def call(qseg, kseg, vseg, causal):
         S = kseg.shape[2]
         Tq = qseg.shape[2]
-        bs = BlockSizes.get_default(batch_size=B, num_heads=qseg.shape[1],
-                                    q_seq_len=Tq, kv_len=S, d_model=D)
+        bs = _block_sizes(Tq, S)
         return _flash_attention_impl(
             qseg, kseg, vseg, None, None, True, causal, 1.0,
             bs.block_b, bs.block_q, bs.block_k_major, bs.block_k, False)

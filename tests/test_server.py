@@ -795,7 +795,7 @@ def test_model_download_endpoint(server, tmp_path_factory, monkeypatch):
 
     from ominix_mlx_tpu.utils import hub
 
-    def fake_download(repo_id, revision=None):
+    def fake_download(repo_id, revision=None, sha256=None):
         p = os.path.join(str(d), repo_id.replace("/", "--"))
         os.makedirs(p, exist_ok=True)
         return p
