@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--text", required=True)
     ap.add_argument("--voice", default=None)
     ap.add_argument("--out", default="out.wav")
+    ap.add_argument("--play", action="store_true",
+                    help="play on the host after writing (reference: cpal stream, voice_clone.rs:1846)")
     ap.add_argument("--speed", type=float, default=1.0,
                     help="WSOLA time-stretch factor")
     args = ap.parse_args()
@@ -39,6 +41,9 @@ def main():
         samples = np.asarray(wsola_time_stretch(samples, rate, args.speed))
     audio_io.save_wav(args.out, samples, rate)
     print(f"{len(samples) / rate:.2f}s -> {args.out}")
+    if args.play:
+        from ominix_mlx_tpu.audio.playback import play
+        play(samples, rate)
 
 
 if __name__ == "__main__":

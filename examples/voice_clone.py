@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--text", required=True)
     ap.add_argument("--lang", default="auto", choices=["auto", "zh", "en"])
     ap.add_argument("--out", default="cloned.wav")
+    ap.add_argument("--play", action="store_true",
+                    help="play on the host after writing (reference: cpal stream, voice_clone.rs:1846)")
     ap.add_argument("--max-tokens", type=int, default=600)
     ap.add_argument("--noise-scale", type=float, default=0.5)
     args = ap.parse_args()
@@ -41,6 +43,9 @@ def main():
     sr = getattr(cloner.vits_cfg, "sampling_rate", 32000)
     audio_io.save_wav(args.out, np.asarray(wav, np.float32), sr)
     print(f"{len(wav) / sr:.2f}s -> {args.out}")
+    if args.play:
+        from ominix_mlx_tpu.audio.playback import play
+        play(np.asarray(wav, np.float32), sr)
 
 
 if __name__ == "__main__":

@@ -61,15 +61,54 @@ def download_model(repo_id: str, revision: Optional[str] = None,
     target = model_path(repo_id)
     if os.path.exists(os.path.join(target, "config.json")):
         return target
+    if os.environ.get("OMINIX_HF_ENDPOINT") or os.environ.get("HF_ENDPOINT"):
+        # custom endpoint (mirror / mock): use the plain REST resolver so
+        # the repo-id -> file-list layer works without huggingface_hub and
+        # is testable offline (tests/test_hub.py)
+        return _hub_api_download(repo_id, revision, target)
     try:
         from huggingface_hub import snapshot_download
-    except ImportError as e:
-        raise RuntimeError(
-            "huggingface_hub is not installed; place checkpoints under "
-            f"{models_dir()} manually") from e
+    except ImportError:
+        return _hub_api_download(repo_id, revision, target)
     snapshot_download(repo_id, revision=revision, local_dir=target,
                       allow_patterns=["*.safetensors", "*.json", "*.txt",
                                       "*.model"])
+    return target
+
+
+_HUB_SUFFIXES = (".safetensors", ".json", ".txt", ".model")
+
+
+def _hub_api_download(repo_id: str, revision: Optional[str],
+                      target: str) -> str:
+    """Repo-id -> file-list -> files via the HF Hub REST API (reference:
+    the hf-hub crate's resolution flow, README.md:430-470). Endpoint from
+    $OMINIX_HF_ENDPOINT / $HF_ENDPOINT (default huggingface.co)."""
+    import json as _json
+    import urllib.request
+
+    base = (os.environ.get("OMINIX_HF_ENDPOINT")
+            or os.environ.get("HF_ENDPOINT")
+            or "https://huggingface.co").rstrip("/")
+    rev = revision or "main"
+    api = f"{base}/api/models/{repo_id}/revision/{rev}"
+    with urllib.request.urlopen(api, timeout=60) as r:
+        meta = _json.loads(r.read().decode())
+    files = [s["rfilename"] for s in meta.get("siblings", [])
+             if s.get("rfilename", "").endswith(_HUB_SUFFIXES)]
+    if not files:
+        raise RuntimeError(f"no model files listed for {repo_id}@{rev}")
+    os.makedirs(target, exist_ok=True)
+    for name in files:
+        p = os.path.normpath(name)
+        if p.startswith(("/", "..")) or ".." in p.split(os.sep):
+            raise RuntimeError(f"unsafe repo filename: {name}")
+        dst = os.path.join(target, p)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        url = f"{base}/{repo_id}/resolve/{rev}/{name}"
+        with urllib.request.urlopen(url, timeout=600) as r, \
+                open(dst, "wb") as out:
+            shutil.copyfileobj(r, out)
     return target
 
 

@@ -88,3 +88,24 @@ def test_wsola_time_stretch_lengths():
     assert 0.55 < len(fast) / len(x) < 0.8      # ~1/1.5
     assert 1.15 < len(slow) / len(x) < 1.5      # ~1/0.75
     assert np.abs(fast).max() <= 1.5
+
+
+def test_playback_headless_fallback(monkeypatch, tmp_path):
+    """audio.playback: import never fails; with no backend it raises a
+    RuntimeError pointing at save_wav (reference: cpal playback,
+    voice_clone.rs:1846 — headless hosts degrade gracefully)."""
+    import shutil as _sh
+
+    import numpy as np
+    import pytest
+
+    from ominix_mlx_tpu.audio import playback
+
+    monkeypatch.setattr(_sh, "which", lambda name: None)
+    wav = np.zeros(160, np.float32)
+    try:
+        backend = playback.play(wav, 16000)
+    except RuntimeError as e:
+        assert "save_wav" in str(e)
+    else:
+        assert isinstance(backend, str)

@@ -100,3 +100,53 @@ def test_download_archive_sha256_and_traversal(models_dir):
                 f"http://127.0.0.1:{srv.server_port}/evil.tar.gz")
     finally:
         srv.shutdown()
+
+
+def test_repo_id_rest_resolution(models_dir, monkeypatch):
+    """Repo-id -> file-list -> files through the HF Hub REST API shape
+    (reference hf-hub flow), against a local mock endpoint."""
+    from ominix_mlx_tpu.utils import hub
+
+    cfg = json.dumps({"model_type": "qwen3"}).encode()
+    weights = b"\x02" * 128
+    api_body = json.dumps({"siblings": [
+        {"rfilename": "config.json"},
+        {"rfilename": "model.safetensors"},
+        {"rfilename": "README.md"},          # filtered: not a model suffix
+    ]}).encode()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = None
+            if self.path == "/api/models/org/tiny-rest/revision/main":
+                body = api_body
+            elif self.path == "/org/tiny-rest/resolve/main/config.json":
+                body = cfg
+            elif self.path == "/org/tiny-rest/resolve/main/model.safetensors":
+                body = weights
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv("OMINIX_HF_ENDPOINT",
+                           f"http://127.0.0.1:{srv.server_port}")
+        path = hub.download_model("org/tiny-rest")
+        assert open(os.path.join(path, "config.json"), "rb").read() == cfg
+        assert open(os.path.join(path, "model.safetensors"),
+                    "rb").read() == weights
+        assert not os.path.exists(os.path.join(path, "README.md"))
+        ids = [m["id"] for m in hub.list_models()]
+        assert "org/tiny-rest" in ids
+    finally:
+        srv.shutdown()
