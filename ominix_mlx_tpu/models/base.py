@@ -196,7 +196,8 @@ def attention_block(lp: dict, cfg: TransformerConfig, x: jax.Array,
     if ring_axis is not None and T > 1:
         from ominix_mlx_tpu.parallel.ring_attention import ring_attention
         out = ring_attention(q, k, v, axis_name=ring_axis, causal=True,
-                             scale=hd ** -0.5)
+                             scale=hd ** -0.5,
+                             window=cfg.sliding_window or 0)
     elif fresh_prefill and T > 1 and fa.use_flash(T, hd) \
             and cfg.sliding_window is None:
         # first prefill: queries attend exactly the fresh tokens — use the

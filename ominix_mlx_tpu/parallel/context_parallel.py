@@ -64,11 +64,9 @@ def prefill_context_parallel(params: dict, cfg, tokens: jax.Array,
     n = mesh.shape[axis]
     B, T = tokens.shape
     assert T % n == 0, (T, n)
-    # the ring branch in base.attention_block runs FULL causal ring
-    # attention; a sliding-window model would silently get wrong (unwindowed)
-    # attention here until windowed ring attention exists
-    assert getattr(cfg, "sliding_window", None) is None, \
-        "context-parallel prefill does not support sliding-window attention"
+    # sliding-window models ride the windowed ring mask
+    # (ring_attention(window=cfg.sliding_window), exact vs the
+    # single-device masked path — tests/test_ring_attention.py)
     caps = [lc.max_len for lc in cache.layers]
     assert all(c == T for c in caps), (
         f"cp prefill wants cache capacity == prompt length ({T}), got {caps}")

@@ -55,8 +55,14 @@ def _block_attn(q, k, v, scale, mask):
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    axis_name: str, causal: bool = True,
-                   scale: float | None = None) -> jax.Array:
-    """Per-shard bodies under shard_map. q/k/v: [B, H, T_local, D]."""
+                   scale: float | None = None,
+                   window: int = 0) -> jax.Array:
+    """Per-shard bodies under shard_map. q/k/v: [B, H, T_local, D].
+
+    window > 0: sliding-window causal attention (query at global position
+    p attends keys in [p-window+1, p]) — the Mistral mask under context
+    parallelism. Exact: out-of-window key blocks contribute -inf rows that
+    the LSE merge zeroes."""
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     B, H, T, D = q.shape
@@ -72,7 +78,10 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         src = (idx - s) % n                       # whose block we hold
         if causal:
             k_pos = src * T + jnp.arange(T, dtype=jnp.int32)
-            mask = jnp.where(k_pos[None, :] <= q_pos[:, None], 0.0, NEG_INF)
+            keep = k_pos[None, :] <= q_pos[:, None]
+            if window:
+                keep &= k_pos[None, :] > q_pos[:, None] - window
+            mask = jnp.where(keep, 0.0, NEG_INF)
         else:
             mask = None
         o_b, m_b, s_b = _block_attn(qf, k_blk.astype(jnp.float32),
@@ -97,7 +106,8 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return (out / jnp.maximum(sm, 1e-30)[..., None]).astype(q.dtype)
 
 
-def make_ring_attention(mesh, axis: str = "sp", causal: bool = True):
+def make_ring_attention(mesh, axis: str = "sp", causal: bool = True,
+                        window: int = 0):
     """Convenience shard_map wrapper: full arrays in, full arrays out."""
     from jax.sharding import PartitionSpec as P
 
@@ -108,6 +118,7 @@ def make_ring_attention(mesh, axis: str = "sp", causal: bool = True):
 
     spec = P(None, None, axis, None)
     return shard_map(
-        functools.partial(ring_attention, axis_name=axis, causal=causal),
+        functools.partial(ring_attention, axis_name=axis, causal=causal,
+                          window=window),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False)

@@ -120,3 +120,22 @@ def test_cp_prefill_long(T):
     got, _ = cp.prefill_context_parallel(params, CFG, tokens, cache2, m)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_cp_prefill_sliding_window_matches_single_device():
+    """Sliding-window (Mistral-style) model under cp prefill: the windowed
+    ring mask must reproduce the single-device sliding-window forward."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, sliding_window=96)
+    T = 512
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (1, T), 0, 128)
+    params = base.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    cache = base.init_cache(cfg, 1, T, jnp.float32)
+    want, _ = base.forward(params, cfg, tokens, cache, fresh_prefill=True)
+    m = pmesh.make_mesh(dp=1, tp=1, sp=8)
+    cache2 = base.init_cache(cfg, 1, T, jnp.float32)
+    got, _ = cp.prefill_context_parallel(params, cfg, tokens, cache2, m)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(want[:, -1:]),
+                               rtol=2e-4, atol=2e-4)
