@@ -189,6 +189,38 @@ def to_panels_t(pqt: PackedQuantizedTensor) -> PackedQuantizedTensor:
         batched=False, tn=TN, g2p=g2p)
 
 
+def _dense_tn(x2, w: "PackedQuantizedTensor", out_dtype) -> jax.Array:
+    """Dense matmul straight off the transposed-panel layout: dequantize
+    each [Kd, TN] panel in place (one XLA elementwise fusion, no transpose
+    of the packed bytes) and contract with a batched dot over the panel
+    axis. Output [M, NCH*TN] (n_pad garbage rows included -- caller
+    slices)."""
+    NCH, Kd, TN = w.data.shape
+    K, gs, bits = w.in_features, w.group_size, w.bits
+    G = K // gs
+    b = w.data.astype(jnp.int32)
+    if bits == 4:
+        hi = ((b >> 4) & 15) ^ 8          # undo the tn pre-XOR on bit 3
+        codes = jnp.concatenate([(b & 15) - 8, hi - 8], 1)  # [NCH, K, TN]
+        G2 = G // 2
+        sc = jnp.concatenate(
+            [w.scales[:, :G2], w.scales[:, w.g2p:w.g2p + G2]], 1)
+        bs = jnp.concatenate(
+            [w.biases[:, :G2], w.biases[:, w.g2p:w.g2p + G2]], 1)
+        sc = sc.astype(jnp.float32)
+        bs = bs.astype(jnp.float32) + 8.0 * sc      # un-fold b - 8s
+    else:
+        codes = b
+        sc = w.scales[:, :G].astype(jnp.float32)
+        bs = w.biases[:, :G].astype(jnp.float32)
+    cg = codes.reshape(NCH, G, gs, TN).astype(jnp.float32)
+    wd = (cg * sc[:, :, None, :] + bs[:, :, None, :]).astype(jnp.bfloat16)
+    y = jnp.einsum("mk,pkt->mpt", x2.astype(jnp.bfloat16),
+                   wd.reshape(NCH, K, TN),
+                   preferred_element_type=out_dtype)
+    return y.reshape(x2.shape[0], NCH * TN)
+
+
 def _from_panels_t(pqt: PackedQuantizedTensor) -> PackedQuantizedTensor:
     """Inverse re-tiling (CPU fallback / prefill dequant / tests)."""
     NCH, Kd, TN = pqt.data.shape
@@ -249,17 +281,19 @@ def gather_rows(pqt: PackedQuantizedTensor, tokens: jax.Array) -> jax.Array:
             # lm_head INSIDE the decode scan body (693us/token, 14% of the
             # step). The one-hot dot is layout-neutral and reads only the
             # gathered panels (~0.8MB/token).
-            oh = (l[..., None] == jnp.arange(pqt.tn)).astype(jnp.bfloat16)
-            dp = pqt.data[p].astype(jnp.bfloat16)      # [..., Kd, TN]
+            # int8 x int8 MXU contraction: exact (|codes| < 128, one-hot
+            # rhs), and never materializes a bf16 copy of the 655KB panel
+            # (the bf16-cast variant measured 2x 14.7us/token in the r5
+            # decode trace -- the single most expensive non-qmm decode op).
+            oh = (l[..., None] == jnp.arange(pqt.tn)).astype(jnp.int8)
+            dp = pqt.data[p]                           # [..., Kd, TN] int8
             rows = jnp.einsum("...kt,...t->...k", dp, oh,
-                              preferred_element_type=jnp.float32)
-            rows = rows.astype(jnp.int32)              # exact: |codes|<256
+                              preferred_element_type=jnp.int32)
+            ohf = oh.astype(jnp.float32)
             s_rows = jnp.einsum("...gt,...t->...g",
-                                pqt.scales[p].astype(jnp.float32), oh
-                                .astype(jnp.float32))
+                                pqt.scales[p].astype(jnp.float32), ohf)
             b_rows = jnp.einsum("...gt,...t->...g",
-                                pqt.biases[p].astype(jnp.float32), oh
-                                .astype(jnp.float32))
+                                pqt.biases[p].astype(jnp.float32), ohf)
         else:
             rows = pqt.data[p, :, l]                 # [..., Kd] int8
             s_rows = pqt.scales[p, :, l].astype(jnp.float32)
@@ -285,10 +319,13 @@ def gather_rows(pqt: PackedQuantizedTensor, tokens: jax.Array) -> jax.Array:
         codes = jnp.concatenate([(b & 15) - 8, hi - 8], axis=-1)
     else:
         codes = rows.astype(jnp.int32)
-    grp = jnp.asarray(np.arange(K) // gs, jnp.int32)
-    w = (codes.astype(jnp.float32) * jnp.take(s_rows, grp, axis=-1)
-         + jnp.take(b_rows, grp, axis=-1))
-    return w.astype(jnp.bfloat16)
+    # apply per-group scale/bias by [..., G, gs] reshape -- a jnp.take with
+    # a K-long index vector lowers to a pred-select chain (measured 14.7us
+    # per take per token in the r5 decode trace).
+    lead = codes.shape[:-1]
+    cg = codes.astype(jnp.float32).reshape(*lead, G, gs)
+    w = cg * s_rows[..., None] + b_rows[..., None]
+    return w.reshape(*lead, K).astype(jnp.bfloat16)
 
 
 # ----------------------------------- P-kernel (manual DMA pipeline) ---------
@@ -1321,15 +1358,15 @@ def quantized_matmul(x: jax.Array, w, norm_w=None,
                 sc, bs = jnp.pad(sc, pad), jnp.pad(bs, pad)
             y = _qmm_dq(x2, wr.data, sc, bs, w.group_size, K, w.bits,
                         x.dtype)
-        elif norm_w is not None:
-            wd = dequantize(unpack(w), jnp.bfloat16)
-            xn = _rms_norm_xla(x2, norm_w, norm_eps)
-            y = jnp.dot(xn.astype(jnp.bfloat16), wd.T,
-                        preferred_element_type=x.dtype)
         else:
-            wd = dequantize(unpack(w), jnp.bfloat16)
-            y = jnp.dot(x2.astype(jnp.bfloat16), wd.T,
-                        preferred_element_type=x.dtype)
+            # prefill: per-panel dequant + batched dot straight off the tn
+            # layout. Reconstructing the row-major view here (unpack ->
+            # dequantize -> dot) costs pure layout copies -- measured
+            # ~60ms per 128-token w4 prefill in the r5 decode trace (two
+            # 196MB s8 transposes for the tied embed/lm_head alone).
+            if norm_w is not None:
+                x2 = _rms_norm_xla(x2, norm_w, norm_eps)
+            y = _dense_tn(x2, w, x.dtype)
         return y[:, :N_out].reshape(*lead, N_out)
     if isinstance(w, PackedQuantizedTensor) and supported(w):
         N = w.data.shape[0]
