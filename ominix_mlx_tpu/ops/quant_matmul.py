@@ -1603,13 +1603,21 @@ def dequantize_expert(pqe: PackedQuantizedExperts, e) -> jax.Array:
     return w.reshape(N, pqe.in_features).astype(jnp.bfloat16)
 
 
-def _gq_kernel(ids_ref, cxT_ref, xg_ref, rm_ref, scales_hbm, biases_hbm,
-               data_hbm, out_ref, dbuf, sbuf, bbuf, dsems, ssems, xg_s, *,
-               bits: int, gs: int, K: int, k: int, TN: int, NCH: int):
+def _gq_kernel(ids_ref, cxT_ref, xg_ref, rm_ref, ssel_ref, bsel_ref,
+               data_hbm, out_ref, dbuf, dsems, xg_s, *,
+               bits: int, gs: int, K: int, k: int, N: int):
     """Decode-step gather_qmm: ONE token, k selected experts, streaming only
-    their weight slabs. Expert ids come from SMEM; the data panel DMA is
-    double-buffered across the flat (expert, chunk) sequence; per-expert
-    scales/biases slabs are small and are DMA'd whole per expert."""
+    their weight slabs. Expert ids come from SMEM; each expert's data slab
+    ([N, Kd], ~0.5MB at MoE shapes) is DMA'd WHOLE, double-buffered at the
+    expert level — sub-slab panels would need a dynamic-LANE output store,
+    which Mosaic rejects ("dynamic store with unaligned indices"); whole
+    slabs keep every lane index static and the per-expert store is the
+    proven dynamic-leading-index pattern (ops/paged_attention.py:206).
+    The selected experts' scales/biases are XLA-gathered OUTSIDE the kernel
+    and arrive as whole-VMEM 2-D inputs [k*N, G]: a [E, N, G] side-band
+    cannot be DMA- or load-sliced per expert because its G-lane minor dim
+    is not 128-aligned once tiled (Mosaic memref_slice check; CLAUDE.md
+    round-2 DMA fact)."""
     Kc = K // 2
     G = K // gs
 
@@ -1619,48 +1627,21 @@ def _gq_kernel(ids_ref, cxT_ref, xg_ref, rm_ref, scales_hbm, biases_hbm,
     xg_s[...] = jnp.where(kk == gg, cxT_ref[:].astype(jnp.int32),
                           0).astype(jnp.int8)
 
-    total = k * NCH
-
-    def dma_data(slot, c):
-        j = c // NCH
-        i = jax.lax.rem(c, NCH)
+    def dma_data(slot, j):
         e = ids_ref[0, j]
         return pltpu.make_async_copy(
-            data_hbm.at[e, pl.ds(i * TN, TN)], dbuf.at[slot], dsems.at[slot])
-
-    def dma_sb(jslot, j):
-        e = ids_ref[0, j]
-        return (pltpu.make_async_copy(scales_hbm.at[e], sbuf.at[jslot],
-                                      ssems.at[jslot, 0]),
-                pltpu.make_async_copy(biases_hbm.at[e], bbuf.at[jslot],
-                                      ssems.at[jslot, 1]))
+            data_hbm.at[e], dbuf.at[slot], dsems.at[slot])
 
     dma_data(0, 0).start()
-    for op in dma_sb(0, 0):
-        op.start()
 
-    def body(c, _):
-        slot = jax.lax.rem(c, _NBUF)
-        j = c // NCH
-        i = jax.lax.rem(c, NCH)
-        jslot = jax.lax.rem(j, 2)
+    def body(j, _):
+        slot = jax.lax.rem(j, _NBUF)
 
-        @pl.when(c + 1 < total)
+        @pl.when(j + 1 < k)
         def _():
-            dma_data(jax.lax.rem(c + 1, _NBUF), c + 1).start()
+            dma_data(jax.lax.rem(j + 1, _NBUF), j + 1).start()
 
-        # prefetch next expert's scales/biases at its first chunk
-        @pl.when((i == 0) & (j + 1 < k))
-        def _():
-            for op in dma_sb(jax.lax.rem(j + 1, 2), j + 1):
-                op.start()
-
-        dma_data(slot, c).wait()
-
-        @pl.when(i == 0)
-        def _():
-            for op in dma_sb(jslot, j):
-                op.wait()
+        dma_data(slot, j).wait()
 
         blk = dbuf[slot]
         if bits == 4:
@@ -1676,19 +1657,19 @@ def _gq_kernel(ids_ref, cxT_ref, xg_ref, rm_ref, scales_hbm, biases_hbm,
             P = jax.lax.dot_general(blk, xg_s[:], (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32
                                     ).astype(jnp.float32)
-        s = sbuf[jslot][pl.ds(i * TN, TN), :].astype(jnp.bfloat16)
+        s = ssel_ref[pl.ds(j * N, N), :]
         o = jax.lax.dot_general(rm_ref[:], s.astype(jnp.float32) * P,
                                 (((0,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [1,TN]
-        b = bbuf[jslot][pl.ds(i * TN, TN), :].astype(jnp.bfloat16)
+                                preferred_element_type=jnp.float32)  # [1, N]
+        b = bsel_ref[pl.ds(j * N, N), :]
         if bits == 4:
             b = b - jnp.bfloat16(8) * s
         o = o + jax.lax.dot_general(xg_ref[:], b, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-        out_ref[j, pl.ds(i * TN, TN)] = o[0]
+        out_ref[j] = o[0]
         return ()
 
-    jax.lax.fori_loop(0, total, body, ())
+    jax.lax.fori_loop(0, k, body, ())
 
 
 @functools.partial(jax.jit, static_argnames=("gs", "K", "bits"))
@@ -1703,10 +1684,13 @@ def _gather_qmm_decode(x, ids, data, scales, biases, gs: int, K: int,
     s_x = jnp.max(jnp.abs(xf), axis=1) / 127.0 + 1e-12
     cx = jnp.round(xf / s_x[:, None]).astype(jnp.int8)
     Rm = s_x.astype(jnp.float32).reshape(1, 1) * jnp.ones((G, 1), jnp.float32)
-    TN = _pick_tn(N, Kd)
-    NCH = N // TN
-    kern = functools.partial(_gq_kernel, bits=bits, gs=gs, K=K, k=k, TN=TN,
-                             NCH=NCH)
+    # XLA-gather the k selected experts' side bands (tiny: k*N*G bf16) and
+    # flatten to 2-D so the kernel slices them with the proven sublane-ds
+    # pattern; a 3-D [E, N, G] ref cannot be sliced per expert (unaligned
+    # G-lane minor dim, see _gq_kernel docstring)
+    ssel = scales[ids[0]].reshape(k * N, G).astype(jnp.bfloat16)
+    bsel = biases[ids[0]].reshape(k * N, G).astype(jnp.bfloat16)
+    kern = functools.partial(_gq_kernel, bits=bits, gs=gs, K=K, k=k, N=N)
     out = pl.pallas_call(
         kern,
         in_specs=[
@@ -1714,18 +1698,15 @@ def _gather_qmm_decode(x, ids, data, scales, biases, gs: int, K: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cxT [K, 1]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # xg [1, G]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Rm [G, 1]
-            pl.BlockSpec(memory_space=pl.ANY),       # scales [E, N, G]
-            pl.BlockSpec(memory_space=pl.ANY),       # biases [E, N, G]
-            pl.BlockSpec(memory_space=pl.ANY),       # data [E, N, Kd]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ssel [k*N, G]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bsel [k*N, G]
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # data
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, N), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, TN, Kd), jnp.int8),
-            pltpu.VMEM((2, N, G), jnp.bfloat16),
-            pltpu.VMEM((2, N, G), jnp.bfloat16),
+            pltpu.VMEM((_NBUF, N, Kd), jnp.int8),
             pltpu.SemaphoreType.DMA((_NBUF,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((K, G), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1733,7 +1714,7 @@ def _gather_qmm_decode(x, ids, data, scales, biases, gs: int, K: int,
         cost_estimate=pl.CostEstimate(
             flops=2 * k * N * K * G, bytes_accessed=k * N * Kd + k * N * 4,
             transcendentals=0),
-    )(ids, cx.T, xg, Rm, scales, biases, data)
+    )(ids, cx.T, xg, Rm, ssel, bsel, data)
     return out
 
 
@@ -1752,7 +1733,9 @@ def gather_qmm(x: jax.Array, w: PackedQuantizedExperts,
     G = K // w.group_size
     kernel_ok = (jax.default_backend() == "tpu" and w.bits in (4, 8)
                  and G <= 128 and Kd % 128 == 0 and N % 128 == 0
-                 and K % (2 * w.group_size) == 0)
+                 and K % (2 * w.group_size) == 0
+                 # whole-slab DMA (see _gq_kernel): bound the double buffer
+                 and _NBUF * N * Kd <= 8 * 1024 * 1024)
     if kernel_ok:
         def per_token(xi_idsi):
             xi, idsi = xi_idsi
