@@ -80,9 +80,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--loops", type=int, default=16)
     ap.add_argument("--case", default="both")
+    ap.add_argument("--refine", action="store_true")
     args = ap.parse_args()
     grid = [(128, 128), (256, 512), (512, 512), (512, 1024), (512, 2048),
             (1024, 1024), (2048, 1024)]
+    if args.refine:
+        # round-5 measured: (256, 512) won both cases; probe its hull
+        grid = [(256, 512), (128, 512), (256, 256), (256, 1024), (384, 512),
+                (192, 512), (256, 768)]
     if args.case in ("both", "chunk"):
         # 32k tail chunk: T=2048 queries x 30720 prefix keys, GQA folded
         run_case("chunk32k-prefix", 2048, 30720, False, grid, args.loops)

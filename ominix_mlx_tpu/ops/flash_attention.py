@@ -29,10 +29,12 @@ def _block_sizes(Tq: int, S: int):
     (benchmarks/flash_block_probe.py): OMINIX_FLASH_BQ / _BKM / _BK."""
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    # defaults pinned to the library's 128/128 until the sweep
-    # (flash_block_probe.py) lands a measured winner on this chip
-    bq = min(int(os.environ.get("OMINIX_FLASH_BQ", "128")), Tq)
-    bkm = min(int(os.environ.get("OMINIX_FLASH_BKM", "128")), S)
+    # v5e sweep (flash_block_probe.py, round 5): bq=256 bkm=512 beats the
+    # library's 128/128 by 1.46x (fresh 8k causal: 63.9 vs 93.2 ms) to
+    # 1.68x (32k GQA-folded prefix chunk: 65.1 vs 109.5 ms); larger tiles
+    # regress (512/1024+) and 2048-row q tiles fail to compile (VMEM).
+    bq = min(int(os.environ.get("OMINIX_FLASH_BQ", "256")), Tq)
+    bkm = min(int(os.environ.get("OMINIX_FLASH_BKM", "512")), S)
     while Tq % bq:
         bq //= 2
     while S % bkm:
