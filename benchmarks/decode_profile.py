@@ -77,8 +77,20 @@ def device_events(trace_dir):
         for ev in events:
             if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
                 out.append((ev.get("name", "?"), float(ev.get("dur", 0.0)),
-                            ev.get("args", {})))
+                            float(ev.get("ts", 0.0))))
     return out
+
+
+def inscan_only(evs):
+    """Keep only leaf events that fall inside the LONGEST while-loop
+    container window — the decode scan. Strips prefill/init one-offs so
+    the rollup attributes decode-only time."""
+    whiles = [(ts, ts + dur) for name, dur, ts in evs
+              if name.lower().startswith("while") and dur > 0]
+    if not whiles:
+        return evs
+    lo, hi = max(whiles, key=lambda w: w[1] - w[0])
+    return [(n, d, ts) for n, d, ts in evs if lo <= ts and ts + d <= hi]
 
 
 CATEGORIES = [
@@ -122,6 +134,8 @@ def main():
     ap.add_argument("--cache", type=int, default=1024)
     ap.add_argument("--cfg", default="QWEN3_4B")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--inscan", action="store_true",
+                    help="roll up only events inside the decode scan window")
     args = ap.parse_args()
 
     from ominix_mlx_tpu.models import base
@@ -150,6 +164,8 @@ def main():
     print(f"traced scan({args.steps}): {t_traced * 1e3:.1f} ms", flush=True)
 
     evs = device_events(TRACE_DIR)
+    if args.inscan:
+        evs = inscan_only(evs)
     by_name = collections.defaultdict(lambda: [0.0, 0])
     for name, dur, _ in evs:
         agg = by_name[name]
