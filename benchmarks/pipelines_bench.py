@@ -496,14 +496,15 @@ def bench_zimage():
     z = jax.random.normal(jax.random.PRNGKey(3),
                           (1, ph * pw, cfg.patch_channels), jnp.float32)
 
+    # ONE step per jit: a 4-step lax.scan version OOMed at compile (r5:
+    # 17.12G vs 15.75G HBM — the while loop double-buffers its temps on
+    # top of the ~12GB bf16 params); the per-step dispatch (~25ms through
+    # the tunnel) is accounted by timing the call including the fetch
     @jax.jit
-    def step4(params, z, cap):
-        def body(zz, _):
-            v = zi.forward(params, cfg, zz.astype(cap.dtype),
-                           jnp.full((1,), 0.5), cap, x_pos, cap_pos)
-            return zz - 0.1 * v.astype(zz.dtype), ()
-        z, _ = jax.lax.scan(body, z, length=4)
-        return z
+    def step1(params, z, cap):
+        v = zi.forward(params, cfg, z.astype(cap.dtype),
+                       jnp.full((1,), 0.5), cap, x_pos, cap_pos)
+        return z - 0.1 * v.astype(z.dtype)
 
     @jax.jit
     def vae_dec(vparams, lat):
@@ -513,7 +514,10 @@ def bench_zimage():
 
     def t_steps():
         t0 = time.perf_counter()
-        float(step4(params, z, cap).sum())
+        zz = z
+        for _ in range(3):
+            zz = step1(params, zz, cap)
+        float(zz.sum())
         return time.perf_counter() - t0
 
     lat = unpack_latent(z, ph, pw, cfg.in_channels, cfg.patch_size)
@@ -525,7 +529,7 @@ def bench_zimage():
 
     ts = _timeit(t_steps, 3)
     tv = _timeit(t_vae, 3)
-    t = ts / 4 * 9 + tv
+    t = ts / 3 * 9 + tv
     emit("zimage_1024px_s_per_image", t, "s/image", 3.0 / t)
 
 

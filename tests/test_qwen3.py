@@ -286,3 +286,22 @@ def test_generate_batch_unequal_prompt_lengths():
         want = list(engine.generate(jnp.asarray(r), c, max_tokens=8))
         got = [int(t) for t in toks[b] if int(t) != -1]
         assert got == want, (b, got, want)
+
+
+def test_flash_block_sizes_divisibility():
+    """_block_sizes must always return tiles that divide (Tq, S): the v5e
+    defaults (bq=256, bkm=512) only apply when they divide the shape, and
+    the halving fallback must terminate at a divisor for any 128-multiple
+    input (flash shapes are 128-aligned by use_flash/use_flash_chunk)."""
+    from ominix_mlx_tpu.ops.flash_attention import _block_sizes
+
+    for Tq in (128, 256, 384, 2048, 8192):
+        for S in (128, 256, 640, 1920, 8192, 30720):
+            bs = _block_sizes(Tq, S)
+            assert Tq % bs.block_q == 0, (Tq, S, bs.block_q)
+            assert S % bs.block_k_major == 0, (Tq, S, bs.block_k_major)
+            assert bs.block_k_major % bs.block_k == 0
+            assert bs.block_q >= 1 and bs.block_k >= 1
+    # the tuned defaults survive on shapes they divide
+    bs = _block_sizes(8192, 8192)
+    assert bs.block_q == 256 and bs.block_k_major == 512
