@@ -138,35 +138,44 @@ def quantized_matmul(x: jax.Array, qt: QuantizedTensor, dtype=jnp.bfloat16) -> j
 
 
 def quantize_tree(params, group_size: int = 64, bits: int = 4,
-                  pack: bool = True, min_dim: int = 256, batched: bool = False):
+                  pack: bool = True, min_dim: int = 256, batched: bool = False,
+                  scheme: str = "group"):
     """Generic post-hoc quantizer for ANY param tree: every dict holding a
     2D "w" whose shapes satisfy the kernel constraints (rows/cols 128-
     aligned, K divisible by the group size, both dims >= min_dim) gets its
     weight group-quantized in place; everything else (norms, convs,
     embeddings, small projections) is left dense.
 
+    scheme="channel8" swaps in per-output-channel symmetric int8
+    (ChannelQuantizedTensor → pure XLA int8 MXU matmul, no Pallas) — the
+    batched/prefill-shape scheme; group_size/bits/pack are ignored there.
+
     This is what lets non-base architectures (hybrid GLA/sparse mixers,
-    adapters) run the quantized decode kernels without a bespoke walker —
-    nn.layers.linear dispatches on the leaf type.
+    adapters, DiT towers) run the quantized paths without a bespoke
+    walker — nn.layers.linear dispatches on the leaf type.
     """
     import jax
 
-    from ominix_mlx_tpu.ops.quant_matmul import prepare
+    from ominix_mlx_tpu.ops.quant_matmul import channel_quantize, prepare
 
     def eligible(w):
         return (isinstance(w, jax.Array) and w.ndim == 2
                 and w.shape[0] % 128 == 0 and w.shape[1] % 128 == 0
-                and w.shape[1] % group_size == 0
+                and (scheme == "channel8" or w.shape[1] % group_size == 0)
                 and min(w.shape) >= min_dim)
+
+    def quant(w):
+        if scheme == "channel8":
+            return channel_quantize(jnp.asarray(w, jnp.float32))
+        qt = quantize_tensor(jnp.asarray(w, jnp.float32), group_size, bits)
+        return prepare(qt, batched=batched) if pack else qt
 
     def walk(node):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
                 if k == "w" and eligible(v):
-                    qt = quantize_tensor(jnp.asarray(v, jnp.float32),
-                                         group_size, bits)
-                    out[k] = prepare(qt, batched=batched) if pack else qt
+                    out[k] = quant(v)
                 else:
                     out[k] = walk(v)
             return out

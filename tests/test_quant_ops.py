@@ -355,3 +355,30 @@ def test_transpose_packed_params_walks_tree():
                                 - ld.astype(jnp.float32))
                 / jnp.linalg.norm(ld.astype(jnp.float32)))
     assert rel < 0.2, rel
+
+
+def test_quantize_tree_channel8():
+    """scheme="channel8" swaps eligible weights for ChannelQuantizedTensor
+    (pure XLA int8 path) and nn.layers.linear dispatches on the leaf; used
+    by the zimage bench to fit the 6B DiT in 16GB HBM."""
+    import jax
+
+    from ominix_mlx_tpu.core.quant import quantize_tree
+    from ominix_mlx_tpu.nn.layers import linear
+    from ominix_mlx_tpu.ops.quant_matmul import ChannelQuantizedTensor
+
+    key = jax.random.PRNGKey(0)
+    tree = {"big": {"w": jax.random.normal(key, (512, 640), jnp.float32)},
+            "small": {"w": jax.random.normal(key, (128, 128), jnp.float32)},
+            # in-dim not 128-aligned: must stay dense
+            "odd": {"w": jax.random.normal(key, (512, 320), jnp.float32)}}
+    q = quantize_tree(tree, scheme="channel8", min_dim=512)
+    assert isinstance(q["big"]["w"], ChannelQuantizedTensor)
+    assert not isinstance(q["small"]["w"], ChannelQuantizedTensor)
+    assert not isinstance(q["odd"]["w"], ChannelQuantizedTensor)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 640), jnp.float32)
+    import numpy as np
+    got = np.asarray(linear(q["big"], x))
+    want = np.asarray(linear(tree["big"], x))
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 0.05, rel
