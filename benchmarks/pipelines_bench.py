@@ -481,14 +481,18 @@ def bench_zimage():
     # 17.12G vs the chip's 15.75G (measured AOT OOM, r5). The reference
     # runs Z-Image in "8GB" (README.md:588), i.e. quantized, so w8 is the
     # parity condition, and channel8 prefill-shape matmuls measured
-    # neutral-or-better vs bf16 (docs/performance.md). Init + quantize on
-    # CPU so the bf16 and int8 trees never coexist in HBM.
+    # neutral-or-better vs bf16 (docs/performance.md). Init + quantize in
+    # ONE jit so XLA frees each bf16 leaf right after quantizing — the
+    # bf16 and int8 trees never coexist in HBM (no CPU backend exists
+    # under the axon platform to stage through).
     from ominix_mlx_tpu.core.quant import quantize_tree
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        params = zi.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-        params = quantize_tree(params, scheme="channel8", min_dim=512)
-    params = jax.device_put(params, jax.devices()[0])
+
+    @jax.jit
+    def init_q(key):
+        p = zi.init_params(cfg, key, jnp.bfloat16)
+        return quantize_tree(p, scheme="channel8", min_dim=512)
+
+    params = init_q(jax.random.PRNGKey(0))
     vparams = vae.init_decoder(vcfg, jax.random.PRNGKey(1), jnp.bfloat16)
     cap = jax.random.normal(jax.random.PRNGKey(2), (1, 128, cfg.cap_feat_dim),
                             jnp.bfloat16)
